@@ -1,0 +1,1001 @@
+"""HyperDB — the public DB facade.
+
+Drop-in capability parity with the reference class
+(/root/reference/hyperdb/hyperdb.py:29-1586), rebuilt around the TPU-native
+core: the host keeps the document payloads and chunk bookkeeping
+(``documents`` / ``source_indices`` / ``split_info`` / ``_metadata_index``),
+while all scoring runs as fused XLA programs over a padded device view of
+the vector matrix (hyperdb_tpu.core.store / hyperdb_tpu.ops /
+hyperdb_tpu.query.engine).
+
+Public surface (SURVEY.md §1 L7): constructor knobs, add / add_document /
+add_documents / commit_pending / remove_document, query (+ batched
+query_batch), set_ann_metric, save / load, size, dict,
+compute_and_save_word_frequencies, clear_cache, get_cache_size_and_info,
+plus the exposed helpers (filter_document, get_nested_value, text_to_chunks,
+prepare_texts_and_indices, tokenize, validate_*).
+"""
+
+from __future__ import annotations
+
+import collections
+import datetime
+import string
+from typing import Any, Iterable
+
+import numpy as np
+
+from hyperdb_tpu.core import chunker as _chunker
+from hyperdb_tpu.core import nested as _nested
+from hyperdb_tpu.core.store import VectorStore
+from hyperdb_tpu.index.flat import FlatIndex
+from hyperdb_tpu.persist import io as _persist
+from hyperdb_tpu.query import engine as _engine
+from hyperdb_tpu.query import filters as _filters
+from hyperdb_tpu.utils import log
+from hyperdb_tpu.utils.lru import LRUCache
+from hyperdb_tpu.utils.sizeof import deep_sizeof
+
+_ACCEPTED_ANN_METRICS = ("angular", "euclidean", "manhattan", "hamming", "dot", "cosine")
+_FP_PRECISIONS = ("float16", "float32", "float64")
+
+# Corpora with at least this many rows get a real IVF index; below it the
+# exact flat scan is faster than any pre-filter on TPU.
+IVF_THRESHOLD = 65536
+
+
+class HyperDB:
+    """TPU-native document store and similarity search engine.
+
+    Args mirror the reference constructor (hyperdb.py:45-57):
+      documents, vectors, select_keys, embedding_function, fp_precision,
+      add_timestamp, metadata_keys, ann_metric, n_trees, cache_size.
+    ``n_trees`` is kept for API parity and seeds the IVF sizing heuristic.
+    """
+
+    def __init__(
+        self,
+        documents=None,
+        vectors=None,
+        select_keys=None,
+        embedding_function=None,
+        fp_precision: str = "float32",
+        add_timestamp: bool = False,
+        metadata_keys=None,
+        ann_metric: str = "cosine",
+        n_trees: int = 10,
+        cache_size: int = 256,
+    ):
+        # LRU query cache (C21)
+        self.lru_cache = LRUCache(maxsize=cache_size)
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+        if fp_precision not in _FP_PRECISIONS:
+            raise ValueError("Unsupported floating-point precision.")
+        if ann_metric not in _ACCEPTED_ANN_METRICS:
+            raise ValueError(
+                "Unsupported ANN metric. Accepted values are: "
+                + ", ".join(_ACCEPTED_ANN_METRICS)
+            )
+
+        self.source_indices: list[int] = []
+        self.split_info: dict[int, int] = {}
+        self.documents: list = []
+        self.select_keys = select_keys
+        self.add_timestamp = add_timestamp
+
+        self.fp_precision = getattr(np, fp_precision)
+        self._store = VectorStore(self.fp_precision)
+        self.embedding_function = embedding_function or self.get_embedding
+        self.n_trees = n_trees
+
+        if isinstance(self.select_keys, str):
+            self.select_keys = [self.select_keys]
+
+        self.vectors_normalized = False
+
+        # Pending (staged) ingest state (C8): per staged document we keep the
+        # document, its vector rows, its chunk count, and whether the chunk
+        # count should be recorded in split_info (embedded docs only — the
+        # reference never records split_info for precomputed vectors).
+        self.pending_vectors: list[np.ndarray] = []
+        self.pending_documents: list = []
+        self.pending_source_indices: list[int] = []
+        self._pending_splits: list[tuple[int, bool]] = []
+
+        self._metadata_index: dict[int, dict] = {}
+        self.metadata_keys = metadata_keys or []
+        if isinstance(metadata_keys, str):
+            self.metadata_keys = [metadata_keys]
+
+        self.document_keys: list[str] = []
+        if self.add_timestamp and "timestamp" not in self.metadata_keys:
+            self.metadata_keys.append("timestamp")
+            self.document_keys.append("timestamp")
+
+        # Derived acceleration state (rebuilt on mutation)
+        self._metadata_codes = _filters.MetadataCodes()
+        self._key_embed_cache: dict = {}
+        self._tokenizer_obj = None
+        self._embedder_obj = None
+
+        if documents:
+            documents = self.validate_and_convert_documents(documents)
+
+        if documents and isinstance(documents[0], dict):
+            self.document_keys = self.collect_document_keys(documents)
+            if self.metadata_keys:
+                if self.select_keys:
+                    self.validate_keys(
+                        self.metadata_keys, self.select_keys,
+                        "metadata_keys", "select_keys",
+                    )
+                self.validate_keys(
+                    self.metadata_keys, self.document_keys,
+                    "metadata_keys", "document_keys",
+                )
+
+        self.ann_metric = ann_metric
+        self.ann_index = None
+        self.ann_dim: int | None = None
+
+        if vectors is not None:
+            self.validate_vector_uniformity(vectors)
+            self.ann_dim = len(vectors[0])
+            self._store.set(np.asarray(vectors, dtype=self.fp_precision))
+            self.documents = list(documents) if documents else []
+            if self.select_keys:
+                self.documents = [self.filter_document(d) for d in self.documents]
+            self.source_indices = list(range(len(self.documents)))
+            # Conscious fix over the reference: the precomputed-vectors branch
+            # also indexes metadata (the reference skips _store_metadata here,
+            # hyperdb.py:127-135, leaving metadata filters vacuously empty).
+            for i, doc in enumerate(self.documents):
+                self._store_metadata(doc, i)
+            self._build_ann_index()
+        elif documents:
+            self.add(documents, vectors=None, add_timestamp=self.add_timestamp)
+
+    # ------------------------------------------------------------------
+    # properties / small helpers
+    # ------------------------------------------------------------------
+
+    @property
+    def vectors(self):
+        return self._store.vectors
+
+    @vectors.setter
+    def vectors(self, value):
+        self._store.set(value)
+
+    @property
+    def dim(self) -> int | None:
+        d = self._store.dim
+        if d is not None:
+            return d
+        if self.ann_dim is not None:
+            return int(self.ann_dim)
+        emb = self._embedder()
+        return getattr(emb, "dim", None)
+
+    def _tokenizer(self):
+        if self._tokenizer_obj is None:
+            self._tokenizer_obj = _chunker.default_tokenizer()
+        return self._tokenizer_obj
+
+    def _embedder(self):
+        if self._embedder_obj is None:
+            from hyperdb_tpu.models.embedder import default_embedder
+
+            self._embedder_obj = default_embedder()
+        return self._embedder_obj
+
+    def _on_mutation(self) -> None:
+        """Invalidate every derived/cached structure after add/remove/load."""
+        self._metadata_codes.invalidate()
+        self._key_embed_cache.clear()
+        self._store.invalidate()
+
+    # ------------------------------------------------------------------
+    # validation (C1)
+    # ------------------------------------------------------------------
+
+    def validate_vector_uniformity(self, vectors) -> None:
+        """All vectors must share one dimension and form a 2-D matrix
+        (reference hyperdb.py:139-164)."""
+        if vectors is None or len(vectors) == 0:
+            raise ValueError("Input is None or the list of vectors is empty.")
+        first_len = len(vectors[0])
+        if not all(len(vec) == first_len for vec in vectors):
+            raise ValueError("All vectors must have the same dimension.")
+        arr = np.array(vectors, dtype=self.fp_precision)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        elif arr.ndim != 2:
+            raise ValueError("Vectors do not have the expected structure.")
+        if self.ann_dim is None:
+            self.ann_dim = arr.shape[1]
+
+    def validate_and_convert_documents(self, documents):
+        """Wrap non-dict documents as {'document': doc}
+        (reference hyperdb.py:166-196)."""
+        if isinstance(documents, (list, tuple)):
+            return [
+                {"document": d} if not isinstance(d, dict) else d for d in documents
+            ]
+        if isinstance(documents, (str, dict)):
+            return (
+                [documents] if isinstance(documents, dict) else [{"document": documents}]
+            )
+        if isinstance(documents, Iterable) and not isinstance(documents, (str, bytes)):
+            return [
+                {"document": d} if not isinstance(d, dict) else d for d in documents
+            ]
+        raise ValueError(
+            f"Unsupported document type: {type(documents)}. "
+            "Expected list, tuple, or dict."
+        )
+
+    def validate_keys(self, keys_to_validate, keys_validation, name_a, name_b):
+        _nested.validate_keys(keys_to_validate, keys_validation, name_a, name_b)
+
+    def collect_document_keys(self, documents):
+        return _nested.collect_document_keys(documents)
+
+    # ------------------------------------------------------------------
+    # embedding / chunking (C2, C3)
+    # ------------------------------------------------------------------
+
+    def text_to_chunks(self, text: str, max_length: int = _chunker.MAX_TOKENS):
+        return _chunker.text_to_chunks(text, self._tokenizer(), max_length)
+
+    def prepare_texts_and_indices(self, documents):
+        return _chunker.prepare_texts_and_indices(documents, self._tokenizer())
+
+    def get_embedding(self, documents):
+        """Default embedding function (reference get_embedding,
+        hyperdb.py:311-337): chunk then encode; returns
+        (embeddings, source_indices, split_info)."""
+        if documents is None:
+            raise ValueError("Documents cannot be None.")
+        try:
+            texts, source_indices, split_info = self.prepare_texts_and_indices(
+                documents
+            )
+            embeddings = np.asarray(
+                self._embedder().encode(texts), dtype=self.fp_precision
+            )
+        except ValueError:
+            raise
+        except Exception as e:
+            raise RuntimeError(
+                f"An error occurred while generating embeddings: {e}"
+            )
+        return embeddings, source_indices, split_info
+
+    def generate_query_vector(self, query_text: str):
+        query_vector = self.embedding_function([query_text])
+        if query_vector is None or len(query_vector) == 0:
+            raise ValueError("Failed to generate an embedding for the query text.")
+        return query_vector[0]
+
+    # ------------------------------------------------------------------
+    # document projection / metadata (C5, C6, C7)
+    # ------------------------------------------------------------------
+
+    def filter_document(self, document):
+        return _nested.filter_document(document, self.select_keys)
+
+    def get_nested_value(self, dictionary, keys):
+        return _nested.get_nested_value(dictionary, keys)
+
+    def _store_metadata(self, document, unique_index: int) -> None:
+        """Index declared metadata keys for one document
+        (reference hyperdb.py:373-392)."""
+        if not isinstance(document, dict):
+            return
+        filtered = self.filter_document(document)
+        metadata = {}
+        for key in self.metadata_keys:
+            if key == "timestamp":
+                existing = self._metadata_index.get(unique_index, {}).get("timestamp")
+                if existing is None and self.add_timestamp is True:
+                    metadata[key] = float(datetime.datetime.now().timestamp())
+                else:
+                    metadata[key] = existing
+            else:
+                # Select-key-filtered documents store flattened literal keys
+                # (Q14); try the literal key first, then the nested path.
+                if isinstance(filtered, dict) and key in filtered:
+                    value = filtered[key]
+                else:
+                    value = _nested.get_nested_value(filtered, [key])
+                if value is not None:
+                    metadata[key] = value
+        if metadata:
+            self._metadata_index[unique_index] = metadata
+
+    # ------------------------------------------------------------------
+    # ANN index (C10)
+    # ------------------------------------------------------------------
+
+    def _build_ann_index(self) -> None:
+        if self.vectors is None or self.vectors.shape[0] == 0:
+            return
+        if self.ann_dim is None:
+            self.ann_dim = int(self.vectors.shape[1])
+        # Parity attribute: cosine indexes are built over normalized vectors
+        # (reference hyperdb.py:205-209, Q2).
+        self.vectors_normalized = self.ann_metric == "cosine"
+        if self.vectors.shape[0] >= IVF_THRESHOLD:
+            from hyperdb_tpu.index.ivf import IVFIndex
+
+            self.ann_index = IVFIndex.build(
+                self.vectors,
+                metric=self.ann_metric,
+                n_trees=self.n_trees,
+            )
+        else:
+            self.ann_index = FlatIndex(self.ann_metric, int(self.vectors.shape[1]))
+
+    def _update_ann_index(self) -> None:
+        self._build_ann_index()
+
+    def set_ann_metric(self, new_metric: str) -> None:
+        """Switch the index metric and rebuild (reference hyperdb.py:225-235)."""
+        if self.ann_metric != new_metric:
+            self.ann_metric = new_metric
+            self.vectors_normalized = False
+        self._update_ann_index()
+
+    # ------------------------------------------------------------------
+    # ingest (C8)
+    # ------------------------------------------------------------------
+
+    def add(self, documents, vectors=None, add_timestamp: bool = False) -> None:
+        """Add one document or a list (reference hyperdb.py:548-566)."""
+        if documents is None or (
+            isinstance(documents, (list, tuple, str, dict)) and not documents
+        ):
+            return
+        if isinstance(documents, list):
+            filtered = [self.filter_document(d) for d in documents]
+            self.add_documents(filtered, vectors, add_timestamp)
+        else:
+            filtered = self.filter_document(documents)
+            self.add_document(filtered, vectors, add_timestamp=add_timestamp)
+            self.commit_pending()
+            self._update_ann_index()
+        self.clear_cache()
+        self._on_mutation()
+
+    def add_document(
+        self, document, vectors=None, count: int = 1, add_timestamp: bool = False
+    ) -> None:
+        """Stage a single document (reference hyperdb.py:568-626). The staged
+        state is applied by :meth:`commit_pending`."""
+        if not document:
+            return
+        if isinstance(document, dict) and add_timestamp:
+            document.setdefault("metadata", {})["timestamp"] = float(
+                datetime.datetime.now().timestamp()
+            )
+
+        record_split = False
+        if vectors is None:
+            embeddings, _, split_info = self.embedding_function([document])
+            rows = np.asarray(embeddings, dtype=self.fp_precision)
+            record_split = True
+        else:
+            rows = np.asarray(vectors, dtype=self.fp_precision)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        self.validate_vector_uniformity(rows)
+
+        chunk_count = int(rows.shape[0])
+        for _ in range(count):
+            doc_index = len(self.documents) + len(self.pending_documents)
+            self.pending_documents.append(document)
+            self.pending_vectors.append(rows)
+            self._pending_splits.append((chunk_count, record_split))
+            self.pending_source_indices.extend([doc_index] * chunk_count)
+            self._store_metadata(document, doc_index)
+
+    def add_documents(
+        self, documents, vectors=None, add_timestamp: bool = False
+    ) -> None:
+        """Transactional batch add (reference hyperdb.py:628-689): embed once,
+        stage per document, consistency-check, commit or roll back."""
+        if not documents:
+            return
+        if vectors is not None and len(documents) != len(vectors):
+            print("Error: The number of documents must match the number of vectors.")
+            return
+
+        saved_state = (
+            list(self.pending_vectors),
+            list(self.pending_documents),
+            list(self.pending_source_indices),
+            list(self._pending_splits),
+        )
+        try:
+            if isinstance(documents, dict):
+                documents = [documents]
+            if vectors is None:
+                if add_timestamp:
+                    now = float(datetime.datetime.now().timestamp())
+                    for doc in documents:
+                        if isinstance(doc, dict):
+                            doc.setdefault("metadata", {})["timestamp"] = now
+                embeddings, _, split_info = self.embedding_function(documents)
+                rows_all = np.asarray(embeddings, dtype=self.fp_precision)
+                record_split = True
+            else:
+                rows_all = np.asarray(vectors, dtype=self.fp_precision)
+                split_info = {i: 1 for i in range(len(documents))}
+                record_split = False
+            if rows_all.ndim == 1:
+                rows_all = rows_all[None, :]
+            self.validate_vector_uniformity(rows_all)
+
+            cursor = 0
+            for i, document in enumerate(documents):
+                chunk_count = int(split_info.get(i, 1))
+                rows = rows_all[cursor : cursor + chunk_count]
+                cursor += chunk_count
+                doc_index = len(self.documents) + len(self.pending_documents)
+                self.pending_documents.append(document)
+                self.pending_vectors.append(rows)
+                self._pending_splits.append((chunk_count, record_split))
+                self.pending_source_indices.extend([doc_index] * chunk_count)
+                self._store_metadata(document, doc_index)
+
+            total_rows = sum(v.shape[0] for v in self.pending_vectors)
+            if total_rows != len(self.pending_source_indices) or cursor != int(
+                rows_all.shape[0]
+            ):
+                print(
+                    "Inconsistency in add_documents detected between the number "
+                    f"of pending vectors and documents. Total vectors calculated: "
+                    f"{total_rows}, Total pending documents: "
+                    f"{len(self.pending_documents)}. Transaction rolled back."
+                )
+                (
+                    self.pending_vectors,
+                    self.pending_documents,
+                    self.pending_source_indices,
+                    self._pending_splits,
+                ) = saved_state
+                return
+
+            self.commit_pending()
+            self._update_ann_index()
+        except Exception as e:
+            print(f"An exception occurred: {e}")
+            (
+                self.pending_vectors,
+                self.pending_documents,
+                self.pending_source_indices,
+                self._pending_splits,
+            ) = saved_state
+
+    def commit_pending(self) -> None:
+        """Apply staged documents/vectors to the main storage with a
+        consistency check + rollback (reference hyperdb.py:496-545)."""
+        if not self.pending_vectors:
+            return
+        concatenated = np.concatenate(self.pending_vectors, axis=0)
+        try:
+            if concatenated.shape[0] != len(self.pending_source_indices):
+                raise ValueError("Inconsistency detected in new source indices.")
+            start = len(self.documents)
+            self._store.append(concatenated)
+            self.source_indices.extend(self.pending_source_indices)
+            for offset, (chunk_count, record_split) in enumerate(self._pending_splits):
+                if record_split:
+                    self.split_info[start + offset] = chunk_count
+            self.documents.extend(self.pending_documents)
+        except Exception as e:
+            print(f"Error occurred during commit: {e}. Rolling back transaction.")
+            return
+        self.pending_vectors.clear()
+        self.pending_documents.clear()
+        self.pending_source_indices.clear()
+        self._pending_splits.clear()
+
+    # ------------------------------------------------------------------
+    # delete (C9)
+    # ------------------------------------------------------------------
+
+    def remove_document(self, indices) -> None:
+        """Remove documents by index (reference hyperdb.py:692-766), with the
+        chunk rows derived from ``source_indices`` (fixes SURVEY.md Q22 while
+        matching every tested post-condition: renumbered contiguous
+        source_indices, shifted split_info and metadata)."""
+        if isinstance(indices, int):
+            indices = [indices]
+        removed = sorted(set(int(i) for i in indices))
+        removed_set = set(removed)
+
+        rows_to_remove = [
+            r for r, src in enumerate(self.source_indices) if src in removed_set
+        ]
+
+        for idx in sorted(removed, reverse=True):
+            self.documents.pop(idx)
+
+        if self.vectors is not None and rows_to_remove:
+            self._store.delete_rows(rows_to_remove)
+
+        removed_arr = np.asarray(removed, dtype=np.int64)
+
+        def shift(i: int) -> int:
+            return int(np.searchsorted(removed_arr, i, side="left"))
+
+        self.source_indices = [
+            src - shift(src) for src in self.source_indices if src not in removed_set
+        ]
+        self.split_info = {
+            idx - shift(idx): count
+            for idx, count in self.split_info.items()
+            if idx not in removed_set
+        }
+        self._metadata_index = {
+            idx - shift(idx): meta
+            for idx, meta in self._metadata_index.items()
+            if idx not in removed_set
+        }
+
+        self._update_ann_index()
+        self.clear_cache()
+        self._on_mutation()
+
+    # ------------------------------------------------------------------
+    # introspection (C24)
+    # ------------------------------------------------------------------
+
+    def size(self, with_chunks: bool = False, metadata: dict | None = None) -> int:
+        """Document count (reference hyperdb.py:410-442)."""
+        if metadata:
+            if not isinstance(metadata, dict):
+                raise ValueError(
+                    "metadata must be a dictionary of {key: value} pairs."
+                )
+            self.validate_keys(
+                metadata.keys(), self.metadata_keys, "metadata", "metadata_keys"
+            )
+            mask = _filters.metadata_doc_mask(self, metadata)
+            if with_chunks:
+                return int(
+                    sum(self.split_info.get(int(i), 1) for i in np.flatnonzero(mask))
+                )
+            return int(mask.sum())
+        if with_chunks:
+            return len(self.documents)
+        return len(set(self.source_indices))
+
+    def dict(self, vectors: bool = False, metadata=None):
+        """Database export (reference hyperdb.py:444-494). Unlike the
+        reference this works for chunked corpora (each document is paired
+        with its first chunk's vector) and never mutates stored documents."""
+        try:
+            if not self.source_indices:
+                print("Debug: source_indices is empty.")
+                return []
+            if not self.documents:
+                print("Debug: documents is empty.")
+                return []
+
+            if metadata:
+                if isinstance(metadata, dict):
+                    metadata_filter = metadata
+                elif isinstance(metadata, tuple) and len(metadata) == 2:
+                    metadata_filter = {metadata[0]: metadata[1]}
+                else:
+                    raise ValueError(
+                        "metadata must be a dictionary of {key: value} pairs "
+                        "or a tuple of (key, value)."
+                    )
+                self.validate_keys(
+                    metadata_filter.keys(), self.metadata_keys,
+                    "metadata", "metadata_keys",
+                )
+                mask = _filters.metadata_doc_mask(self, metadata_filter)
+                doc_ids = np.flatnonzero(mask)
+            else:
+                doc_ids = np.arange(len(self.documents))
+
+            first_row = {}
+            for row, src in enumerate(self.source_indices):
+                first_row.setdefault(int(src), row)
+
+            output = []
+            for i in doc_ids:
+                doc = self.documents[int(i)]
+                if vectors and self.vectors is not None:
+                    row = first_row.get(int(i))
+                    entry = dict(doc) if isinstance(doc, dict) else {"document": doc}
+                    if row is not None and row < len(self.vectors):
+                        entry["vector"] = self.vectors[row].tolist()
+                    output.append(entry)
+                else:
+                    output.append(doc)
+            return output
+        except Exception as e:
+            print(f"Error while generating dictionary: {e}")
+            return []
+
+    def compute_and_save_word_frequencies(self, output_file_path) -> None:
+        """Word histogram over stored documents (reference hyperdb.py:1007-1033)."""
+        word_frequencies: dict[str, int] = collections.defaultdict(int)
+        table = str.maketrans("", "", string.punctuation)
+
+        def count(text: str) -> None:
+            for word in text.translate(table).split():
+                word_frequencies[word.lower()] += 1
+
+        for document in self.documents:
+            if isinstance(document, dict):
+                for value in document.values():
+                    count(str(value))
+            elif isinstance(document, str):
+                count(document)
+
+        ordered = sorted(word_frequencies.items(), key=lambda x: x[1], reverse=True)
+        with open(output_file_path, "w") as f:
+            for word, freq in ordered:
+                f.write(f"{word}: {freq}\n")
+
+    # ------------------------------------------------------------------
+    # filters — list-based public helpers (API parity; the engine itself
+    # uses the mask-based pipeline in hyperdb_tpu.query.filters)
+    # ------------------------------------------------------------------
+
+    def tokenize(self, text: str):
+        return _filters.tokenize(text)
+
+    def recursive_sentence_filter(self, obj, sentence_filter_tokens) -> bool:
+        return _filters._recursive_sentence_match(obj, sentence_filter_tokens)
+
+    def apply_skip_doc(self, vectors, documents, skip_doc: int):
+        """(reference hyperdb.py:1119-1134)"""
+        mask = _filters.skip_doc_mask(len(documents), skip_doc)
+        kept = np.flatnonzero(mask)
+        vec = np.asarray(vectors)[kept] if vectors is not None else None
+        return vec, [documents[i] for i in kept], kept.tolist()
+
+    def filter_by_sentence(self, vectors, documents, sentence_filters):
+        """(reference hyperdb.py:1160-1176)"""
+        if not isinstance(sentence_filters, (list, tuple)):
+            sentence_filters = [sentence_filters]
+        tokenized = [_filters.tokenize(s) for s in sentence_filters]
+        kept_vecs, kept_docs = [], []
+        for vec, doc in zip(vectors, documents):
+            if all(_filters._recursive_sentence_match(doc, toks) for toks in tokenized):
+                kept_vecs.append(vec)
+                kept_docs.append(doc)
+        return kept_vecs, kept_docs
+
+    def filter_by_key(self, vectors, documents, keys):
+        """(reference hyperdb.py:1061-1110)"""
+        if not isinstance(keys, (list, tuple)):
+            keys = [keys]
+        self.validate_keys(keys, self.document_keys, "query_keys", "document_keys")
+        if self.select_keys:
+            self.validate_keys(keys, self.select_keys, "query_keys", "select_keys")
+        dim = self.dim or (np.asarray(vectors).shape[1] if len(vectors) else 0)
+        kept_vecs, kept_docs = [], []
+        for doc in documents:
+            if not isinstance(doc, dict):
+                continue
+            per_key = []
+            for key in keys:
+                sub = _nested.get_nested_value(doc, [key])
+                if sub is not None:
+                    emb = np.asarray(
+                        self.embedding_function([str(sub)])[0], dtype=np.float32
+                    )
+                    vec = emb.mean(axis=0) if emb.ndim == 2 else emb.reshape(-1)
+                else:
+                    vec = np.zeros(dim, dtype=np.float32)
+                per_key.append(vec)
+            if not per_key:
+                continue
+            kept_vecs.append(np.mean(per_key, axis=0))
+            kept_docs.append(doc)
+        return kept_vecs, kept_docs
+
+    def _filter_by_metadata(
+        self, metadata_filter, filtered_vectors, filtered_documents, kept_indices=None
+    ):
+        """(reference hyperdb.py:1218-1256)"""
+        self.validate_keys(
+            metadata_filter.keys(), self.metadata_keys,
+            "metadata_filter", "metadata_keys",
+        )
+        mask = _filters.metadata_doc_mask(self, metadata_filter)
+        pos_by_id = {id(doc): i for i, doc in enumerate(self.documents)}
+        kept_vecs, kept_docs = [], []
+        for vec, doc in zip(filtered_vectors, filtered_documents):
+            pos = pos_by_id.get(id(doc))
+            if pos is not None and mask[pos]:
+                kept_vecs.append(vec)
+                kept_docs.append(doc)
+        return np.array(kept_vecs, dtype=self.fp_precision), kept_docs
+
+    def _apply_filters(self, filters, kept_indices=None, base_vectors=None, base_documents=None):
+        """List-based combinator for API parity (reference hyperdb.py:1258-1308)."""
+        vecs = self.vectors if base_vectors is None else base_vectors
+        docs = self.documents if base_documents is None else base_documents
+        doc_ids = set(id(d) for d in docs)
+        for name, params in filters or []:
+            if name not in _filters.FILTER_NAMES:
+                raise ValueError(f"Invalid filter name {name}")
+            if name == "skip_doc":
+                continue
+            if name == "key":
+                vecs, sel = self.filter_by_key(vecs, docs, params)
+            elif name == "metadata":
+                if not self.metadata_keys:
+                    raise ValueError(
+                        "The 'metadata_keys' parameter has not been set in "
+                        "HyperDB(). Cannot filter by metadata."
+                    )
+                _, sel = self._filter_by_metadata(dict(params), vecs, docs)
+            elif name == "sentence":
+                _, sel = self.filter_by_sentence(vecs, docs, params)
+            doc_ids &= set(id(d) for d in sel)
+        kept_vecs = [v for v, d in zip(vecs, docs) if id(d) in doc_ids]
+        kept_docs = [d for d in docs if id(d) in doc_ids]
+        return kept_vecs, kept_docs
+
+    # ------------------------------------------------------------------
+    # query (C20-C22)
+    # ------------------------------------------------------------------
+
+    def _generate_and_validate_query_vector(self, query_input):
+        return _engine.generate_and_validate_query_vector(self, query_input)
+
+    def _handle_timestamps(self, recency_bias, timestamp_key, filtered_documents):
+        """(reference hyperdb.py:1310-1346) — list-based parity helper."""
+        doc_indices = [self.documents.index(d) for d in filtered_documents]
+        dense = _engine.handle_timestamps(
+            self, recency_bias, timestamp_key, doc_indices
+        )
+        if dense is None:
+            return None
+        return dense[np.asarray(doc_indices, dtype=np.int64)]
+
+    def _execute_query(
+        self,
+        query_input,
+        top_k: int = 5,
+        return_similarities: bool = True,
+        filters=None,
+        recency_bias: float = 0,
+        timestamp_key=None,
+        metric: str = "cosine_similarity",
+        ann_percent: int = 5,
+    ):
+        return _engine.execute_query(
+            self,
+            query_input,
+            top_k=top_k,
+            return_similarities=return_similarities,
+            filters=filters,
+            recency_bias=recency_bias,
+            timestamp_key=timestamp_key,
+            metric=metric,
+            ann_percent=ann_percent,
+        )
+
+    def _hashable_key(
+        self, query_input, top_k, return_similarities, filters,
+        recency_bias, timestamp_key, metric, ann_percent,
+    ):
+        """(reference hyperdb.py:1368-1379)"""
+        if isinstance(query_input, np.ndarray):
+            query_input = tuple(
+                tuple(row) for row in query_input.reshape(query_input.shape[0], -1)
+            ) if query_input.ndim > 1 else tuple(query_input.tolist())
+        elif isinstance(query_input, (list, tuple)):
+            query_input = tuple(
+                tuple(x) if isinstance(x, (list, tuple)) else x for x in query_input
+            )
+        if filters is None:
+            hashable_filters = None
+        else:
+            hashable_filters = tuple(
+                (
+                    name,
+                    tuple(sorted(params.items()))
+                    if isinstance(params, dict)
+                    else tuple(params)
+                    if isinstance(params, list)
+                    else params,
+                )
+                for name, params in filters
+            )
+        return (
+            query_input, top_k, return_similarities, hashable_filters,
+            recency_bias, timestamp_key, metric, ann_percent,
+        )
+
+    def _cached_query(self, hashable_key):
+        if hashable_key in self.lru_cache:
+            self.cache_hits += 1
+            return self.lru_cache[hashable_key]
+        self.cache_misses += 1
+        result = self._execute_query(*hashable_key)
+        self.lru_cache[hashable_key] = result
+        return result
+
+    def query(
+        self,
+        query_input,
+        top_k: int = 5,
+        return_similarities: bool = True,
+        filters=None,
+        recency_bias: float = 0,
+        timestamp_key=None,
+        metric: str = "cosine_similarity",
+        ann_percent: int = 5,
+    ):
+        """Retrieve the top-k documents for one query
+        (reference hyperdb.py:1584-1586)."""
+        key = self._hashable_key(
+            query_input, top_k, return_similarities, filters,
+            recency_bias, timestamp_key, metric, ann_percent,
+        )
+        return self._cached_query(key)
+
+    def query_batch(
+        self,
+        query_inputs,
+        top_k: int = 5,
+        return_similarities: bool = True,
+        filters=None,
+        recency_bias: float = 0,
+        timestamp_key=None,
+        metric: str = "cosine_similarity",
+        ann_percent: int = 5,
+    ):
+        """Batched multi-query search — one (B, d) x (d, N) device program
+        for the whole batch (a capability the reference lacks; BASELINE.json
+        configs 2 and 4). Returns a list of per-query result lists."""
+        return _engine.execute_query_batch(
+            self,
+            query_inputs,
+            top_k=top_k,
+            return_similarities=return_similarities,
+            filters=filters,
+            recency_bias=recency_bias,
+            timestamp_key=timestamp_key,
+            metric=metric,
+            ann_percent=ann_percent,
+        )
+
+    # ------------------------------------------------------------------
+    # cache (C21)
+    # ------------------------------------------------------------------
+
+    def clear_cache(self) -> None:
+        self.lru_cache.clear()
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def get_cache_size_and_info(self):
+        """(reference hyperdb.py:1398-1427)"""
+        cache_info = {
+            "hits": self.cache_hits,
+            "misses": self.cache_misses,
+            "maxsize": self.lru_cache.maxsize,
+            "currsize": len(self.lru_cache),
+        }
+        size_bytes = deep_sizeof(self.lru_cache)
+        if size_bytes >= 1024 * 1024:
+            cache_size_str = f"{size_bytes / (1024 * 1024):.2f} MB"
+        elif size_bytes >= 1024:
+            cache_size_str = f"{size_bytes / 1024:.2f} KB"
+        else:
+            cache_size_str = f"{int(size_bytes)} bytes"
+        return {"cache_info": cache_info, "cache_memory_size": cache_size_str}
+
+    # ------------------------------------------------------------------
+    # persistence (C23)
+    # ------------------------------------------------------------------
+
+    def save(self, storage_file, format: str = "pickle", save_ann_index: bool = True):
+        """(reference hyperdb.py:769-794)"""
+        if self.vectors is None or len(self.vectors) == 0 or not self.documents:
+            print("Nothing to save. Exit.")
+            return
+        data = {
+            "vectors": [vector.tolist() for vector in self.vectors]
+            if format != "pickle"
+            else self.vectors,
+            "documents": self.documents,
+            "source_indices": self.source_indices,
+            "split_info": self.split_info,
+            "metadata_index": self._metadata_index,
+            "vectors_normalized": self.vectors_normalized,
+        }
+        _persist.save_payload(str(storage_file), data, format=format)
+        if save_ann_index and self.ann_index is not None:
+            self._save_ann_index(storage_file)
+
+    def _save_ann_index(self, storage_file) -> None:
+        ann_index_file = str(storage_file) + ".ann"
+        try:
+            np.savez_compressed(
+                ann_index_file, **_flatten_state(self.ann_index.state())
+            )
+            import os
+
+            # np.savez appends .npz; keep the reference's exact sidecar name.
+            if os.path.exists(ann_index_file + ".npz"):
+                os.replace(ann_index_file + ".npz", ann_index_file)
+        except Exception as e:
+            raise RuntimeError(f"An exception occurred during ANN index save: {e}")
+
+    def load(
+        self,
+        storage_file,
+        format: str = "pickle",
+        load_ann_index: bool = True,
+        preload_ann_into_memory: bool = False,
+    ):
+        """(reference hyperdb.py:901-925)"""
+        data = _persist.load_payload(str(storage_file), format=format)
+        self._store.set(np.array(data["vectors"], dtype=self.fp_precision))
+        if self.vectors is not None and len(self.vectors) > 0:
+            self.ann_dim = int(self.vectors.shape[1])
+        self.documents = data["documents"]
+        self.source_indices = list(data.get("source_indices", []))
+        self._metadata_index = data.get("metadata_index", {})
+        self.split_info = data.get("split_info", {})
+        self.vectors_normalized = data.get("vectors_normalized", False)
+        self._on_mutation()
+        self.clear_cache()
+        if load_ann_index and self.ann_dim is not None:
+            self._load_ann_index(storage_file, preload_ann_into_memory)
+
+    def _load_ann_index(self, storage_file, preload_ann_into_memory: bool = True):
+        import os
+
+        ann_index_file = str(storage_file) + ".ann"
+        try:
+            if not os.path.exists(ann_index_file):
+                # No sidecar: rebuild from the loaded vectors (the reference
+                # silently skips; rebuilding is cheap and strictly better).
+                self._build_ann_index()
+                return
+            with np.load(ann_index_file, allow_pickle=False) as f:
+                state = _unflatten_state(dict(f.items()))
+            if state.get("kind") == "ivf":
+                from hyperdb_tpu.index.ivf import IVFIndex
+
+                self.ann_index = IVFIndex.from_state(state)
+            else:
+                self.ann_index = FlatIndex.from_state(state)
+        except Exception as e:
+            raise RuntimeError(f"An exception occurred during ANN index load: {e}")
+
+
+def _flatten_state(state: dict) -> dict:
+    out = {}
+    for key, value in state.items():
+        out[key] = np.asarray(value) if not isinstance(value, np.ndarray) else value
+    return out
+
+
+def _unflatten_state(arrays: dict) -> dict:
+    out = {}
+    for key, value in arrays.items():
+        if value.ndim == 0:
+            item = value.item()
+            out[key] = item
+        else:
+            out[key] = value
+    return out

@@ -1,0 +1,132 @@
+"""Device-resident vector store with capacity bucketing.
+
+The TPU inversion of the reference's ad-hoc NumPy state (SURVEY.md §7): the
+host keeps the mutable master copy (exact shapes, exact dtype for
+persistence parity), while queries run against a cached, padded device view:
+
+- ``rows``      f(N_pad, d)  corpus rows, padded with zeros
+- ``rows_norm`` f(N_pad, d)  unit-norm rows (cosine fast path)
+- ``row_valid`` bool(N_pad)  False on padding
+- ``row_docs``  i32(N_pad)   chunk-row -> document index (source_indices)
+
+Padding snaps N to a small set of bucket sizes so XLA compiles one program
+per bucket instead of one per corpus size; masks make padding inert. Host
+float64 masters are cast to float32 on device (TPUs have no fast f64 path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def bucket_size(n: int, minimum: int = 8) -> int:
+    """Smallest padded size >= n from a ~12.5%-granularity bucket ladder."""
+    if n <= minimum:
+        return minimum
+    # Buckets are multiples of 2^(floor(log2(n)) - 3): at most 8 shapes per
+    # power of two, overhead bounded by 12.5%.
+    step = max(minimum, 1 << max(0, (n - 1).bit_length() - 3))
+    return -(-n // step) * step
+
+
+_DEVICE_DTYPES = {
+    np.dtype(np.float16): jnp.float16,
+    np.dtype(np.float32): jnp.float32,
+    np.dtype(np.float64): jnp.float32,  # no f64 on TPU compute path
+}
+
+
+class VectorStore:
+    """Host master arrays + lazily rebuilt padded device views."""
+
+    def __init__(self, fp_dtype):
+        self.fp_dtype = np.dtype(fp_dtype)
+        self.vectors: np.ndarray | None = None  # (N, d) host master
+        self._device: dict | None = None
+
+    # ---------------- host mutation ----------------
+
+    @property
+    def num_rows(self) -> int:
+        return 0 if self.vectors is None else int(self.vectors.shape[0])
+
+    @property
+    def dim(self) -> int | None:
+        return None if self.vectors is None else int(self.vectors.shape[1])
+
+    def set(self, vectors: np.ndarray | None) -> None:
+        if vectors is None:
+            self.vectors = None
+        else:
+            self.vectors = np.asarray(vectors, dtype=self.fp_dtype)
+            if self.vectors.ndim == 1:
+                self.vectors = self.vectors[None, :]
+        self.invalidate()
+
+    def append(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=self.fp_dtype)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        if self.vectors is None or self.vectors.size == 0:
+            self.vectors = rows
+        else:
+            self.vectors = np.concatenate([self.vectors, rows], axis=0)
+        self.invalidate()
+
+    def delete_rows(self, row_indices) -> None:
+        if self.vectors is None:
+            return
+        mask = np.ones(self.vectors.shape[0], dtype=bool)
+        mask[np.asarray(list(row_indices), dtype=np.int64)] = False
+        self.vectors = self.vectors[mask]
+        self.invalidate()
+
+    def invalidate(self) -> None:
+        self._device = None
+
+    # ---------------- device views ----------------
+
+    def device_view(self, source_indices) -> dict:
+        """Padded device arrays for the current corpus; cached until the next
+        mutation. ``source_indices`` must have one entry per row."""
+        n = self.num_rows
+        if n == 0:
+            raise ValueError("Vector store is empty.")
+        if self._device is not None and self._device["n"] == n:
+            return self._device
+
+        d = self.vectors.shape[1]
+        n_pad = bucket_size(n)
+        dev_dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
+
+        host = np.zeros((n_pad, d), dtype=np.float32)
+        host[:n] = self.vectors.astype(np.float32, copy=False)
+
+        norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        host_norm = np.zeros((n_pad, d), dtype=np.float32)
+        host_norm[:n] = host[:n] / norms
+
+        row_valid = np.zeros(n_pad, dtype=bool)
+        row_valid[:n] = True
+
+        row_docs = np.zeros(n_pad, dtype=np.int32)
+        src = np.asarray(list(source_indices), dtype=np.int32)
+        if src.shape[0] != n:
+            raise ValueError(
+                f"source_indices length {src.shape[0]} != row count {n}"
+            )
+        row_docs[:n] = src
+
+        self._device = {
+            "n": n,
+            "n_pad": n_pad,
+            "dim": d,
+            "rows": jnp.asarray(host.astype(np.dtype(dev_dtype))),
+            "rows_norm": jnp.asarray(host_norm.astype(np.dtype(dev_dtype))),
+            "row_valid": jnp.asarray(row_valid),
+            "row_docs": jnp.asarray(row_docs),
+        }
+        return self._device

@@ -1,0 +1,126 @@
+"""Embedding engines.
+
+The reference embeds with MiniLM-L6-v2 via onnxruntime behind an injectable
+``embedding_function`` boundary (/root/reference/hyperdb/hyperdb.py:82,
+237-248,311-337). We keep the same boundary and provide two engines:
+
+- :class:`HashEmbedder` — a deterministic, dependency-free feature-hashing
+  encoder (word + character n-gram hashing with signed buckets, L2
+  normalized). It is the hermetic default in this image, where model weights
+  cannot be downloaded; it gives meaningful lexical similarity for demos and
+  keeps every test offline.
+- :class:`hyperdb_tpu.models.minilm.MiniLMEmbedder` — the real
+  MiniLM-L6-v2 architecture in Flax, jitted on TPU, loading HF weights when
+  present locally (deterministic random init otherwise).
+
+``make_embedding_function`` wires either engine to the chunker to produce
+the reference-shaped triple ``(embeddings, source_indices, split_info)``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Any, Callable, Protocol
+
+import numpy as np
+
+from hyperdb_tpu.core import chunker as _chunker
+
+_TOKEN_RE = re.compile(r"\b\w+\b")
+
+
+class Embedder(Protocol):
+    dim: int
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), dim) float32 embeddings."""
+        ...
+
+
+class HashEmbedder:
+    """Deterministic signed feature hashing over words and char n-grams.
+
+    Words capture topical overlap; character 3-5-grams give robustness to
+    inflection ("sleep" vs "sleeps"). Buckets are crc32-based so embeddings
+    are stable across processes and platforms.
+    """
+
+    def __init__(self, dim: int = 384, ngram_range: tuple[int, int] = (3, 5)):
+        self.dim = int(dim)
+        self._ngram_range = ngram_range
+
+    def _features(self, text: str):
+        tokens = _TOKEN_RE.findall(text.lower())
+        feats: list[str] = []
+        for tok in tokens:
+            feats.append("w:" + tok)
+            padded = f"^{tok}$"
+            lo, hi = self._ngram_range
+            for n in range(lo, hi + 1):
+                if len(padded) < n:
+                    continue
+                for i in range(len(padded) - n + 1):
+                    feats.append("g:" + padded[i : i + n])
+        return feats
+
+    def encode_one(self, text: str) -> np.ndarray:
+        vec = np.zeros(self.dim, dtype=np.float32)
+        for feat in self._features(text):
+            h = zlib.crc32(feat.encode("utf-8"))
+            idx = h % self.dim
+            sign = 1.0 if (h >> 31) & 1 else -1.0
+            vec[idx] += sign
+        norm = np.linalg.norm(vec)
+        if norm > 0:
+            vec /= norm
+        return vec
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return np.stack([self.encode_one(t) for t in texts])
+
+
+def default_embedder(dim: int = 384) -> Embedder:
+    """MiniLM on TPU when its assets are available locally, else the hermetic
+    hash encoder. Process-wide singletons mirror the reference's module-level
+    EMBEDDING_MODEL (hyperdb.py:24-25,241-248)."""
+    global _DEFAULT_EMBEDDER
+    if _DEFAULT_EMBEDDER is not None and _DEFAULT_EMBEDDER.dim == dim:
+        return _DEFAULT_EMBEDDER
+    embedder: Embedder | None = None
+    try:
+        from hyperdb_tpu.models.minilm import MiniLMEmbedder
+
+        embedder = MiniLMEmbedder.maybe_pretrained(dim=dim)
+    except Exception:
+        embedder = None
+    if embedder is None:
+        embedder = HashEmbedder(dim=dim)
+    _DEFAULT_EMBEDDER = embedder
+    return embedder
+
+
+_DEFAULT_EMBEDDER: Embedder | None = None
+
+
+def make_embedding_function(
+    embedder: Embedder,
+    tokenizer: _chunker.Tokenizer,
+    fp_dtype: np.dtype = np.float32,
+) -> Callable[[Any], tuple[np.ndarray, list[int], dict[int, int]]]:
+    """Build the reference-shaped embedding function
+    (hyperdb.py:311-337): documents -> (embeddings, source_indices, split_info).
+    """
+
+    def embedding_function(documents):
+        if documents is None:
+            raise ValueError("Documents cannot be None.")
+        texts, source_indices, split_info = _chunker.prepare_texts_and_indices(
+            documents, tokenizer
+        )
+        embeddings = np.asarray(embedder.encode(texts), dtype=fp_dtype)
+        return embeddings, source_indices, split_info
+
+    return embedding_function

@@ -1,0 +1,35 @@
+"""TPU compute kernels: similarity metrics, fused ranking, Pallas kernels."""
+
+from hyperdb_tpu.ops.metrics import (
+    METRICS,
+    cosine_scores,
+    dot_scores,
+    euclidean_scores,
+    hamming_scores,
+    jaccard_scores,
+    manhattan_scores,
+    normalize,
+    pearson_scores,
+    scores,
+)
+from hyperdb_tpu.ops.ranking import (
+    rank_top_k,
+    ranking_algorithm_sort,
+    recency_scores,
+)
+
+__all__ = [
+    "METRICS",
+    "cosine_scores",
+    "dot_scores",
+    "euclidean_scores",
+    "hamming_scores",
+    "jaccard_scores",
+    "manhattan_scores",
+    "normalize",
+    "pearson_scores",
+    "scores",
+    "rank_top_k",
+    "ranking_algorithm_sort",
+    "recency_scores",
+]

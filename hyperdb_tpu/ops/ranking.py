@@ -1,0 +1,202 @@
+"""Fused scoring + recency + top-k ranking.
+
+This replaces the reference's brute-force NumPy ranker
+(``/root/reference/hyperdb/ranking_algorithm.py:149-204``: metric -> NaN
+scrub -> recency add -> argpartition top-k) with a single jitted XLA program:
+one MXU matmul for the scores, fused elementwise epilogue for the NaN/-inf
+policy, mask, and recency term, and ``lax.top_k`` for selection — no (B, N)
+score matrix ever round-trips to the host.
+
+Two call surfaces:
+
+- :func:`rank_top_k` — the batched device-native core used by the query
+  engine. Static over (metric, k); masks and recency are dense arrays.
+- :func:`ranking_algorithm_sort` — host-facing parity shim with the exact
+  contract of ``hyperDB_ranking_algorithm_sort`` (NaN raises, unknown-metric
+  raises, non-2D raises, single-document short-circuit, numpy outputs).
+
+Reference semantics preserved:
+- NaN in *inputs* raises ValueError (ranking_algorithm.py:150-151).
+- NaN *scores* (constant-vector pearson, 0/0 jaccard) become -inf so they
+  rank last (ranking_algorithm.py:174).
+- Recency term ``recency_bias * exp(t - max(t))`` added to similarities
+  (ranking_algorithm.py:180-186, Q17 in SURVEY.md).
+- top_k clamped to the number of rows (ranking_algorithm.py:195).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperdb_tpu.ops import metrics as _metrics
+from hyperdb_tpu.ops.metrics import METRICS, scores
+
+NEG_INF = float("-inf")
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "prenormalized"))
+def rank_top_k(
+    queries: jax.Array,
+    vectors: jax.Array,
+    k: int,
+    metric: str = "cosine_similarity",
+    row_mask: jax.Array | None = None,
+    recency: jax.Array | None = None,
+    prenormalized: bool = False,
+):
+    """Score a (B, d) query block against an (N, d) corpus and take top-k.
+
+    Args:
+        queries: (B, d) query block.
+        vectors: (N, d) corpus block (any float dtype; f32 accumulation).
+        k: static number of results per query (<= N).
+        metric: one of :data:`hyperdb_tpu.ops.metrics.METRICS`.
+        row_mask: optional (N,) bool; False rows score -inf (filters,
+            tombstones, and capacity padding all compile to this one mask).
+        recency: optional (N,) f32 recency term added to similarities
+            *after* the NaN scrub, matching the reference order.
+        prenormalized: static flag — corpus rows are already unit-norm, so
+            cosine skips the per-query corpus normalization.
+
+    Returns:
+        (values, indices): each (B, k); indices index rows of ``vectors``.
+    """
+    if metric == "cosine_similarity" and prenormalized:
+        s = _metrics.cosine_scores_prenormalized(queries, vectors)
+    else:
+        s = scores(queries, vectors, metric)
+    s = jnp.where(jnp.isnan(s), NEG_INF, s)
+    if recency is not None:
+        s = s + recency[None, :]
+    if row_mask is not None:
+        s = jnp.where(row_mask[None, :], s, NEG_INF)
+    return jax.lax.top_k(s, k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "num_docs", "prenormalized")
+)
+def rank_docs_top_k(
+    queries: jax.Array,
+    rows: jax.Array,
+    row_docs: jax.Array,
+    row_valid: jax.Array,
+    k: int,
+    num_docs: int,
+    metric: str = "cosine_similarity",
+    doc_mask: jax.Array | None = None,
+    recency: jax.Array | None = None,
+    prenormalized: bool = False,
+):
+    """Chunk-aware ranking: score rows, reduce to documents, take top-k docs.
+
+    The corpus has one *row per chunk* but results are per *document*
+    (SURVEY.md Q1): row scores are segment-max-reduced through the
+    chunk->document map, so a document's score is its best chunk's score.
+    Masks (filters, skip_doc, tombstones, padding) and the recency term are
+    fused into the same program — the (B, N) score matrix never leaves the
+    device.
+
+    Args:
+        queries: (B, d) query block.
+        rows: (N_pad, d) padded corpus rows.
+        row_docs: (N_pad,) i32 chunk-row -> document index.
+        row_valid: (N_pad,) bool, False on capacity padding.
+        k: static top-k (<= num_docs).
+        num_docs: static padded document count (segment count).
+        doc_mask: optional (num_docs,) bool document filter mask.
+        recency: optional (num_docs,) f32 recency term (Q17).
+        prenormalized: rows are unit-norm (cosine fast path).
+
+    Returns:
+        (values, doc_indices): each (B, k).
+    """
+    if metric == "cosine_similarity" and prenormalized:
+        s = _metrics.cosine_scores_prenormalized(queries, rows)
+    else:
+        s = scores(queries, rows, metric)
+    s = jnp.where(jnp.isnan(s), NEG_INF, s)
+    valid = row_valid
+    if doc_mask is not None:
+        valid = valid & doc_mask[row_docs]
+    s = jnp.where(valid[None, :], s, NEG_INF)
+
+    def reduce_rows(s_row):
+        return jax.ops.segment_max(
+            s_row, row_docs, num_segments=num_docs, indices_are_sorted=False
+        )
+
+    doc_s = jax.vmap(reduce_rows)(s)  # (B, num_docs); empty segments -> -inf
+    if recency is not None:
+        doc_s = doc_s + recency[None, :]
+    if doc_mask is not None:
+        doc_s = jnp.where(doc_mask[None, :], doc_s, NEG_INF)
+    return jax.lax.top_k(doc_s, k)
+
+
+def recency_scores(timestamps: np.ndarray, recency_bias: float) -> np.ndarray:
+    """``recency_bias * exp(t - max(t))`` (ranking_algorithm.py:183, Q17)."""
+    t = np.asarray(timestamps, dtype=np.float64)
+    if t.size == 0:
+        return np.zeros(0, dtype=np.float32)
+    return (recency_bias * np.exp(t - t.max())).astype(np.float32)
+
+
+def ranking_algorithm_sort(
+    vectors,
+    query_vector,
+    top_k: int = 5,
+    metric: str = "cosine_similarity",
+    timestamps=None,
+    recency_bias: float = 0,
+):
+    """Parity shim for ``hyperDB_ranking_algorithm_sort``
+    (ranking_algorithm.py:149-204): same validation, same outputs, but the
+    compute runs as one fused XLA program.
+    """
+    vectors = np.asarray(vectors)
+    query = np.asarray(query_vector)
+    if np.isnan(vectors).any() or np.isnan(query).any():
+        raise ValueError("Vectors and query_vector should not contain NaN values.")
+    if metric not in METRICS:
+        raise ValueError(f"Unknown metric: {metric}")
+    if vectors.ndim != 2:
+        raise ValueError("Vectors should be a 2D array of shape (N, d).")
+
+    q = query.reshape(1, -1) if query.ndim == 1 else np.asarray(query)[:1]
+
+    recency = None
+    if timestamps is not None and len(timestamps) > 0:
+        r = recency_scores(np.asarray(timestamps), recency_bias)
+        if r.shape[0] != vectors.shape[0]:
+            raise ValueError("timestamps must have one entry per vector row.")
+        recency = jnp.asarray(r)
+
+    n = vectors.shape[0]
+    if n == 1:
+        # Single-document short-circuit (ranking_algorithm.py:189-191).
+        vals, _ = rank_top_k(
+            jnp.asarray(q, dtype=jnp.float32),
+            jnp.asarray(vectors, dtype=jnp.float32),
+            k=1,
+            metric=metric,
+            recency=recency,
+        )
+        return np.array([0]), np.asarray(vals[0])
+
+    k = max(0, min(int(top_k), n))
+    if k == 0:
+        return [], []
+
+    vals, idx = rank_top_k(
+        jnp.asarray(q, dtype=jnp.float32),
+        jnp.asarray(vectors, dtype=jnp.float32),
+        k=k,
+        metric=metric,
+        recency=recency,
+    )
+    return np.asarray(idx[0]), np.asarray(vals[0])

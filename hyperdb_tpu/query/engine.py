@@ -1,0 +1,363 @@
+"""The query engine.
+
+TPU-first reformulation of the reference's ``_execute_query``
+(/root/reference/hyperdb/hyperdb.py:1429-1582): instead of filtering Python
+object lists and branching between an approximate ANN-ordered path and a
+NumPy brute-force path, every query becomes
+
+    masks (host, vectorized)  ->  one fused device program
+    (score matmul + NaN scrub + mask + recency + segment-max + top-k)
+
+with the ANN (IVF) index acting purely as a *candidate mask generator*.
+Candidates are always re-scored exactly — the reference's quirk of returning
+raw ANN distances in ANN order (SURVEY.md Q3) is consciously fixed, since
+exact scoring is effectively free on the MXU.
+
+Preserved reference semantics (SURVEY.md §2.4):
+- Q4  — the ANN+recency path returns (doc, combined_score) 2-tuples.
+- Q10 — the triple-layered metric naming and ANN-metric mapping.
+- Q11 — metric/index mismatch silently (print-only) degrades to brute force.
+- Q12 — ANN candidate budget max(top_k*20, ceil(N*ann_percent/100)).
+- Q13 — filters emptying the candidate set trigger a full-corpus refilter;
+        still-empty results return [] with an INFO print.
+- Q16/Q17 — recency reads timestamps from the documents via nested lookup,
+        requires the key in metadata_keys, raises on missing values, and
+        adds recency_bias * exp(t - max(t)) over the *surviving* documents.
+- Q20 — soft failures print and return rather than raise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hyperdb_tpu.core.nested import get_nested_value
+from hyperdb_tpu.core.store import bucket_size
+from hyperdb_tpu.ops.metrics import METRICS
+from hyperdb_tpu.ops.ranking import rank_docs_top_k, rank_top_k
+from hyperdb_tpu.query import filters as _filters
+from hyperdb_tpu.utils import log
+
+# Query metric -> constructor/ANN metric (reference hyperdb.py:1453-1459);
+# jaccard/pearson have no ANN mapping and always run brute force (Q10).
+METRIC_TO_ANN = {
+    "dot_product": "dot",
+    "cosine_similarity": "cosine",
+    "euclidean_metric": "euclidean",
+    "manhattan_distance": "manhattan",
+    "hamming_distance": "hamming",
+}
+
+
+def _pad_pow2(k: int) -> int:
+    return 1 << max(0, (k - 1)).bit_length() if k > 1 else 1
+
+
+def is_numeric_array(array: np.ndarray) -> bool:
+    return np.issubdtype(array.dtype, np.number) and not np.issubdtype(
+        array.dtype, np.complexfloating
+    )
+
+
+def generate_and_validate_query_vector(db, query_input) -> np.ndarray:
+    """String -> embedding; array-like -> validated (reference
+    hyperdb.py:1197-1216). Returns a 1-D float32 vector."""
+    try:
+        if isinstance(query_input, str):
+            emb = db.embedding_function([query_input])[0]
+            query_vector = np.squeeze(np.asarray(emb, dtype=np.float32))
+            if query_vector.ndim == 2:  # chunked long query: average chunks
+                query_vector = query_vector.mean(axis=0)
+        elif isinstance(query_input, (list, np.ndarray, tuple)):
+            arr = np.array(query_input)
+            if not is_numeric_array(arr):
+                raise ValueError("Numeric array-like query_input expected.")
+            if arr.ndim > 2:
+                raise ValueError("query_input must be a 1D or 2D array.")
+            if arr.ndim == 1:
+                arr = arr[None, :]
+            if db.dim is not None and arr.shape[1] != db.dim:
+                raise ValueError(
+                    f"The dimension of the query_vector ({arr.shape[1]}) must "
+                    f"match the dimension of the vectors in the database ({db.dim})."
+                )
+            query_vector = np.squeeze(arr.astype(np.float32))
+        else:
+            raise ValueError(
+                "query_input must be either a string or a numeric array-like object."
+            )
+        if query_vector.size == 0:
+            raise ValueError("The generated query vector is empty.")
+        return query_vector
+    except Exception as e:
+        print(f"An exception occurred due to invalid input: {e}")
+        raise
+
+
+def handle_timestamps(db, recency_bias, timestamp_key, doc_indices) -> np.ndarray | None:
+    """Recency term over surviving documents (reference hyperdb.py:1310-1346).
+
+    Returns a dense (num_docs,) f32 array (zeros outside ``doc_indices``) or
+    None when recency_bias == 0.
+    """
+    if recency_bias == 0:
+        return None
+    if timestamp_key is None:
+        timestamp_key = "timestamp"
+    if timestamp_key not in db.metadata_keys:
+        raise ValueError(
+            f"The timestamp_key '{timestamp_key}' must be present in "
+            f"metadata_keys when recency_bias is not 0."
+        )
+    timestamps = [
+        get_nested_value(db.documents[i], [timestamp_key]) for i in doc_indices
+    ]
+    if any(t is None for t in timestamps):
+        raise ValueError(
+            "All timestamps must be populated when recency_bias is not 0 "
+            "or timestamp_key is provided."
+        )
+    t = np.asarray(timestamps, dtype=np.float64)
+    dense = np.zeros(len(db.documents), dtype=np.float32)
+    dense[np.asarray(doc_indices, dtype=np.int64)] = (
+        recency_bias * np.exp(t - t.max())
+    ).astype(np.float32)
+    return dense
+
+
+def execute_query(
+    db,
+    query_input,
+    top_k: int = 5,
+    return_similarities: bool = True,
+    filters=None,
+    recency_bias: float = 0,
+    timestamp_key=None,
+    metric: str = "cosine_similarity",
+    ann_percent: int = 5,
+):
+    num_docs = len(db.documents)
+    if db.vectors is None or len(db.vectors) == 0 or not db.documents:
+        raise Exception("The database is empty. Cannot proceed with the query.")
+    if metric not in METRICS:
+        raise ValueError(
+            f"Invalid metric '{metric}'. Supported: "
+            "'dot_product', 'cosine_similarity', 'euclidean_metric', "
+            "'manhattan_distance', 'jaccard_similarity', "
+            "'pearson_correlation', 'hamming_distance'"
+        )
+
+    query_vector = generate_and_validate_query_vector(db, query_input)
+    if query_vector.ndim != 1:
+        # Batched input to the single-query API: use the first row (the
+        # batched surface is db.query_batch).
+        query_vector = query_vector[0]
+
+    ann_metric = METRIC_TO_ANN.get(metric)
+    use_ann = ann_metric == db.ann_metric
+    if not use_ann:
+        log.info(
+            f"INFO: Metric '{metric}' is not supported by the current ANN "
+            f"index ('{db.ann_metric}'). Bruteforce method used instead."
+        )
+
+    # ---- skip_doc first (reference hyperdb.py:1474-1481) ----
+    base_mask = np.ones(num_docs, dtype=bool)
+    filters = list(filters) if filters is not None else None
+    if filters:
+        for name, params in filters:
+            if name not in _filters.FILTER_NAMES:
+                raise ValueError(f"Invalid filter name {name}")
+            if name == "skip_doc":
+                base_mask &= _filters.skip_doc_mask(num_docs, params)
+                break
+
+    # ---- ANN pre-filter: candidate mask (Q12) ----
+    mask = base_mask.copy()
+    if use_ann and db.ann_index is not None and db.ann_index.is_ann:
+        budget = max(top_k * 20, -(-int(base_mask.sum()) * ann_percent // 100))
+        cand_docs = db.ann_index.candidate_doc_mask(db, query_vector, budget)
+        mask &= cand_docs
+
+    # ---- remaining filters as masks ----
+    override = None
+    if filters:
+        mask, override = _filters.apply_filters(db, filters, mask)
+
+    # ---- empty-candidate fallback (Q13) ----
+    if not mask.any():
+        if filters:
+            log.info(
+                "INFO: Falling back to brute-force search after no results "
+                "from ANN pre-filtering."
+            )
+            mask, override = _filters.apply_filters(db, filters, base_mask.copy())
+        else:
+            log.info("INFO: No document matches your query.")
+            return []
+    if not mask.any():
+        log.info(
+            "INFO: No document matches your query with the brute-force "
+            "method and the current filters."
+        )
+        return []
+
+    surviving = int(mask.sum())
+    if top_k > surviving:
+        log.info(
+            f"Warning: top_k ({top_k}) is greater than the number of filtered "
+            f"documents ({surviving}). Setting top_k to {surviving}."
+        )
+        top_k = surviving
+
+    recency = handle_timestamps(
+        db, recency_bias, timestamp_key, np.flatnonzero(mask)
+    )
+
+    doc_ids, scores_out = _rank(db, query_vector, mask, override, recency, metric, top_k)
+
+    results = []
+    ann_recency_path = use_ann and recency_bias != 0
+    for doc_id, score in zip(doc_ids, scores_out):
+        document = db.documents[doc_id]
+        if not return_similarities:
+            results.append(document)
+        elif ann_recency_path:
+            # Q4 shape parity: (doc, combined_score) 2-tuples — but with the
+            # combined score computed from *exact* similarities, not raw ANN
+            # distances (conscious fix of the reference bug).
+            results.append((document, float(score)))
+        else:
+            # source index == originating document index; equals the
+            # reference's source_indices[documents.index(doc)] in every
+            # tested configuration (SURVEY.md Q1).
+            results.append((document, float(score), int(doc_id)))
+    return results
+
+
+def execute_query_batch(
+    db,
+    query_inputs,
+    top_k: int = 5,
+    return_similarities: bool = True,
+    filters=None,
+    recency_bias: float = 0,
+    timestamp_key=None,
+    metric: str = "cosine_similarity",
+    ann_percent: int = 5,
+):
+    """Batched multi-query search: the filter masks are computed once and the
+    whole (B, d) query block rides a single fused device program. Per-query
+    results have the same shape as :func:`execute_query`'s."""
+    num_docs = len(db.documents)
+    if db.vectors is None or len(db.vectors) == 0 or not db.documents:
+        raise Exception("The database is empty. Cannot proceed with the query.")
+    if metric not in METRICS:
+        raise ValueError(f"Invalid metric '{metric}'.")
+
+    if isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
+        q_block = query_inputs.astype(np.float32)
+    else:
+        q_block = np.stack(
+            [generate_and_validate_query_vector(db, q) for q in query_inputs]
+        ).astype(np.float32)
+    if db.dim is not None and q_block.shape[1] != db.dim:
+        raise ValueError(
+            f"The dimension of the query vectors ({q_block.shape[1]}) must "
+            f"match the dimension of the vectors in the database ({db.dim})."
+        )
+
+    base_mask = np.ones(num_docs, dtype=bool)
+    filters = list(filters) if filters is not None else None
+    if filters:
+        for name, params in filters:
+            if name not in _filters.FILTER_NAMES:
+                raise ValueError(f"Invalid filter name {name}")
+            if name == "skip_doc":
+                base_mask &= _filters.skip_doc_mask(num_docs, params)
+                break
+    mask = base_mask.copy()
+    override = None
+    if filters:
+        mask, override = _filters.apply_filters(db, filters, mask)
+    if not mask.any():
+        return [[] for _ in range(q_block.shape[0])]
+
+    surviving = int(mask.sum())
+    k = min(top_k, surviving)
+    recency = handle_timestamps(db, recency_bias, timestamp_key, np.flatnonzero(mask))
+
+    doc_ids, scores_out = _rank_block(db, q_block, mask, override, recency, metric, k)
+
+    results = []
+    for b in range(q_block.shape[0]):
+        row = []
+        for doc_id, score in zip(doc_ids[b], scores_out[b]):
+            document = db.documents[int(doc_id)]
+            if return_similarities:
+                row.append((document, float(score), int(doc_id)))
+            else:
+                row.append(document)
+        results.append(row)
+    return results
+
+
+def _rank(db, query_vector, mask, override, recency, metric, top_k):
+    doc_ids, vals = _rank_block(
+        db, query_vector[None, :], mask, override, recency, metric, top_k
+    )
+    return doc_ids[0], vals[0]
+
+
+def _rank_block(db, q_block, mask, override, recency, metric, top_k):
+    """Run the fused device program; returns ((B, k) doc_ids, (B, k) scores)."""
+    num_docs = len(db.documents)
+    q = jnp.asarray(np.asarray(q_block, dtype=np.float32))
+    k_pad = min(_pad_pow2(top_k), bucket_size(num_docs))
+
+    if override is not None:
+        # Key-filter path: per-document override vectors (rows == docs).
+        d_pad = bucket_size(num_docs)
+        padded = np.zeros((d_pad, override.shape[1]), dtype=np.float32)
+        padded[:num_docs] = override
+        mask_pad = np.zeros(d_pad, dtype=bool)
+        mask_pad[:num_docs] = mask
+        rec_pad = None
+        if recency is not None:
+            rec_pad = np.zeros(d_pad, dtype=np.float32)
+            rec_pad[:num_docs] = recency
+            rec_pad = jnp.asarray(rec_pad)
+        vals, idx = rank_top_k(
+            q,
+            jnp.asarray(padded),
+            k=k_pad,
+            metric=metric,
+            row_mask=jnp.asarray(mask_pad),
+            recency=rec_pad,
+        )
+    else:
+        dv = db._store.device_view(db.source_indices)
+        d_pad = bucket_size(num_docs)
+        doc_mask = np.zeros(d_pad, dtype=bool)
+        doc_mask[:num_docs] = mask
+        rec_pad = None
+        if recency is not None:
+            rec_pad = np.zeros(d_pad, dtype=np.float32)
+            rec_pad[:num_docs] = recency
+            rec_pad = jnp.asarray(rec_pad)
+        prenorm = metric == "cosine_similarity"
+        vals, idx = rank_docs_top_k(
+            q,
+            dv["rows_norm"] if prenorm else dv["rows"],
+            dv["row_docs"],
+            dv["row_valid"],
+            k=min(k_pad, d_pad),
+            num_docs=d_pad,
+            metric=metric,
+            doc_mask=jnp.asarray(doc_mask),
+            recency=rec_pad,
+            prenormalized=prenorm,
+        )
+
+    return np.asarray(idx)[:, :top_k], np.asarray(vals)[:, :top_k]

@@ -1,0 +1,234 @@
+"""Golden-value tests for the L0 metric kernels and the fused ranker.
+
+The expected values reproduce the reference test suite
+(/root/reference/tests/test_ranking_algorithm.py) so the TPU kernels are
+pinned to the exact semantics of the NumPy originals, plus batched-query and
+mask/parity cases the reference never covered.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hyperdb_tpu.ops import (
+    cosine_scores,
+    euclidean_scores,
+    hamming_scores,
+    jaccard_scores,
+    manhattan_scores,
+    pearson_scores,
+    rank_top_k,
+    ranking_algorithm_sort,
+    recency_scores,
+)
+
+
+def _single(fn, vectors, query):
+    """Run a batched (B,d)x(N,d) metric with B=1, return the (N,) row."""
+    out = fn(jnp.asarray(query, jnp.float32).reshape(1, -1), jnp.asarray(vectors, jnp.float32))
+    return np.asarray(out[0])
+
+
+class TestEuclidean:
+    def test_shape_and_values(self):
+        v = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]])
+        q = np.array([1, 1, 1])
+        r = _single(euclidean_scores, v, q)
+        assert r.shape == (3,)
+        assert np.all(r > 0)
+        # exact check: 1/(1+||v-q||)
+        expected = 1.0 / (1.0 + np.linalg.norm(v - q, axis=1))
+        np.testing.assert_allclose(r, expected, rtol=1e-5)
+
+
+class TestCosine:
+    def test_values(self):
+        v = np.array([[1, 0], [0, 1]])
+        q = np.array([1, 0])
+        r = _single(cosine_scores, v, q)
+        np.testing.assert_allclose(r, [1.0, 0.0], atol=1e-6)
+
+    def test_zero_norm_rows(self):
+        # zero-norm rows use norm=1 (reference get_norm_vector behavior)
+        v = np.array([[0.0, 0.0], [3.0, 4.0]])
+        q = np.array([1.0, 0.0])
+        r = _single(cosine_scores, v, q)
+        np.testing.assert_allclose(r, [0.0, 0.6], atol=1e-6)
+
+
+class TestManhattan:
+    def test_basic(self):
+        v = np.array([[1, 0], [0, 1]])
+        q = np.array([1, 0])
+        r = _single(manhattan_scores, v, q)
+        np.testing.assert_allclose(r, [1.0, 1.0 / 3.0], rtol=1e-6)
+
+    def test_tiled_path_matches_direct(self):
+        # Force the lax.scan streaming path (N > tile) and compare to numpy.
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(4100, 16)).astype(np.float32)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        out = np.asarray(manhattan_scores(jnp.asarray(q), jnp.asarray(v)))
+        expected = 1.0 / (1.0 + np.abs(v[None] - q[:, None]).sum(-1))
+        np.testing.assert_allclose(out, expected, rtol=1e-4)
+
+
+class TestJaccard:
+    def test_basic(self):
+        v = np.array([[1, 1], [1, 0], [0, 0]])
+        q = np.array([1, 1])
+        r = _single(jaccard_scores, v, q)
+        np.testing.assert_allclose(r, [1.0, 0.5, 0.0])
+
+    def test_non_binary_inputs_binarized(self):
+        v = np.array([[2, 2], [2, 0], [0, 0]])
+        q = np.array([1, 1])
+        r = _single(jaccard_scores, v, q)
+        np.testing.assert_allclose(r, [1.0, 0.5, 0.0])
+
+    def test_purity(self):
+        # The reference mutates inputs in place (Q6); we must not.
+        v = np.array([[2.0, 2.0], [2.0, 0.0]])
+        v_copy = v.copy()
+        _single(jaccard_scores, v, np.array([1.0, 1.0]))
+        np.testing.assert_array_equal(v, v_copy)
+
+    def test_all_zero_pair_is_nan(self):
+        v = np.array([[0, 0]])
+        q = np.array([0, 0])
+        r = _single(jaccard_scores, v, q)
+        assert np.isnan(r[0])
+
+
+class TestPearson:
+    def test_basic(self):
+        v = np.array([[1, 1], [0, 1], [1, 0]])
+        q = np.array([1, 1])
+        r = _single(pearson_scores, v, q)
+        assert np.isnan(r[0])  # constant corpus row
+        assert r[1] != 0.0
+        assert r[2] != 0.0
+
+    def test_constant_vectors(self):
+        v = np.array([[1, 1], [0, 0], [1, 1]])
+        q = np.array([1, 1])
+        r = _single(pearson_scores, v, q)
+        assert np.isnan(r).all()  # constant query -> NaN everywhere
+
+    def test_values_match_numpy(self):
+        rng = np.random.default_rng(1)
+        v = rng.normal(size=(5, 8))
+        q = rng.normal(size=8)
+        r = _single(pearson_scores, v, q)
+        expected = np.array([np.corrcoef(row, q)[0, 1] for row in v])
+        np.testing.assert_allclose(r, expected, rtol=1e-5)
+
+
+class TestHamming:
+    def test_basic(self):
+        v = np.array([[1, 1], [0, 1], [1, 0]])
+        q = np.array([1, 1])
+        r = _single(hamming_scores, v, q)
+        np.testing.assert_array_equal(r, [2, 1, 1])
+
+
+class TestRankingSort:
+    @pytest.mark.parametrize(
+        "metric, recency_bias, expected_indices",
+        [
+            ("cosine_similarity", 0, [0, 2, 1]),
+            ("cosine_similarity", 1, [2, 0, 1]),
+            ("euclidean_metric", 0, [0, 2, 1]),
+            ("manhattan_distance", 0, [0, 2, 1]),
+            ("jaccard_similarity", 0, [0, 2, 1]),
+            ("pearson_correlation", 0, [0, 1, 2]),
+            ("hamming_distance", 0, [0, 2, 1]),
+        ],
+    )
+    def test_orderings(self, metric, recency_bias, expected_indices):
+        v = np.array([[1, 0], [0, 1], [0.5, 0.5]])
+        q = np.array([1, 0])
+        timestamps = [1627825200.0, 1627911600.0, 1627998000.0]
+        idx, _ = ranking_algorithm_sort(
+            v, q, metric=metric, timestamps=timestamps, recency_bias=recency_bias
+        )
+        assert list(idx) == expected_indices
+
+    def test_unknown_metric_raises(self):
+        with pytest.raises(ValueError):
+            ranking_algorithm_sort(
+                np.array([[1, 0], [0, 1]]), np.array([1, 0]), metric="unknown_metric"
+            )
+
+    def test_invalid_vector_shape_raises(self):
+        with pytest.raises(ValueError):
+            ranking_algorithm_sort(
+                np.array([1, 0]), np.array([1, 0]), metric="euclidean_metric"
+            )
+
+    def test_nan_raises(self):
+        v = np.array([[1, 0], [0, 1], [np.nan, np.nan]])
+        with pytest.raises(ValueError):
+            ranking_algorithm_sort(v, np.array([1, 0]), metric="cosine_similarity")
+
+    def test_top_k_clamped(self):
+        v = np.eye(3)
+        idx, vals = ranking_algorithm_sort(v, np.array([1.0, 0, 0]), top_k=10)
+        assert len(idx) == 3 and len(vals) == 3
+
+    def test_nan_scores_rank_last(self):
+        # pearson: constant rows yield NaN scores -> must sort last
+        v = np.array([[1.0, 1.0], [0.0, 1.0], [2.0, 1.0]])
+        q = np.array([0.0, 1.0])
+        idx, vals = ranking_algorithm_sort(v, q, top_k=3, metric="pearson_correlation")
+        assert idx[-1] == 0  # the constant row
+        assert vals[-1] == -np.inf
+
+    def test_single_document(self):
+        idx, vals = ranking_algorithm_sort(
+            np.array([[1.0, 0.0]]), np.array([1.0, 0.0]), top_k=5
+        )
+        assert list(idx) == [0]
+        np.testing.assert_allclose(vals, [1.0], atol=1e-6)
+
+
+class TestRankTopKDevice:
+    def test_batched_matches_per_query(self):
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=(64, 16)).astype(np.float32)
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        vals, idx = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=5)
+        for b in range(4):
+            ib, sb = ranking_algorithm_sort(v, q[b], top_k=5)
+            np.testing.assert_array_equal(np.asarray(idx[b]), ib)
+            np.testing.assert_allclose(np.asarray(vals[b]), sb, rtol=1e-5)
+
+    def test_row_mask(self):
+        v = np.eye(4, dtype=np.float32)
+        q = np.ones((1, 4), dtype=np.float32)
+        mask = jnp.asarray([True, False, True, False])
+        vals, idx = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=4, row_mask=mask)
+        top2 = set(np.asarray(idx[0][:2]).tolist())
+        assert top2 == {0, 2}
+        assert np.asarray(vals[0][2]) == -np.inf
+
+    def test_recency_term(self):
+        v = np.eye(3, dtype=np.float32)
+        q = np.array([[1.0, 0.0, 0.0]], dtype=np.float32)
+        rec = jnp.asarray(recency_scores(np.array([0.0, 0.0, 5.0]), 2.0))
+        vals, idx = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=3, recency=rec)
+        # row2 gets +2.0 recency; cosine sims are [1, 0, 0] -> row2 wins
+        assert int(idx[0][0]) == 2
+
+    def test_prenormalized_cosine(self):
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=(32, 8)).astype(np.float32)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        q = rng.normal(size=(2, 8)).astype(np.float32)
+        vals1, idx1 = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=5)
+        vals2, idx2 = rank_top_k(
+            jnp.asarray(q), jnp.asarray(vn), k=5, prenormalized=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+        np.testing.assert_allclose(np.asarray(vals1), np.asarray(vals2), rtol=1e-5)
