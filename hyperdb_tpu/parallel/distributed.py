@@ -1,0 +1,148 @@
+"""Distributed (multi-chip) query path.
+
+Scale-out design (SURVEY.md §2.2, BASELINE.json config 5): the corpus
+(N, d) matrix is row-sharded over the mesh's 'data' axis; queries are
+replicated. Each chip scores its shard with the same fused metric kernels,
+takes a *local* top-k, and only the (k scores, k global row ids) per chip —
+not the (B, N) score matrix — crosses the interconnect via ``all_gather``;
+a final top-k over the S*k merged candidates is exact because top-k is
+distributive over row partitions.
+
+Communication cost per query batch: S * B * k * 8 bytes on ICI, independent
+of corpus size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from hyperdb_tpu.ops.metrics import scores as _scores
+from hyperdb_tpu.ops.ranking import NEG_INF
+
+
+def sharded_rank_top_k(
+    mesh: Mesh,
+    queries: jax.Array,
+    rows: jax.Array,
+    row_valid: jax.Array,
+    k: int,
+    metric: str = "cosine_similarity",
+    recency: jax.Array | None = None,
+    axis: str = "data",
+):
+    """Exact distributed top-k over a row-sharded corpus.
+
+    Args:
+        mesh: device mesh with a ``axis`` dimension.
+        queries: (B, d), replicated.
+        rows: (N, d) with N divisible by the axis size; sharded on rows.
+        row_valid: (N,) bool validity/filter mask (padding + filters).
+        k: top-k per query (must be <= N / axis_size).
+        recency: optional (N,) f32 additive term.
+
+    Returns:
+        (values, global_row_indices): each (B, k), replicated.
+    """
+    n = rows.shape[0]
+    n_shards = mesh.shape[axis]
+    if n % n_shards:
+        raise ValueError(f"rows ({n}) must divide evenly over '{axis}' ({n_shards})")
+    n_local = n // n_shards
+    if k > n_local:
+        raise ValueError(f"k ({k}) must be <= rows per shard ({n_local})")
+
+    has_recency = recency is not None
+
+    def local_fn(q, rows_shard, valid_shard, *rest):
+        s = _scores(q, rows_shard, metric)  # (B, n_local)
+        s = jnp.where(jnp.isnan(s), NEG_INF, s)
+        if has_recency:
+            s = s + rest[0][None, :]
+        s = jnp.where(valid_shard[None, :], s, NEG_INF)
+        vals, idx = jax.lax.top_k(s, k)  # (B, k) local
+        shard_id = jax.lax.axis_index(axis)
+        gidx = idx + shard_id * n_local
+
+        all_vals = jax.lax.all_gather(vals, axis)  # (S, B, k)
+        all_idx = jax.lax.all_gather(gidx, axis)
+        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q.shape[0], -1)  # (B, S*k)
+        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q.shape[0], -1)
+        merged_vals, merged_pos = jax.lax.top_k(all_vals, k)
+        merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
+        return merged_vals, merged_idx
+
+    in_specs = [P(), P(axis, None), P(axis)]
+    args = [queries, rows, row_valid]
+    if has_recency:
+        in_specs.append(P(axis))
+        args.append(recency)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
+class DistributedCorpus:
+    """A row-sharded device-resident corpus with an exact distributed query.
+
+    The host-side HyperDB remains the source of truth; this wraps its vector
+    matrix for mesh execution (used by the benchmark harness and the
+    multi-chip dry run).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        vectors: np.ndarray,
+        metric: str = "cosine_similarity",
+        axis: str = "data",
+    ):
+        self.mesh = mesh
+        self.metric = metric
+        self.axis = axis
+        n, d = vectors.shape
+        n_shards = mesh.shape[axis]
+        # pad rows so every shard holds the same count, mask the tail
+        per_shard = -(-n // n_shards)
+        # keep per-shard rows lane-aligned
+        per_shard = -(-per_shard // 8) * 8
+        n_pad = per_shard * n_shards
+        host = np.zeros((n_pad, d), dtype=vectors.dtype)
+        host[:n] = vectors
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:n] = True
+
+        row_sharding = NamedSharding(mesh, P(axis, None))
+        mask_sharding = NamedSharding(mesh, P(axis))
+        self.n = n
+        self.n_pad = n_pad
+        self.rows = jax.device_put(host, row_sharding)
+        self.row_valid = jax.device_put(valid, mask_sharding)
+        self._query = functools.partial(
+            sharded_rank_top_k, mesh, axis=axis, metric=metric
+        )
+
+    def query(self, queries: np.ndarray, k: int):
+        """(B, d) queries -> ((B, k) scores, (B, k) global row ids)."""
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        vals, idx = sharded_rank_top_k(
+            self.mesh, q, self.rows, self.row_valid, k=k,
+            metric=self.metric, axis=self.axis,
+        )
+        return np.asarray(vals), np.asarray(idx)

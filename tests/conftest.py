@@ -7,9 +7,18 @@ before the first ``import jax`` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins a TPU platform (JAX_PLATFORMS=axon
+# in this image): tests must be hermetic and exercise the 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The image's sitecustomize re-registers the TPU platform via
+# jax.config.update, which overrides the env var — override it back before
+# any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,102 @@
+"""Multi-chip correctness on the CPU-simulated 8-device mesh.
+
+The single-device fused ranker is the oracle: the distributed per-shard
+top-k + all-gather merge must reproduce it exactly (SURVEY.md §4.4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hyperdb_tpu.ops.ranking import rank_top_k
+from hyperdb_tpu.parallel import DistributedCorpus, make_mesh, sharded_rank_top_k
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 simulated devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("metric", ["cosine_similarity", "dot_product", "euclidean_metric"])
+def test_sharded_matches_single_device(mesh, metric):
+    rng = np.random.default_rng(0)
+    n, d, b, k = 512, 32, 4, 10
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+
+    corpus = DistributedCorpus(mesh, v, metric=metric)
+    vals, idx = corpus.query(q, k=k)
+
+    oracle_vals, oracle_idx = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=k, metric=metric)
+    np.testing.assert_allclose(vals, np.asarray(oracle_vals), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx, np.asarray(oracle_idx))
+
+
+def test_sharded_with_uneven_rows_and_mask(mesh):
+    rng = np.random.default_rng(1)
+    n, d, b, k = 333, 16, 2, 7  # not divisible by 8 -> exercises padding
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    corpus = DistributedCorpus(mesh, v, metric="dot_product")
+    vals, idx = corpus.query(q, k=k)
+    assert (idx < n).all(), "padding rows must never be returned"
+    oracle_vals, oracle_idx = rank_top_k(
+        jnp.asarray(q), jnp.asarray(v), k=k, metric="dot_product"
+    )
+    np.testing.assert_array_equal(idx, np.asarray(oracle_idx))
+
+
+def test_sharded_recency(mesh):
+    rng = np.random.default_rng(2)
+    n, d = 64, 8
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(1, d)).astype(np.float32)
+    recency = np.zeros(n, dtype=np.float32)
+    recency[5] = 100.0  # force row 5 to the top
+    corpus = DistributedCorpus(mesh, v, metric="cosine_similarity")
+    rec_pad = np.zeros(corpus.n_pad, dtype=np.float32)
+    rec_pad[:n] = recency
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vals, idx = sharded_rank_top_k(
+        mesh,
+        jnp.asarray(q),
+        corpus.rows,
+        corpus.row_valid,
+        k=3,
+        metric="cosine_similarity",
+        recency=jax.device_put(rec_pad, NamedSharding(mesh, P("data"))),
+    )
+    assert int(np.asarray(idx)[0, 0]) == 5
+
+
+def test_train_step_compiles_and_runs(mesh):
+    from hyperdb_tpu.models.train import (
+        make_train_state,
+        make_train_step,
+        synthetic_batch,
+    )
+
+    model, params, opt, opt_state = make_train_state(mesh)
+    step = make_train_step(mesh, model, opt, params, donate=False)
+    batch = synthetic_batch(batch_size=8, seq_len=16)
+    params2, opt_state2, loss = step(params, opt_state, batch)
+    assert np.isfinite(float(loss))
+    # one more step to confirm state threading
+    _, _, loss2 = step(params2, opt_state2, batch)
+    assert np.isfinite(float(loss2))
+
+
+def test_minilm_encoder_smoke():
+    from hyperdb_tpu.models.minilm import MiniLMEmbedder
+
+    emb = MiniLMEmbedder()
+    out = emb.encode(["hello world", "hello world", "different sentence entirely"])
+    assert out.shape == (3, 384)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+    # identical inputs -> identical embeddings; different input -> different
+    np.testing.assert_allclose(out[0], out[1], rtol=1e-5)
+    assert not np.allclose(out[0], out[2])
