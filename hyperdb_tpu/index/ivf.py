@@ -1,0 +1,201 @@
+"""IVF (inverted-file) index — the TPU-native Annoy replacement.
+
+The reference's ANN layer is a C++ random-projection forest
+(/root/reference/hyperdb/hyperdb.py:198-235) rebuilt from scratch on every
+mutation. On TPU the natural index is IVF, because both of its phases are
+MXU matmuls (SURVEY.md §2.3, BASELINE.json north star):
+
+- build: k-means over the corpus — assignment is a (N, d) x (d, nlist)
+  matmul + argmax, centroid update a segment-sum; trained on a subsample,
+  then one full assignment pass. Rows are stored bucketed by cluster
+  (CSR layout: ``row_order`` + ``offsets``).
+- query: score the (nlist, d) centroid matrix against the query (one small
+  matmul), walk clusters in descending score until the candidate budget is
+  reached (reference Q12 semantics: max(top_k*20, ceil(N*ann%/100))), and
+  hand the candidate row ids to the engine for **exact** re-scoring (the
+  reference returns raw ANN distances in ANN order — Q3 — which we fix).
+
+Metric handling mirrors the reference's cosine emulation (Q2): cosine /
+angular / dot cluster on unit-sphere vectors; euclidean / manhattan /
+hamming cluster raw with L2 k-means. The index only *generates candidates*;
+metric exactness comes from the re-scoring pass, so an L2 coarse quantizer
+is acceptable for all of them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_TRAIN_SAMPLE = 131072
+_KMEANS_ITERS = 12
+
+
+def default_nlist(n: int) -> int:
+    """sqrt-scaled cluster count, capped at 4096 (BASELINE.json config 3)."""
+    return int(min(4096, max(16, 2 * round(np.sqrt(n)))))
+
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters"))
+def _kmeans(train: jax.Array, init: jax.Array, nlist: int, iters: int):
+    """Lloyd iterations on device; assignment via argmax(x.c - |c|^2/2)."""
+
+    def step(centroids, _):
+        logits = train @ centroids.T - 0.5 * jnp.sum(
+            centroids * centroids, axis=1
+        )
+        assign = jnp.argmax(logits, axis=1)
+        sums = jax.ops.segment_sum(train, assign, num_segments=nlist)
+        counts = jax.ops.segment_sum(
+            jnp.ones(train.shape[0], dtype=jnp.float32), assign, num_segments=nlist
+        )
+        new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+        # keep empty clusters where they were
+        new_centroids = jnp.where(
+            (counts > 0)[:, None], new_centroids, centroids
+        )
+        return new_centroids, None
+
+    centroids, _ = jax.lax.scan(step, init, None, length=iters)
+    return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("nlist",))
+def _assign(rows: jax.Array, centroids: jax.Array, nlist: int):
+    logits = rows @ centroids.T - 0.5 * jnp.sum(centroids * centroids, axis=1)
+    return jnp.argmax(logits, axis=1)
+
+
+class IVFIndex:
+    is_ann = True
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        row_order: np.ndarray,
+        offsets: np.ndarray,
+        metric: str,
+        normalized: bool,
+    ):
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+        self.row_order = np.asarray(row_order, dtype=np.int32)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.metric = metric
+        self.normalized = bool(normalized)
+        self.nlist = self.centroids.shape[0]
+        self.dim = self.centroids.shape[1]
+        self._sizes = np.diff(self.offsets)
+
+    # ------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        vectors: np.ndarray,
+        metric: str = "cosine",
+        nlist: int | None = None,
+        n_trees: int = 10,
+        seed: int = 0,
+    ) -> "IVFIndex":
+        n, d = vectors.shape
+        nlist = nlist or default_nlist(n)
+        nlist = min(nlist, n)
+
+        data = np.asarray(vectors, dtype=np.float32)
+        normalized = metric in ("cosine", "angular", "dot")
+        if normalized:
+            norms = np.linalg.norm(data, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            data = data / norms
+
+        rng = np.random.default_rng(seed)
+        if n > _TRAIN_SAMPLE:
+            train_idx = rng.choice(n, size=_TRAIN_SAMPLE, replace=False)
+            train = data[train_idx]
+        else:
+            train = data
+        init_idx = rng.choice(train.shape[0], size=nlist, replace=False)
+        init = train[init_idx]
+
+        centroids = np.asarray(
+            _kmeans(jnp.asarray(train), jnp.asarray(init), nlist, _KMEANS_ITERS)
+        )
+
+        # full assignment pass, chunked to bound device memory
+        assign = np.empty(n, dtype=np.int64)
+        cj = jnp.asarray(centroids)
+        chunk = 1 << 20
+        for start in range(0, n, chunk):
+            block = jnp.asarray(data[start : start + chunk])
+            assign[start : start + chunk] = np.asarray(_assign(block, cj, nlist))
+
+        row_order = np.argsort(assign, kind="stable").astype(np.int32)
+        counts = np.bincount(assign, minlength=nlist)
+        offsets = np.zeros(nlist + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return cls(centroids, row_order, offsets, metric, normalized)
+
+    # ------------------------------------------------------------- query
+
+    def probe(self, query_vector: np.ndarray, budget: int) -> np.ndarray:
+        """Candidate row ids: walk clusters by centroid score until the
+        budget is covered (Q12's candidate-count contract mapped to nprobe)."""
+        q = np.asarray(query_vector, dtype=np.float32).reshape(-1)
+        if self.normalized:
+            norm = np.linalg.norm(q)
+            if norm > 0:
+                q = q / norm
+            order = np.argsort(-(self.centroids @ q))
+        else:
+            d2 = np.sum(self.centroids * self.centroids, axis=1) - 2 * (
+                self.centroids @ q
+            )
+            order = np.argsort(d2)
+
+        picked = []
+        total = 0
+        for cluster in order:
+            lo, hi = self.offsets[cluster], self.offsets[cluster + 1]
+            if hi <= lo:
+                continue
+            picked.append(self.row_order[lo:hi])
+            total += hi - lo
+            if total >= budget:
+                break
+        if not picked:
+            return np.zeros(0, dtype=np.int32)
+        return np.concatenate(picked)
+
+    def candidate_doc_mask(self, db, query_vector, budget: int) -> np.ndarray:
+        rows = self.probe(query_vector, budget)
+        mask = np.zeros(len(db.documents), dtype=bool)
+        if rows.size:
+            src = np.asarray(db.source_indices, dtype=np.int64)
+            mask[src[rows]] = True
+        return mask
+
+    # ------------------------------------------------------------- persist
+
+    def state(self) -> dict:
+        return {
+            "kind": "ivf",
+            "metric": self.metric,
+            "normalized": self.normalized,
+            "centroids": self.centroids,
+            "row_order": self.row_order,
+            "offsets": self.offsets,
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "IVFIndex":
+        return cls(
+            centroids=state["centroids"],
+            row_order=state["row_order"],
+            offsets=state["offsets"],
+            metric=str(state["metric"]),
+            normalized=bool(state["normalized"]),
+        )

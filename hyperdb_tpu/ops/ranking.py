@@ -138,6 +138,40 @@ def rank_docs_top_k(
     return jax.lax.top_k(doc_s, k)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "prenormalized")
+)
+def rank_gathered(
+    queries: jax.Array,
+    rows: jax.Array,
+    cand_ids: jax.Array,
+    cand_valid: jax.Array,
+    k: int,
+    metric: str = "cosine_similarity",
+    recency: jax.Array | None = None,
+    prenormalized: bool = False,
+):
+    """IVF fast path: gather candidate rows and score only those.
+
+    ``cand_ids`` is a padded (C,) i32 vector of global row ids with
+    ``cand_valid`` marking live entries; the returned indices are global row
+    ids. Compute and HBM traffic scale with the candidate count, not the
+    corpus (the point of the IVF pre-filter).
+    """
+    sub = rows[cand_ids]  # (C, d) gather
+    if metric == "cosine_similarity" and prenormalized:
+        s = _metrics.cosine_scores_prenormalized(queries, sub)
+    else:
+        s = scores(queries, sub)
+    s = jnp.where(jnp.isnan(s), NEG_INF, s)
+    if recency is not None:
+        s = s + recency[None, :]
+    s = jnp.where(cand_valid[None, :], s, NEG_INF)
+    vals, pos = jax.lax.top_k(s, k)
+    idx = cand_ids[pos]
+    return vals, idx
+
+
 def recency_scores(timestamps: np.ndarray, recency_bias: float) -> np.ndarray:
     """``recency_bias * exp(t - max(t))`` (ranking_algorithm.py:183, Q17)."""
     t = np.asarray(timestamps, dtype=np.float64)

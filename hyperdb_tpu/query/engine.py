@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from hyperdb_tpu.core.nested import get_nested_value
 from hyperdb_tpu.core.store import bucket_size
 from hyperdb_tpu.ops.metrics import METRICS
-from hyperdb_tpu.ops.ranking import rank_docs_top_k, rank_top_k
+from hyperdb_tpu.ops.ranking import rank_docs_top_k, rank_gathered, rank_top_k
 from hyperdb_tpu.query import filters as _filters
 from hyperdb_tpu.utils import log
 
@@ -173,11 +173,16 @@ def execute_query(
                 base_mask &= _filters.skip_doc_mask(num_docs, params)
                 break
 
-    # ---- ANN pre-filter: candidate mask (Q12) ----
+    # ---- ANN pre-filter: candidate rows + doc mask (Q12) ----
     mask = base_mask.copy()
+    cand_rows = None
     if use_ann and db.ann_index is not None and db.ann_index.is_ann:
         budget = max(top_k * 20, -(-int(base_mask.sum()) * ann_percent // 100))
-        cand_docs = db.ann_index.candidate_doc_mask(db, query_vector, budget)
+        cand_rows = db.ann_index.probe(query_vector, budget)
+        cand_docs = np.zeros(num_docs, dtype=bool)
+        if cand_rows.size:
+            src = np.asarray(db.source_indices, dtype=np.int64)
+            cand_docs[src[cand_rows]] = True
         mask &= cand_docs
 
     # ---- remaining filters as masks ----
@@ -192,6 +197,7 @@ def execute_query(
                 "INFO: Falling back to brute-force search after no results "
                 "from ANN pre-filtering."
             )
+            cand_rows = None
             mask, override = _filters.apply_filters(db, filters, base_mask.copy())
         else:
             log.info("INFO: No document matches your query.")
@@ -215,7 +221,10 @@ def execute_query(
         db, recency_bias, timestamp_key, np.flatnonzero(mask)
     )
 
-    doc_ids, scores_out = _rank(db, query_vector, mask, override, recency, metric, top_k)
+    doc_ids, scores_out = _rank(
+        db, query_vector, mask, override, recency, metric, top_k,
+        cand_rows=cand_rows,
+    )
 
     results = []
     ann_recency_path = use_ann and recency_bias != 0
@@ -303,18 +312,55 @@ def execute_query_batch(
     return results
 
 
-def _rank(db, query_vector, mask, override, recency, metric, top_k):
+def _rank(db, query_vector, mask, override, recency, metric, top_k, cand_rows=None):
     doc_ids, vals = _rank_block(
-        db, query_vector[None, :], mask, override, recency, metric, top_k
+        db, query_vector[None, :], mask, override, recency, metric, top_k,
+        cand_rows=cand_rows,
     )
     return doc_ids[0], vals[0]
 
 
-def _rank_block(db, q_block, mask, override, recency, metric, top_k):
+def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=None):
     """Run the fused device program; returns ((B, k) doc_ids, (B, k) scores)."""
     num_docs = len(db.documents)
     q = jnp.asarray(np.asarray(q_block, dtype=np.float32))
     k_pad = min(_pad_pow2(top_k), bucket_size(num_docs))
+
+    # IVF fast path: gather + score only the candidate rows. Applies to the
+    # canonical unchunked corpus (rows == docs) without key-filter overrides;
+    # all other shapes fall back to the masked full scan (still exact).
+    if (
+        cand_rows is not None
+        and override is None
+        and num_docs == db._store.num_rows
+        and cand_rows.size
+    ):
+        cand = cand_rows[mask[cand_rows]]
+        if cand.size:
+            dv = db._store.device_view(db.source_indices)
+            c_pad = bucket_size(int(cand.size))
+            ids = np.zeros(c_pad, dtype=np.int32)
+            ids[: cand.size] = cand
+            valid = np.zeros(c_pad, dtype=bool)
+            valid[: cand.size] = True
+            rec_c = None
+            if recency is not None:
+                rc = np.zeros(c_pad, dtype=np.float32)
+                rc[: cand.size] = recency[cand]
+                rec_c = jnp.asarray(rc)
+            prenorm = metric == "cosine_similarity"
+            k_eff = min(k_pad, c_pad)
+            vals, idx = rank_gathered(
+                q,
+                dv["rows_norm"] if prenorm else dv["rows"],
+                jnp.asarray(ids),
+                jnp.asarray(valid),
+                k=k_eff,
+                metric=metric,
+                recency=rec_c,
+                prenormalized=prenorm,
+            )
+            return np.asarray(idx)[:, :top_k], np.asarray(vals)[:, :top_k]
 
     if override is not None:
         # Key-filter path: per-document override vectors (rows == docs).
