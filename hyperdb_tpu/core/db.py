@@ -35,6 +35,7 @@ from hyperdb_tpu.query import filters as _filters
 from hyperdb_tpu.utils import log
 from hyperdb_tpu.utils.lru import LRUCache
 from hyperdb_tpu.utils.sizeof import deep_sizeof
+from hyperdb_tpu.utils.trace import Stats
 
 _ACCEPTED_ANN_METRICS = ("angular", "euclidean", "manhattan", "hamming", "dot", "cosine")
 _FP_PRECISIONS = ("float16", "float32", "float64")
@@ -113,6 +114,10 @@ class HyperDB:
         if self.add_timestamp and "timestamp" not in self.metadata_keys:
             self.metadata_keys.append("timestamp")
             self.document_keys.append("timestamp")
+
+        # Observability: per-phase counters/latencies (SURVEY.md §5 —
+        # tracing is a first-class feature here, unlike the reference)
+        self.stats = Stats()
 
         # Derived acceleration state (rebuilt on mutation)
         self._metadata_codes = _filters.MetadataCodes()

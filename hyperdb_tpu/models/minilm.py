@@ -134,6 +134,13 @@ _HF_MODEL = "sentence-transformers/all-MiniLM-L6-v2"
 def load_hf_params(dtype=jnp.bfloat16):
     """Convert the locally cached torch checkpoint to our param tree.
     Returns None when assets are unavailable (zero-egress images)."""
+    import os
+
+    # Belt and suspenders: even with local_files_only, hub helpers probe the
+    # network for sibling files (adapter_config.json etc.) and burn tens of
+    # seconds on DNS timeouts in zero-egress images.
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
     try:
         import torch  # noqa: F401
         from transformers import AutoModel

@@ -28,6 +28,8 @@ Preserved reference semantics (SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import time as _time
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -137,6 +139,7 @@ def execute_query(
     metric: str = "cosine_similarity",
     ann_percent: int = 5,
 ):
+    start_time = _time.perf_counter()
     num_docs = len(db.documents)
     if db.vectors is None or len(db.vectors) == 0 or not db.documents:
         raise Exception("The database is empty. Cannot proceed with the query.")
@@ -221,11 +224,13 @@ def execute_query(
         db, recency_bias, timestamp_key, np.flatnonzero(mask)
     )
 
-    doc_ids, scores_out = _rank(
-        db, query_vector, mask, override, recency, metric, top_k,
-        cand_rows=cand_rows,
-    )
+    with db.stats.phase("query.rank"):
+        doc_ids, scores_out = _rank(
+            db, query_vector, mask, override, recency, metric, top_k,
+            cand_rows=cand_rows,
+        )
 
+    db.stats.record("query.execute", _time.perf_counter() - start_time)
     results = []
     ann_recency_path = use_ann and recency_bias != 0
     for doc_id, score in zip(doc_ids, scores_out):

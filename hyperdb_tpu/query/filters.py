@@ -39,8 +39,28 @@ _MISSING = object()
 
 
 def tokenize(text: str) -> set[str]:
-    """Punctuation-stripped lowercase word set (reference hyperdb.py:1136-1141)."""
+    """Punctuation-stripped lowercase word set (reference hyperdb.py:1136-1141).
+
+    Uses the in-repo C++ tokenizer when built (the sentence filter is a
+    host-side hot loop over every document); the pure-Python fallback has
+    identical semantics (tested in tests/test_native.py).
+    """
+    global _native_tokenize
+    if _native_tokenize is None:
+        try:
+            from hyperdb_tpu.native.tokenizer import native_filter_tokenize
+
+            _native_tokenize = native_filter_tokenize
+        except Exception:
+            _native_tokenize = False
+    if _native_tokenize:
+        out = _native_tokenize(text)
+        if out is not None:
+            return out
     return set(_WORD_RE.findall(text.translate(_PUNCT_TABLE).lower()))
+
+
+_native_tokenize = None
 
 
 # ---------------------------------------------------------------- skip_doc

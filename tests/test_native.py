@@ -1,0 +1,64 @@
+"""Native C++ host library vs the pure-Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from hyperdb_tpu.core.chunker import WordTokenizer
+from hyperdb_tpu.native import tokenizer as native
+from hyperdb_tpu.query.filters import tokenize as py_filter_tokenize
+
+
+@pytest.fixture(scope="module")
+def lib_built():
+    if not native.build():
+        pytest.skip("no C++ toolchain available")
+    return True
+
+
+def test_native_word_tokenizer_parity(lib_built):
+    tok = native.NativeWordTokenizer.maybe_load()
+    assert tok is not None
+    py = WordTokenizer()
+    for text in [
+        "hello world",
+        "  leading and   multiple   spaces\t tabs\nnewlines ",
+        "",
+        "single",
+        "word " * 700,
+        "unicode héllo wörld ünïts",
+    ]:
+        assert tok.encode(text) == py.encode(text), repr(text)
+        assert tok.decode(tok.encode(text)) == py.decode(py.encode(text))
+
+
+def test_native_filter_tokenizer_parity(lib_built):
+    for text in [
+        "Sleeps 18 hours a day.",
+        "don't STOP, me-now!",
+        "punctuation... everywhere?!",
+        "",
+        "MiXeD CaSe WORDS",
+    ]:
+        got = native.native_filter_tokenize(text)
+        assert got is not None
+        assert got == py_filter_tokenize(text), repr(text)
+
+
+def test_native_merge_topk(lib_built):
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal(64).astype(np.float32)
+    ids = np.arange(64, dtype=np.int64)
+    out = native.native_merge_topk(scores, ids, k=5)
+    assert out is not None
+    out_scores, out_ids = out
+    order = np.argsort(-scores)[:5]
+    np.testing.assert_array_equal(out_ids, ids[order])
+    np.testing.assert_allclose(out_scores, scores[order])
+
+
+def test_native_merge_topk_tie_break(lib_built):
+    scores = np.array([1.0, 2.0, 2.0, 0.5], dtype=np.float32)
+    ids = np.array([7, 9, 3, 1], dtype=np.int64)
+    out_scores, out_ids = native.native_merge_topk(scores, ids, k=3)
+    # ties broken by lower id: 3 before 9
+    np.testing.assert_array_equal(out_ids, [3, 9, 7])
