@@ -1,0 +1,37 @@
+"""Engine configuration.
+
+The reference's configuration surface is constructor kwargs plus two module
+constants (SURVEY.md §5). Those kwargs are preserved verbatim on
+:class:`hyperdb_tpu.HyperDB`; this module adds the engine-level knobs the
+reference hardcodes, overridable via environment variables for deployment.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+@dataclass
+class EngineConfig:
+    # Corpora with at least this many rows build an IVF index; below it the
+    # exact flat scan wins on TPU.
+    ivf_threshold: int = _env_int("HYPERDB_IVF_THRESHOLD", 65536)
+    # IVF cluster count; 0 = sqrt-scaled default (index/ivf.py).
+    ivf_nlist: int = _env_int("HYPERDB_IVF_NLIST", 0)
+    # Pallas fused-kernel row tile; 0 = auto (ops/pallas_topk.pick_tile).
+    fused_tile: int = _env_int("HYPERDB_FUSED_TILE", 0)
+    # Token window for document chunking (reference MAX_LENGTH=510).
+    max_tokens: int = _env_int("HYPERDB_MAX_TOKENS", 510)
+    # Default embedding dimension for the hermetic hash encoder.
+    embed_dim: int = _env_int("HYPERDB_EMBED_DIM", 384)
+
+
+CONFIG = EngineConfig()

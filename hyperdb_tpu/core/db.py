@@ -41,8 +41,11 @@ _ACCEPTED_ANN_METRICS = ("angular", "euclidean", "manhattan", "hamming", "dot", 
 _FP_PRECISIONS = ("float16", "float32", "float64")
 
 # Corpora with at least this many rows get a real IVF index; below it the
-# exact flat scan is faster than any pre-filter on TPU.
-IVF_THRESHOLD = 65536
+# exact flat scan is faster than any pre-filter on TPU. Overridable via
+# HYPERDB_IVF_THRESHOLD (hyperdb_tpu/config.py) or by rebinding this name.
+from hyperdb_tpu.config import CONFIG as _CONFIG  # noqa: E402
+
+IVF_THRESHOLD = _CONFIG.ivf_threshold
 
 
 class HyperDB:
@@ -122,6 +125,7 @@ class HyperDB:
         # Derived acceleration state (rebuilt on mutation)
         self._metadata_codes = _filters.MetadataCodes()
         self._key_embed_cache: dict = {}
+        self._sentence_mask_cache: dict = {}
         self._tokenizer_obj = None
         self._embedder_obj = None
 
@@ -200,6 +204,7 @@ class HyperDB:
         """Invalidate every derived/cached structure after add/remove/load."""
         self._metadata_codes.invalidate()
         self._key_embed_cache.clear()
+        self._sentence_mask_cache.clear()
         self._store.invalidate()
 
     # ------------------------------------------------------------------
@@ -912,7 +917,15 @@ class HyperDB:
     # ------------------------------------------------------------------
 
     def save(self, storage_file, format: str = "pickle", save_ann_index: bool = True):
-        """(reference hyperdb.py:769-794)"""
+        """(reference hyperdb.py:769-794) Formats: pickle[.gz] / json /
+        sqlite (reference-compatible) or 'checkpoint' — a self-describing
+        binary directory format (persist/checkpoint.py) recommended for
+        large corpora."""
+        if format == "checkpoint":
+            from hyperdb_tpu.persist.checkpoint import save_checkpoint
+
+            save_checkpoint(self, str(storage_file), save_ann_index)
+            return
         if self.vectors is None or len(self.vectors) == 0 or not self.documents:
             print("Nothing to save. Exit.")
             return
@@ -952,6 +965,11 @@ class HyperDB:
         preload_ann_into_memory: bool = False,
     ):
         """(reference hyperdb.py:901-925)"""
+        if format == "checkpoint":
+            from hyperdb_tpu.persist.checkpoint import load_checkpoint
+
+            load_checkpoint(self, str(storage_file), load_ann_index)
+            return
         data = _persist.load_payload(str(storage_file), format=format)
         self._store.set(np.array(data["vectors"], dtype=self.fp_precision))
         if self.vectors is not None and len(self.vectors) > 0:

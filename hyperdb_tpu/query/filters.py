@@ -177,11 +177,20 @@ def _recursive_sentence_match(obj, filter_tokens: set[str]) -> bool:
 def sentence_doc_mask(db, sentence_filters) -> np.ndarray:
     if not isinstance(sentence_filters, (list, tuple)):
         sentence_filters = [sentence_filters]
+    # The recursive text walk over every document is the host-side hot loop;
+    # masks are cached per filter spec until the next mutation (the query
+    # LRU caches whole results, but different query texts with the same
+    # sentence filter share this mask).
+    cache_key = tuple(sentence_filters)
+    cached = db._sentence_mask_cache.get(cache_key)
+    if cached is not None and cached.shape[0] == len(db.documents):
+        return cached.copy()
     tokenized = [tokenize(s) for s in sentence_filters]
     num_docs = len(db.documents)
     mask = np.zeros(num_docs, dtype=bool)
     for i, doc in enumerate(db.documents):
         mask[i] = all(_recursive_sentence_match(doc, toks) for toks in tokenized)
+    db._sentence_mask_cache[cache_key] = mask.copy()
     return mask
 
 
