@@ -13,6 +13,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--cpu" in sys.argv:  # run off-TPU (e.g. while the chip is busy)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from hyperdb_tpu import HyperDB  # noqa: E402
 
 

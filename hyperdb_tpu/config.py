@@ -9,14 +9,17 @@ reference hardcodes, overridable via environment variables for deployment.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 
-def _env_int(name: str, default: int) -> int:
-    try:
-        return int(os.environ.get(name, default))
-    except ValueError:
-        return default
+def _env_int(name: str, default: int):
+    def read() -> int:
+        try:
+            return int(os.environ.get(name, default))
+        except ValueError:
+            return default
+
+    return field(default_factory=read)
 
 
 @dataclass

@@ -1,0 +1,155 @@
+"""Unit tests: nested resolution, chunker, embedders, vector store."""
+
+import numpy as np
+import pytest
+
+from hyperdb_tpu.core import nested
+from hyperdb_tpu.core.chunker import (
+    MAX_TOKENS,
+    WordTokenizer,
+    document_text,
+    prepare_texts_and_indices,
+    text_to_chunks,
+)
+from hyperdb_tpu.core.store import VectorStore, bucket_size
+from hyperdb_tpu.models.embedder import HashEmbedder
+
+
+DOC = {
+    "name": "Abra",
+    "info": {"type": "psychic", "tags": ["a", "b"]},
+    "moves": [{"name": "Psychic", "dp": 90}, {"name": "Thief"}],
+}
+
+
+class TestNested:
+    @pytest.mark.parametrize(
+        "key,expected",
+        [
+            ("name", "Abra"),
+            ("info.type", "psychic"),
+            ("moves[0].name", "Psychic"),
+            ("moves[1].name", "Thief"),
+            ("moves[0].dp", 90),
+            ("info.tags[1]", "b"),
+            ("missing.path", None),
+            ("moves[9].name", None),
+        ],
+    )
+    def test_get_nested_value(self, key, expected):
+        assert nested.get_nested_value(DOC, [key]) == expected
+
+    def test_map_over_list_of_dicts(self):
+        assert nested.get_nested_value(DOC, ["moves", "name"]) == ["Psychic", "Thief"]
+
+    def test_filter_document_flattened_keys(self):
+        out = nested.filter_document(DOC, ["name", "info.type"])
+        assert out == {"name": "Abra", "info.type": "psychic"}
+
+    def test_filter_document_fallback(self):
+        assert nested.filter_document(DOC, ["nothing.here"]) == DOC
+        assert nested.filter_document("plain string", ["name"]) == "plain string"
+
+    def test_collect_document_keys(self):
+        keys = set(nested.collect_document_keys([DOC]))
+        for expected in ("name", "info", "info.type", "info.tags", "info.tags[0]",
+                         "moves", "moves[0]", "moves[0].name", "moves[0].dp",
+                         "moves[1].name"):
+            assert expected in keys
+
+    def test_validate_keys_raises(self):
+        with pytest.raises(ValueError):
+            nested.validate_keys(["bogus"], ["ok"], "a", "b")
+
+
+class TestChunker:
+    def test_short_text_one_chunk(self):
+        tok = WordTokenizer()
+        assert text_to_chunks("hello world", tok) == ["hello world"]
+
+    def test_long_text_splits(self):
+        tok = WordTokenizer()
+        chunks = text_to_chunks("word " * 700, tok)
+        assert len(chunks) == 2
+        assert len(tok.encode(chunks[0])) == MAX_TOKENS
+        assert len(tok.encode(chunks[1])) == 700 - MAX_TOKENS
+
+    def test_document_text_value_order(self):
+        assert document_text({"a": 1, "b": "two"}) == "1 two"
+
+    def test_prepare_mixed_documents(self):
+        tok = WordTokenizer()
+        texts, src, split = prepare_texts_and_indices(
+            [{"t": "one two"}, "bare string", ["sub1", "sub2"]], tok
+        )
+        assert src == [0, 1, 2, 2]
+        assert split == {0: 1, 1: 1, 2: 2}
+        assert len(texts) == 4
+
+    def test_empty_documents_raise(self):
+        with pytest.raises(ValueError):
+            prepare_texts_and_indices([], WordTokenizer())
+
+    def test_unsupported_type_raises(self):
+        with pytest.raises(ValueError):
+            prepare_texts_and_indices([42], WordTokenizer())
+
+
+class TestHashEmbedder:
+    def test_deterministic(self):
+        e = HashEmbedder(dim=64)
+        a = e.encode(["hello world"])
+        b = e.encode(["hello world"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_unit_norm(self):
+        e = HashEmbedder(dim=64)
+        out = e.encode(["some text here", "other"])
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+    def test_lexical_similarity(self):
+        e = HashEmbedder()
+        v = e.encode(["the cat sleeps all day", "a cat sleeping all day", "quantum flux capacitor"])
+        sim_close = float(v[0] @ v[1])
+        sim_far = float(v[0] @ v[2])
+        assert sim_close > sim_far
+
+    def test_empty(self):
+        e = HashEmbedder(dim=16)
+        assert e.encode([]).shape == (0, 16)
+        vec = e.encode([""])  # no features -> zero vector, no NaN
+        assert np.isfinite(vec).all()
+
+
+class TestVectorStore:
+    def test_bucket_size_monotone(self):
+        sizes = [bucket_size(n) for n in range(1, 5000, 37)]
+        assert all(b >= n for b, n in zip(sizes, range(1, 5000, 37)))
+        # overhead bounded
+        for n in (100, 1000, 10_000, 1_000_000):
+            assert bucket_size(n) <= int(n * 1.13) + 8
+
+    def test_append_delete(self):
+        s = VectorStore(np.float32)
+        s.append(np.ones((3, 4)))
+        s.append(np.zeros((2, 4)))
+        assert s.num_rows == 5
+        s.delete_rows([0, 4])
+        assert s.num_rows == 3
+
+    def test_device_view_padding(self):
+        s = VectorStore(np.float16)
+        s.set(np.random.default_rng(0).standard_normal((10, 4)))
+        dv = s.device_view(list(range(10)))
+        assert dv["n_pad"] >= 10
+        assert bool(dv["row_valid"][9]) is True
+        if dv["n_pad"] > 10:
+            assert bool(dv["row_valid"][10]) is False
+
+    def test_device_view_cache_invalidation(self):
+        s = VectorStore(np.float32)
+        s.set(np.ones((4, 2)))
+        dv1 = s.device_view([0, 1, 2, 3])
+        s.append(np.zeros((1, 2)))
+        dv2 = s.device_view([0, 1, 2, 3, 4])
+        assert dv2["n"] == 5 and dv1["n"] == 4
