@@ -346,10 +346,29 @@ class HyperDB:
                 metric=self.ann_metric,
                 n_trees=self.n_trees,
             )
+            self._ivf_built_rows = int(self.vectors.shape[0])
         else:
             self.ann_index = FlatIndex(self.ann_metric, int(self.vectors.shape[1]))
 
     def _update_ann_index(self) -> None:
+        """Refresh the index after a mutation.
+
+        Appends assign new rows to the existing IVF clusters (one matmul)
+        instead of the reference's full rebuild on every mutation
+        (hyperdb.py:222-223); a full re-clustering happens once the corpus
+        outgrows the clustering by 50%. Removals and metric switches always
+        rebuild (row ids are renumbered)."""
+        idx = self.ann_index
+        n = self._store.num_rows
+        if (
+            idx is not None
+            and getattr(idx, "is_ann", False)
+            and self.vectors is not None
+            and n > idx.num_rows
+            and n <= int(getattr(self, "_ivf_built_rows", 0) * 1.5)
+        ):
+            idx.add_rows(self.vectors[idx.num_rows :], idx.num_rows)
+            return
         self._build_ann_index()
 
     def set_ann_metric(self, new_metric: str) -> None:
@@ -557,7 +576,8 @@ class HyperDB:
             if idx not in removed_set
         }
 
-        self._update_ann_index()
+        # removals renumber row ids -> the index must be rebuilt, not patched
+        self._build_ann_index()
         self.clear_cache()
         self._on_mutation()
 

@@ -139,6 +139,46 @@ class IVFIndex:
         np.cumsum(counts, out=offsets[1:])
         return cls(centroids, row_order, offsets, metric, normalized)
 
+    # ------------------------------------------------------------- update
+
+    def add_rows(self, vectors: np.ndarray, first_row_id: int) -> None:
+        """Incrementally assign new rows to existing clusters.
+
+        The reference rebuilds its entire Annoy forest on every mutation
+        (hyperdb.py:222-223, flagged ♨ in SURVEY.md §3.2). Appending rows
+        only needs one assignment matmul; callers should trigger a full
+        rebuild when the corpus has grown substantially past the clustering
+        (HyperDB does this at 1.5x the size at build time).
+        """
+        data = np.asarray(vectors, dtype=np.float32)
+        if self.normalized:
+            norms = np.linalg.norm(data, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            data = data / norms
+        assign = np.asarray(
+            _assign(jnp.asarray(data), jnp.asarray(self.centroids), self.nlist)
+        )
+        new_ids = np.arange(
+            first_row_id, first_row_id + data.shape[0], dtype=np.int32
+        )
+        # splice each new id into its cluster's segment (rebuild the CSR)
+        order = []
+        for cluster in range(self.nlist):
+            lo, hi = self.offsets[cluster], self.offsets[cluster + 1]
+            order.append(self.row_order[lo:hi])
+            added = new_ids[assign == cluster]
+            if added.size:
+                order.append(added)
+        self.row_order = np.concatenate(order).astype(np.int32)
+        counts = np.diff(self.offsets) + np.bincount(assign, minlength=self.nlist)
+        self.offsets = np.zeros(self.nlist + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.offsets[1:])
+        self._sizes = np.diff(self.offsets)
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.offsets[-1])
+
     # ------------------------------------------------------------- query
 
     def probe(self, query_vector: np.ndarray, budget: int) -> np.ndarray:

@@ -236,6 +236,12 @@ def key_filter(db, keys, base_mask: np.ndarray):
                 # (the reference's .flatten() on a multi-row result is a
                 # latent bug, hyperdb.py:1087).
                 vec = emb.mean(axis=0) if emb.ndim == 2 else emb.reshape(-1)
+                if vec.shape[0] != dim:
+                    raise ValueError(
+                        f"Key filter embeddings have dimension {vec.shape[0]} "
+                        f"but the corpus has dimension {dim}; provide an "
+                        "embedding_function matching the stored vectors."
+                    )
                 cache[cache_key] = vec
             per_key.append(vec)
         if not per_key:

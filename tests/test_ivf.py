@@ -84,6 +84,29 @@ def test_db_with_ivf_matches_bruteforce(monkeypatch):
     assert len(bf_results) == 5 and len(ann_results) == 5
 
 
+def test_ivf_incremental_add(monkeypatch):
+    monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
+    v = _clustered_corpus(n=1000, d=16, n_clusters=10)
+    docs = [{"i": int(i)} for i in range(len(v))]
+    db = HyperDB(documents=docs, vectors=v)
+    built_index = db.ann_index
+    assert built_index.num_rows == 1000
+
+    rng = np.random.default_rng(9)
+    extra = rng.standard_normal((50, 16)).astype(np.float32) + 40.0  # far cluster
+    db.add([{"i": 1000 + j} for j in range(50)], vectors=extra)
+    # incremental: same index object, more rows
+    assert db.ann_index is built_index
+    assert db.ann_index.num_rows == 1050
+    # the new far-away doc must be findable through the ANN path
+    res = db.query(extra[0], top_k=1)
+    assert res[0][0]["i"] == 1000
+
+    # removal forces a rebuild
+    db.remove_document(0)
+    assert db.ann_index is not built_index
+
+
 def test_db_ivf_with_filters(monkeypatch):
     monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
     v = _clustered_corpus(n=1000, d=16, n_clusters=10)
