@@ -100,23 +100,22 @@ def config1_demo():
 def config2_100k_filtered():
     import jax.numpy as jnp
 
-    from hyperdb_tpu.ops.ranking import rank_docs_top_k
+    from hyperdb_tpu.ops.ranking import rank_top_k
 
     rng = np.random.default_rng(0)
     n, d, b, k = 100_000, 384, 64, 10
     v = rng.standard_normal((n, d), dtype=np.float32)
     q = rng.standard_normal((b, d), dtype=np.float32)
-    # metadata filter mask (~50% pass) + skip_doc(1000)
+    # metadata filter mask (~50% pass) + skip_doc(1000); unchunked corpus
+    # -> rows == docs, the engine's row-mask fast path
     mask = rng.random(n) < 0.5
     mask[:1000] = False
-    row_docs = jnp.arange(n, dtype=jnp.int32)
-    valid = jnp.ones(n, dtype=bool)
-    dmask = jnp.asarray(mask)
+    rmask = jnp.asarray(mask)
+    vj = jnp.asarray(v)
 
     def fn(qq):
-        return rank_docs_top_k(
-            qq, jnp.asarray(v), row_docs, valid, k=k, num_docs=n,
-            metric="cosine_similarity", doc_mask=dmask,
+        return rank_top_k(
+            qq, vj, k=k, metric="cosine_similarity", row_mask=rmask
         )
 
     t = _chained_batch_time(fn, jnp.asarray(q))

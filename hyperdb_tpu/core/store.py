@@ -112,12 +112,16 @@ class VectorStore:
         row_valid = np.zeros(n_pad, dtype=bool)
         row_valid[:n] = True
 
-        row_docs = np.zeros(n_pad, dtype=np.int32)
         src = np.asarray(list(source_indices), dtype=np.int32)
         if src.shape[0] != n:
             raise ValueError(
                 f"source_indices length {src.shape[0]} != row count {n}"
             )
+        # Padding rows inherit the last doc id so the row->doc map stays
+        # non-decreasing (segment reductions can then avoid a general
+        # scatter); padded rows are masked to -inf and never win a max.
+        pad_doc = src[-1] if n > 0 else 0
+        row_docs = np.full(n_pad, pad_doc, dtype=np.int32)
         row_docs[:n] = src
 
         self._device = {

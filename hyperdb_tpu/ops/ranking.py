@@ -126,8 +126,11 @@ def rank_docs_top_k(
     s = jnp.where(valid[None, :], s, NEG_INF)
 
     def reduce_rows(s_row):
+        # source_indices are non-decreasing by construction (chunks are
+        # appended contiguously and renumbering preserves order), which lets
+        # XLA lower the segment reduction without a general scatter.
         return jax.ops.segment_max(
-            s_row, row_docs, num_segments=num_docs, indices_are_sorted=False
+            s_row, row_docs, num_segments=num_docs, indices_are_sorted=True
         )
 
     doc_s = jax.vmap(reduce_rows)(s)  # (B, num_docs); empty segments -> -inf

@@ -387,6 +387,29 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             row_mask=jnp.asarray(mask_pad),
             recency=rec_pad,
         )
+    elif num_docs == db._store.num_rows:
+        # Unchunked corpus: rows ARE docs — rank rows directly. This avoids
+        # the segment-max reduction entirely (its scatter lowering is very
+        # slow on TPU at large N) and is the common big-corpus shape.
+        dv = db._store.device_view(db.source_indices)
+        n_pad = dv["n_pad"]
+        row_mask = np.zeros(n_pad, dtype=bool)
+        row_mask[:num_docs] = mask
+        rec_pad = None
+        if recency is not None:
+            rec_pad = np.zeros(n_pad, dtype=np.float32)
+            rec_pad[:num_docs] = recency
+            rec_pad = jnp.asarray(rec_pad)
+        prenorm = metric == "cosine_similarity"
+        vals, idx = rank_top_k(
+            q,
+            dv["rows_norm"] if prenorm else dv["rows"],
+            k=min(k_pad, n_pad),
+            metric=metric,
+            row_mask=jnp.asarray(row_mask),
+            recency=rec_pad,
+            prenormalized=prenorm,
+        )
     else:
         dv = db._store.device_view(db.source_indices)
         d_pad = bucket_size(num_docs)
