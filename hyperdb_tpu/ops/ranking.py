@@ -37,6 +37,35 @@ from hyperdb_tpu.ops.metrics import METRICS, scores
 
 NEG_INF = float("-inf")
 
+# Above this many columns, top-k runs in two stages (per-block top-k, then a
+# merge top-k). XLA's single TopK over millions of lanes is a large partial
+# sort; the two-stage form does a fraction of the comparisons and is exact,
+# including lax.top_k's lowest-index tie-breaking (earlier blocks hold lower
+# indices and win flat-position ties).
+_TOPK_BLOCK = 32768
+
+
+def exact_top_k(s: jax.Array, k: int):
+    """Exact, tie-stable top-k along the last axis; two-stage for wide rows."""
+    n = s.shape[-1]
+    if n <= _TOPK_BLOCK or n <= k:
+        return jax.lax.top_k(s, k)
+    block = _TOPK_BLOCK
+    pad = (-n) % block
+    if pad:
+        s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, pad)], constant_values=NEG_INF)
+    t = s.shape[-1] // block
+    kb = min(k, block)
+    s3 = s.reshape(*s.shape[:-1], t, block)
+    vals1, idx1 = jax.lax.top_k(s3, kb)  # (..., t, kb)
+    offsets = (jnp.arange(t, dtype=jnp.int32) * block)[:, None]
+    gidx1 = idx1 + offsets
+    flat_vals = vals1.reshape(*s.shape[:-1], t * kb)
+    flat_idx = gidx1.reshape(*s.shape[:-1], t * kb)
+    vals2, pos = jax.lax.top_k(flat_vals, k)
+    idx2 = jnp.take_along_axis(flat_idx, pos, axis=-1)
+    return vals2, idx2
+
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "prenormalized"))
 def rank_top_k(
@@ -74,7 +103,7 @@ def rank_top_k(
         s = s + recency[None, :]
     if row_mask is not None:
         s = jnp.where(row_mask[None, :], s, NEG_INF)
-    return jax.lax.top_k(s, k)
+    return exact_top_k(s, k)
 
 
 @functools.partial(
@@ -138,7 +167,7 @@ def rank_docs_top_k(
         doc_s = doc_s + recency[None, :]
     if doc_mask is not None:
         doc_s = jnp.where(doc_mask[None, :], doc_s, NEG_INF)
-    return jax.lax.top_k(doc_s, k)
+    return exact_top_k(doc_s, k)
 
 
 @functools.partial(
@@ -170,7 +199,7 @@ def rank_gathered(
     if recency is not None:
         s = s + recency[None, :]
     s = jnp.where(cand_valid[None, :], s, NEG_INF)
-    vals, pos = jax.lax.top_k(s, k)
+    vals, pos = exact_top_k(s, k)
     idx = cand_ids[pos]
     return vals, idx
 
