@@ -84,24 +84,29 @@ class HashEmbedder:
 
 def default_embedder(dim: int = 384) -> Embedder:
     """MiniLM on TPU when its assets are available locally, else the hermetic
-    hash encoder. Process-wide singletons mirror the reference's module-level
-    EMBEDDING_MODEL (hyperdb.py:24-25,241-248)."""
+    hash encoder. Process-wide singleton mirrors the reference's module-level
+    EMBEDDING_MODEL (hyperdb.py:24-25,241-248) — but with an init lock (the
+    reference's check-then-set is racy under threads, SURVEY.md §5)."""
     global _DEFAULT_EMBEDDER
-    if _DEFAULT_EMBEDDER is not None and _DEFAULT_EMBEDDER.dim == dim:
-        return _DEFAULT_EMBEDDER
-    embedder: Embedder | None = None
-    try:
-        from hyperdb_tpu.models.minilm import MiniLMEmbedder
+    with _EMBEDDER_LOCK:
+        if _DEFAULT_EMBEDDER is not None and _DEFAULT_EMBEDDER.dim == dim:
+            return _DEFAULT_EMBEDDER
+        embedder: Embedder | None = None
+        try:
+            from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
-        embedder = MiniLMEmbedder.maybe_pretrained(dim=dim)
-    except Exception:
-        embedder = None
-    if embedder is None:
-        embedder = HashEmbedder(dim=dim)
-    _DEFAULT_EMBEDDER = embedder
-    return embedder
+            embedder = MiniLMEmbedder.maybe_pretrained(dim=dim)
+        except Exception:
+            embedder = None
+        if embedder is None:
+            embedder = HashEmbedder(dim=dim)
+        _DEFAULT_EMBEDDER = embedder
+        return embedder
 
 
+import threading as _threading  # noqa: E402
+
+_EMBEDDER_LOCK = _threading.Lock()
 _DEFAULT_EMBEDDER: Embedder | None = None
 
 

@@ -37,12 +37,12 @@ from hyperdb_tpu.ops.metrics import METRICS, scores
 
 NEG_INF = float("-inf")
 
-# Above this many columns, top-k runs in two stages (per-block top-k, then a
-# merge top-k). XLA's single TopK over millions of lanes is a large partial
-# sort; the two-stage form does a fraction of the comparisons and is exact,
-# including lax.top_k's lowest-index tie-breaking (earlier blocks hold lower
-# indices and win flat-position ties).
-_TOPK_BLOCK = 32768
+# Threshold for the two-stage top-k (per-block top-k then merge). MEASURED
+# SLOWER than XLA's native TopK on TPU v5e (benchmarks/ab_topk.py: 60 ms vs
+# 6.6 ms per 64x1M batch — the reshape + per-block sort + gather dominates),
+# so it is disabled; XLA's TopK lowering is already near-optimal. The helper
+# stays for backends where single wide TopK is the bottleneck.
+_TOPK_BLOCK = 1 << 62
 
 
 def exact_top_k(s: jax.Array, k: int):
