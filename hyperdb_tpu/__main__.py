@@ -1,0 +1,152 @@
+"""Command-line interface.
+
+The reference ships no CLI (SURVEY.md: "No CLI, no server"); for a
+production-oriented engine a minimal one is table stakes:
+
+    python -m hyperdb_tpu build  --input docs.jsonl --output corpus.ckpt
+    python -m hyperdb_tpu query  --db corpus.ckpt --text "likes to sleep" -k 5
+    python -m hyperdb_tpu stats  --db corpus.ckpt
+    python -m hyperdb_tpu bench  --db corpus.ckpt --batch 64
+
+JSONL input: one JSON document per line. Checkpoints use the binary
+directory format (persist/checkpoint.py) unless the path ends in
+.pkl/.pickle/.gz/.json/.db (reference-compatible formats).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _format_of(path: str) -> str:
+    p = path.lower()
+    if p.endswith((".pkl", ".pickle", ".gz")):
+        return "pickle"
+    if p.endswith(".json"):
+        return "json"
+    if p.endswith((".db", ".sqlite")):
+        return "sqlite"
+    return "checkpoint"
+
+
+def _load_db(path: str, metadata_keys=None):
+    from hyperdb_tpu import HyperDB
+
+    db = HyperDB(metadata_keys=metadata_keys)
+    db.load(path, format=_format_of(path))
+    return db
+
+
+def cmd_build(args):
+    from hyperdb_tpu import HyperDB
+
+    documents = []
+    with open(args.input) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                documents.append(json.loads(line))
+    print(f"loaded {len(documents)} documents from {args.input}")
+    t0 = time.perf_counter()
+    db = HyperDB(
+        documents,
+        metadata_keys=args.metadata_keys.split(",") if args.metadata_keys else None,
+        fp_precision=args.fp_precision,
+        ann_metric=args.ann_metric,
+        add_timestamp=args.add_timestamp,
+    )
+    print(f"embedded + indexed in {time.perf_counter() - t0:.1f}s "
+          f"({db.vectors.shape[0]} vectors, dim {db.dim})")
+    db.save(args.output, format=_format_of(args.output))
+    print(f"saved to {args.output}")
+
+
+def cmd_query(args):
+    db = _load_db(args.db, args.metadata_keys.split(",") if args.metadata_keys else None)
+    filters = json.loads(args.filters) if args.filters else None
+    if filters:
+        filters = [tuple(f) for f in filters]
+    t0 = time.perf_counter()
+    results = db.query(args.text, top_k=args.k, filters=filters, metric=args.metric)
+    dt = time.perf_counter() - t0
+    for res in results:
+        doc, score, idx = res if len(res) == 3 else (res[0], res[1], None)
+        print(json.dumps({"score": round(float(score), 6), "index": idx, "document": doc}))
+    print(f"# {len(results)} results in {dt * 1e3:.1f} ms", file=sys.stderr)
+
+
+def cmd_stats(args):
+    db = _load_db(args.db)
+    info = {
+        "documents": db.size(),
+        "chunks": len(db.source_indices),
+        "dim": db.dim,
+        "dtype": str(db.vectors.dtype) if db.vectors is not None else None,
+        "ann_metric": db.ann_metric,
+        "index": type(db.ann_index).__name__ if db.ann_index else None,
+        "metadata_keys": db.metadata_keys,
+    }
+    print(json.dumps(info, indent=2))
+
+
+def cmd_bench(args):
+    import numpy as np
+
+    db = _load_db(args.db)
+    rng = np.random.default_rng(0)
+    queries = rng.standard_normal((args.batch, db.dim)).astype(np.float32)
+    db.query_batch(queries, top_k=args.k)  # compile
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        db.query_batch(queries, top_k=args.k)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "qps": round(args.batch * args.iters / dt, 1),
+        "ms_per_batch": round(dt / args.iters * 1e3, 2),
+    }))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="hyperdb_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("build", help="embed + index a JSONL corpus")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--metadata-keys", default=None)
+    p.add_argument("--fp-precision", default="float32",
+                   choices=["float16", "float32", "float64"])
+    p.add_argument("--ann-metric", default="cosine")
+    p.add_argument("--add-timestamp", action="store_true")
+    p.set_defaults(fn=cmd_build)
+
+    p = sub.add_parser("query", help="query a saved corpus")
+    p.add_argument("--db", required=True)
+    p.add_argument("--text", required=True)
+    p.add_argument("-k", type=int, default=5)
+    p.add_argument("--metric", default="cosine_similarity")
+    p.add_argument("--filters", default=None,
+                   help='JSON, e.g. [["metadata", {"info.type": "fire"}]]')
+    p.add_argument("--metadata-keys", default=None)
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("stats", help="corpus statistics")
+    p.add_argument("--db", required=True)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("bench", help="batched-query throughput on a corpus")
+    p.add_argument("--db", required=True)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("-k", type=int, default=10)
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,63 @@
+"""CLI smoke tests (build -> stats -> query round trip)."""
+
+import json
+
+import pytest
+
+from hyperdb_tpu.__main__ import main
+
+
+@pytest.fixture
+def corpus_file(tmp_path):
+    path = tmp_path / "docs.jsonl"
+    docs = [
+        {"name": "ember", "info": {"type": "fire", "description": "sleeps near warm rocks"}},
+        {"name": "tide", "info": {"type": "water", "description": "hunts in rivers"}},
+        {"name": "gale", "info": {"type": "wind", "description": "rides mountain storms"}},
+    ]
+    path.write_text("\n".join(json.dumps(d) for d in docs))
+    return str(path)
+
+
+def test_build_stats_query(corpus_file, tmp_path, capsys):
+    ckpt = str(tmp_path / "corpus.ckpt")
+    main(["build", "--input", corpus_file, "--output", ckpt,
+          "--metadata-keys", "info.type"])
+    capsys.readouterr()
+
+    main(["stats", "--db", ckpt])
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["documents"] == 3
+    assert stats["metadata_keys"] == ["info.type"]
+
+    main(["query", "--db", ckpt, "--text", "sleeps near rocks", "-k", "2"])
+    out_lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(out_lines) == 2
+    top = json.loads(out_lines[0])
+    assert top["document"]["name"] == "ember"
+
+
+def test_query_with_filters(corpus_file, tmp_path, capsys):
+    ckpt = str(tmp_path / "c2.ckpt")
+    main(["build", "--input", corpus_file, "--output", ckpt,
+          "--metadata-keys", "info.type"])
+    capsys.readouterr()
+    main(["query", "--db", ckpt, "--text", "anything", "-k", "3",
+          "--filters", '[["metadata", {"info.type": "water"}]]'])
+    # stdout carries both results and the engine's INFO/Warning prints
+    # (reference Q20 parity); keep only the JSON result lines
+    out_lines = [
+        l for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert len(out_lines) == 1
+    assert json.loads(out_lines[0])["document"]["name"] == "tide"
+
+
+def test_pickle_output_format(corpus_file, tmp_path, capsys):
+    pkl = str(tmp_path / "corpus.pickle.gz")
+    main(["build", "--input", corpus_file, "--output", pkl])
+    capsys.readouterr()
+    main(["stats", "--db", pkl])
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["documents"] == 3
