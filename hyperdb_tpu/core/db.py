@@ -906,6 +906,24 @@ class HyperDB:
             ann_percent=ann_percent,
         )
 
+    def warmup(self, top_ks=(5, 10), batch_sizes=(1,), metric="cosine_similarity"):
+        """Precompile the query programs for the current corpus shape.
+
+        Remote/first-time XLA compilation can take minutes per program
+        (one per (corpus bucket, k bucket, batch) combination); serving
+        deployments call this once after load/ingest so user queries never
+        hit a compile."""
+        if self.vectors is None or len(self.vectors) == 0 or not self.documents:
+            return
+        rng = np.random.default_rng(0)
+        for b in batch_sizes:
+            queries = rng.standard_normal((b, self.dim)).astype(np.float32)
+            for k in top_ks:
+                if b == 1:
+                    _engine.execute_query(self, queries[0], top_k=k, metric=metric)
+                else:
+                    _engine.execute_query_batch(self, queries, top_k=k, metric=metric)
+
     # ------------------------------------------------------------------
     # cache (C21)
     # ------------------------------------------------------------------
