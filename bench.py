@@ -86,8 +86,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=1_000_000)
     parser.add_argument("--d", type=int, default=384)
-    parser.add_argument("--batch", type=int, default=64)
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--baseline-iters", type=int, default=2)
     args = parser.parse_args()

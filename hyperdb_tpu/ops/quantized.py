@@ -1,0 +1,107 @@
+"""Int8 quantized scoring path.
+
+HBM bandwidth is the brute-force scan's bottleneck (the (N, d) corpus read
+dominates); symmetric per-row int8 quantization halves the bytes relative to
+bf16 — roughly doubling scan throughput — and doubles corpus capacity per
+chip (10M x 768 int8 = 7.7 GB fits one v5e's HBM, where bf16 does not).
+
+The MXU multiplies int8 x int8 natively with int32 accumulation; scores are
+rescaled by the per-row scale product afterwards:
+
+    s[b, n] = (q_i8[b] . v_i8[n]) * q_scale[b] * v_scale[n]
+
+Quantization error is ~1/127 per element; for exact results the engine
+overfetches candidates from the int8 scan and re-scores them against the
+full-precision rows (``rank_top_k_int8`` with ``rescore_rows``) — the true
+top-k survives inside a 4x overfetch with overwhelming probability, and the
+re-scoring gather touches only O(B * 4k * d) bytes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperdb_tpu.ops import metrics as _metrics
+from hyperdb_tpu.ops.ranking import NEG_INF, exact_top_k
+
+
+def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization (host-side, at ingest)."""
+    rows = np.asarray(rows, dtype=np.float32)
+    max_abs = np.max(np.abs(rows), axis=1)
+    scales = (max_abs / 127.0).astype(np.float32)
+    safe = np.where(scales == 0, 1.0, scales)
+    q = np.clip(np.rint(rows / safe[:, None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def _quantize_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    max_abs = jnp.max(jnp.abs(x), axis=1)
+    scales = max_abs / 127.0
+    safe = jnp.where(scales == 0, 1.0, scales)
+    q = jnp.clip(jnp.round(x / safe[:, None]), -127, 127).astype(jnp.int8)
+    return q, scales.astype(jnp.float32)
+
+
+def int8_scores(
+    q_i8: jax.Array, q_scale: jax.Array, v_i8: jax.Array, v_scales: jax.Array
+) -> jax.Array:
+    s = jax.lax.dot_general(
+        q_i8,
+        v_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return s.astype(jnp.float32) * (q_scale[:, None] * v_scales[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overfetch"))
+def rank_top_k_int8(
+    queries: jax.Array,
+    v_i8: jax.Array,
+    v_scales: jax.Array,
+    k: int,
+    row_mask: jax.Array | None = None,
+    recency: jax.Array | None = None,
+    rescore_rows: jax.Array | None = None,
+    overfetch: int = 4,
+):
+    """Int8 scan + optional full-precision re-score of the top candidates.
+
+    ``queries`` are float (any precision); they are quantized on device.
+    ``rescore_rows`` (N, d) enables the exact re-ranking pass. Returns
+    (values (B, k) f32, indices (B, k) i32).
+    """
+    q32 = queries.astype(jnp.float32)
+    q_i8, q_scale = _quantize_device(q32)
+    s = int8_scores(q_i8, q_scale, v_i8, v_scales)
+    if recency is not None:
+        # recency shifts the ranking like a score offset, so candidate
+        # selection must see it too, not just the re-score pass
+        s = s + recency[None, :]
+    if row_mask is not None:
+        s = jnp.where(row_mask[None, :], s, NEG_INF)
+
+    if rescore_rows is None:
+        return exact_top_k(s, k)
+
+    k_fetch = min(k * overfetch, s.shape[-1])
+    _, cand = exact_top_k(s, k_fetch)  # (B, k_fetch) candidate row ids
+    sub = rescore_rows[cand]  # (B, k_fetch, d) gather
+    exact = jnp.einsum(
+        "bd,bkd->bk",
+        q32,
+        sub.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if recency is not None:
+        exact = exact + recency[cand]
+    if row_mask is not None:
+        exact = jnp.where(row_mask[cand], exact, NEG_INF)
+    vals, pos = jax.lax.top_k(exact, k)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    return vals, idx

@@ -1,0 +1,86 @@
+"""Int8 scan: quantization round-trip, recall vs exact, rescored exactness."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hyperdb_tpu.ops.quantized import int8_scores, quantize_rows, rank_top_k_int8
+from hyperdb_tpu.ops.ranking import rank_top_k
+
+
+def _data(n=2000, d=64, b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    return v, q
+
+
+def test_quantize_roundtrip_error():
+    v, _ = _data()
+    q_i8, scales = quantize_rows(v)
+    recon = q_i8.astype(np.float32) * scales[:, None]
+    err = np.abs(recon - v).max()
+    assert err <= (scales.max() / 2) + 1e-6
+
+
+def test_int8_scores_close_to_exact():
+    v, q = _data()
+    v_i8, scales = quantize_rows(v)
+    s_q = np.asarray(
+        int8_scores(
+            *_dev_quant(q), jnp.asarray(v_i8), jnp.asarray(scales)
+        )
+    )
+    s_exact = q @ v.T
+    assert np.abs(s_q - s_exact).max() < 0.05
+
+
+def _dev_quant(q):
+    from hyperdb_tpu.ops.quantized import _quantize_device
+
+    out = _quantize_device(jnp.asarray(q))
+    return out
+
+
+def test_int8_topk_recall():
+    v, q = _data()
+    v_i8, scales = quantize_rows(v)
+    _, idx_q = rank_top_k_int8(
+        jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(scales), k=10
+    )
+    _, idx_exact = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=10, metric="dot_product")
+    idx_q, idx_exact = np.asarray(idx_q), np.asarray(idx_exact)
+    recall = np.mean(
+        [len(set(a) & set(b)) / 10 for a, b in zip(idx_q.tolist(), idx_exact.tolist())]
+    )
+    assert recall >= 0.9
+
+
+def test_int8_with_rescore_is_exact():
+    v, q = _data()
+    v_i8, scales = quantize_rows(v)
+    vals_q, idx_q = rank_top_k_int8(
+        jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(scales), k=10,
+        rescore_rows=jnp.asarray(v),
+    )
+    vals_e, idx_e = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=10, metric="dot_product")
+    np.testing.assert_array_equal(np.asarray(idx_q), np.asarray(idx_e))
+    np.testing.assert_allclose(np.asarray(vals_q), np.asarray(vals_e), rtol=1e-4)
+
+
+def test_int8_mask_and_recency():
+    v, q = _data(n=256, b=2)
+    v_i8, scales = quantize_rows(v)
+    mask = np.zeros(256, dtype=bool)
+    mask[100:] = True
+    rec = np.zeros(256, dtype=np.float32)
+    rec[200] = 50.0
+    vals, idx = rank_top_k_int8(
+        jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(scales), k=5,
+        row_mask=jnp.asarray(mask), recency=jnp.asarray(rec),
+        rescore_rows=jnp.asarray(v),
+    )
+    idx = np.asarray(idx)
+    assert (idx >= 100).all()
+    assert (idx[:, 0] == 200).all()
