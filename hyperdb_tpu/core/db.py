@@ -69,6 +69,7 @@ class HyperDB:
         ann_metric: str = "cosine",
         n_trees: int = 10,
         cache_size: int = 256,
+        device_precision: str | None = None,
     ):
         # LRU query cache (C21)
         self.lru_cache = LRUCache(maxsize=cache_size)
@@ -90,7 +91,15 @@ class HyperDB:
         self.add_timestamp = add_timestamp
 
         self.fp_precision = getattr(np, fp_precision)
-        self._store = VectorStore(self.fp_precision)
+        # device representation: 'auto' | 'int8' (scan int8, re-score full
+        # precision — exact) | 'int8-pure' (half the HBM, dot/cosine only)
+        if device_precision is None:
+            import os
+
+            device_precision = os.environ.get("HYPERDB_DEVICE_PRECISION", "auto")
+        if device_precision not in ("auto", "int8", "int8-pure"):
+            raise ValueError("device_precision must be auto, int8 or int8-pure.")
+        self._store = VectorStore(self.fp_precision, precision=device_precision)
         self.embedding_function = embedding_function or self.get_embedding
         self.n_trees = n_trees
 

@@ -39,10 +39,19 @@ _DEVICE_DTYPES = {
 
 
 class VectorStore:
-    """Host master arrays + lazily rebuilt padded device views."""
+    """Host master arrays + lazily rebuilt padded device views.
 
-    def __init__(self, fp_dtype):
+    ``precision`` selects the device representation:
+      - 'auto'      — bf16 for f16 hosts, f32 otherwise (exact parity)
+      - 'int8'      — int8 scan + full-precision rows kept for re-scoring
+                      (exact results at int8 scan bandwidth)
+      - 'int8-pure' — int8 only: half the HBM of bf16 (10M x 768 fits one
+                      v5e chip); dot/cosine only, ~0.98 recall@10
+    """
+
+    def __init__(self, fp_dtype, precision: str = "auto"):
         self.fp_dtype = np.dtype(fp_dtype)
+        self.precision = precision
         self.vectors: np.ndarray | None = None  # (N, d) host master
         self._device: dict | None = None
 
@@ -128,9 +137,23 @@ class VectorStore:
             "n": n,
             "n_pad": n_pad,
             "dim": d,
-            "rows": jnp.asarray(host.astype(np.dtype(dev_dtype))),
-            "rows_norm": jnp.asarray(host_norm.astype(np.dtype(dev_dtype))),
             "row_valid": jnp.asarray(row_valid),
             "row_docs": jnp.asarray(row_docs),
         }
+        if self.precision in ("int8", "int8-pure"):
+            from hyperdb_tpu.ops.quantized import quantize_rows
+
+            q_raw, s_raw = quantize_rows(host)
+            q_norm, s_norm = quantize_rows(host_norm)
+            self._device.update(
+                rows_q=jnp.asarray(q_raw),
+                row_scales=jnp.asarray(s_raw),
+                rowsn_q=jnp.asarray(q_norm),
+                rown_scales=jnp.asarray(s_norm),
+            )
+        if self.precision != "int8-pure":
+            self._device.update(
+                rows=jnp.asarray(host.astype(np.dtype(dev_dtype))),
+                rows_norm=jnp.asarray(host_norm.astype(np.dtype(dev_dtype))),
+            )
         return self._device

@@ -414,7 +414,36 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             rec_pad[:num_docs] = recency
             rec_pad = jnp.asarray(rec_pad)
         prenorm = metric == "cosine_similarity"
-        if _use_fused(metric):
+        precision = db._store.precision
+        if precision in ("int8", "int8-pure") and metric in (
+            "dot_product",
+            "cosine_similarity",
+        ):
+            from hyperdb_tpu.ops.quantized import rank_top_k_int8
+
+            qq = q
+            if prenorm:
+                qn = jnp.linalg.norm(q, axis=1, keepdims=True)
+                qq = q / jnp.where(qn == 0, 1.0, qn)
+            rescore = None
+            if precision == "int8":
+                rescore = dv["rows_norm"] if prenorm else dv["rows"]
+            vals, idx = rank_top_k_int8(
+                qq,
+                dv["rowsn_q"] if prenorm else dv["rows_q"],
+                dv["rown_scales"] if prenorm else dv["row_scales"],
+                k=min(k_pad, n_pad),
+                row_mask=jnp.asarray(row_mask),
+                recency=rec_pad,
+                rescore_rows=rescore,
+            )
+        elif precision == "int8-pure":
+            raise ValueError(
+                f"device_precision='int8-pure' supports only dot_product and "
+                f"cosine_similarity on the device scan (got '{metric}'); use "
+                "device_precision='int8' or 'auto' for other metrics."
+            )
+        elif _use_fused(metric):
             from hyperdb_tpu.ops.pallas_topk import fused_topk, pick_tile
 
             qq = q

@@ -1,0 +1,59 @@
+"""DB-level int8 device-precision modes."""
+
+import numpy as np
+import pytest
+
+from hyperdb_tpu import HyperDB
+
+
+def _db(precision):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((300, 32)).astype(np.float32)
+    docs = [{"i": int(i)} for i in range(len(v))]
+    return HyperDB(documents=docs, vectors=v, device_precision=precision), v
+
+
+def test_int8_exact_matches_auto():
+    db8, v = _db("int8")
+    dba, _ = _db("auto")
+    q = v[42] + 0.01
+    r8 = db8.query(q, top_k=5)
+    ra = dba.query(q, top_k=5)
+    assert [r[2] for r in r8] == [r[2] for r in ra]
+    assert r8[0][0]["i"] == 42
+
+
+def test_int8_pure_cosine_works():
+    db, v = _db("int8-pure")
+    res = db.query(v[7], top_k=3)
+    assert res[0][0]["i"] == 7
+
+
+def test_int8_pure_rejects_other_metrics():
+    db, v = _db("int8-pure")
+    with pytest.raises(ValueError):
+        db.query(v[0], metric="manhattan_distance")
+
+
+def test_int8_pure_dot():
+    db, v = _db("int8-pure")
+    res = db.query(v[3], top_k=3, metric="dot_product")
+    assert len(res) == 3
+
+
+def test_invalid_precision():
+    with pytest.raises(ValueError):
+        HyperDB(device_precision="fp4")
+
+
+def test_int8_with_filters_and_recency():
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((100, 16)).astype(np.float32)
+    docs = [{"i": int(i), "ts": float(i), "grp": "a" if i < 50 else "b"}
+            for i in range(100)]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["grp", "ts"],
+                 device_precision="int8")
+    res = db.query(v[0], top_k=5, filters=[("metadata", {"grp": "b"})],
+                   recency_bias=100.0, timestamp_key="ts")
+    assert all(doc["grp"] == "b" for doc, *_ in res)
+    assert res[0][0]["i"] == 99  # max timestamp dominates with huge bias
