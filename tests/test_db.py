@@ -648,6 +648,20 @@ def test_index_mapping_for_chunked_document():
     assert db.source_indices[returned_index] == 1
 
 
+def test_ann_recency_path_returns_2_tuples(setup_db):
+    """Q4 shape parity: the ANN+recency path returns (doc, combined_score)
+    2-tuples; every other similarity-returning path yields 3-tuples."""
+    setup_db.metadata_keys.append("hp")
+    results = setup_db.query("Abra", recency_bias=1, timestamp_key="hp")
+    assert all(isinstance(r, tuple) and len(r) == 2 for r in results)
+    # brute-force path (pearson has no ANN mapping) -> 3-tuples
+    setup_db.clear_cache()
+    results = setup_db.query(
+        "Abra", recency_bias=1, timestamp_key="hp", metric="pearson_correlation"
+    )
+    assert all(len(r) == 3 for r in results)
+
+
 def test_query_batch(setup_db):
     queries = np.random.rand(4, 384).astype(np.float32)
     results = setup_db.query_batch(queries, top_k=3)
