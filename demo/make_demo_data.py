@@ -10,7 +10,6 @@ third-party data.
 
 from __future__ import annotations
 
-import itertools
 import json
 import os
 

@@ -2,9 +2,12 @@
 reference's onnxruntime embedding path
 (/root/reference/hyperdb/hyperdb.py:19,237-248,311-337).
 
-Architecture (sentence-transformers/all-MiniLM-L6-v2): BERT encoder with
-hidden=384, 6 layers, 12 heads, intermediate=1536, vocab=30522, post-LN,
+Architecture (sentence-transformers/all-MiniLM-L6-v2 default): BERT encoder
+with hidden=384, 6 layers, 12 heads, intermediate=1536, vocab=30522, post-LN,
 GELU; sentence embedding = attention-masked mean pooling + L2 normalize.
+The encoder is size-configurable (:class:`EncoderConfig`): PRESETS covers
+minilm-l6 (384-d), minilm-l12, and bert-base (768-d, for the 10M x 768
+BASELINE config).
 
 TPU-first details:
 - the whole batch forward is one jitted program; sequence lengths are
@@ -41,22 +44,44 @@ LAYER_NORM_EPS = 1e-12
 SEQ_BUCKETS = (32, 64, 128, 256, 512)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    hidden: int = HIDDEN
+    layers: int = LAYERS
+    heads: int = HEADS
+    intermediate: int = INTERMEDIATE
+    vocab_size: int = VOCAB_SIZE
+    max_positions: int = MAX_POSITIONS
+
+
+PRESETS = {
+    "minilm-l6": EncoderConfig(),
+    "minilm-l12": EncoderConfig(layers=12),
+    "bert-base": EncoderConfig(hidden=768, layers=12, heads=12, intermediate=3072),
+}
+
+
 class MiniLMLayer(nn.Module):
     """One post-LN BERT encoder block."""
 
     dtype: Any = jnp.bfloat16
+    config: EncoderConfig = EncoderConfig()
 
     @nn.compact
     def __call__(self, hidden, attn_bias):
+        cfg = self.config
         # --- self attention ---
-        head_dim = HIDDEN // HEADS
-        dense = lambda name: nn.Dense(HIDDEN, dtype=self.dtype, name=name)
+        head_dim = cfg.hidden // cfg.heads
+        dense = lambda name: nn.Dense(cfg.hidden, dtype=self.dtype, name=name)
         q = dense("query")(hidden)
         k = dense("key")(hidden)
         v = dense("value")(hidden)
 
         def split(x):
-            return x.reshape(x.shape[0], x.shape[1], HEADS, head_dim)
+            return x.reshape(x.shape[0], x.shape[1], cfg.heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
         scores = jnp.einsum(
@@ -65,16 +90,16 @@ class MiniLMLayer(nn.Module):
         scores = scores + attn_bias  # (B, 1, 1, S) additive mask
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], HIDDEN)
-        attn_out = nn.Dense(HIDDEN, dtype=self.dtype, name="attn_output")(ctx)
+        ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], cfg.hidden)
+        attn_out = nn.Dense(cfg.hidden, dtype=self.dtype, name="attn_output")(ctx)
         hidden = nn.LayerNorm(
             epsilon=LAYER_NORM_EPS, dtype=jnp.float32, name="attn_ln"
         )(attn_out + hidden)
 
         # --- FFN ---
-        ff = nn.Dense(INTERMEDIATE, dtype=self.dtype, name="intermediate")(hidden)
+        ff = nn.Dense(cfg.intermediate, dtype=self.dtype, name="intermediate")(hidden)
         ff = nn.gelu(ff, approximate=False)
-        ff = nn.Dense(HIDDEN, dtype=self.dtype, name="output")(ff)
+        ff = nn.Dense(cfg.hidden, dtype=self.dtype, name="output")(ff)
         hidden = nn.LayerNorm(
             epsilon=LAYER_NORM_EPS, dtype=jnp.float32, name="ffn_ln"
         )(ff + hidden)
@@ -85,14 +110,20 @@ class MiniLM(nn.Module):
     """BERT-style encoder with masked mean pooling -> unit-norm embeddings."""
 
     dtype: Any = jnp.bfloat16
+    config: EncoderConfig = EncoderConfig()
 
     @nn.compact
     def __call__(self, input_ids, attention_mask):
+        cfg = self.config
         seq = input_ids.shape[1]
-        tok = nn.Embed(VOCAB_SIZE, HIDDEN, dtype=self.dtype, name="tok_emb")(input_ids)
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden, dtype=self.dtype, name="tok_emb")(
+            input_ids
+        )
         pos_ids = jnp.arange(seq)[None, :]
-        pos = nn.Embed(MAX_POSITIONS, HIDDEN, dtype=self.dtype, name="pos_emb")(pos_ids)
-        typ = nn.Embed(TYPE_VOCAB, HIDDEN, dtype=self.dtype, name="type_emb")(
+        pos = nn.Embed(
+            cfg.max_positions, cfg.hidden, dtype=self.dtype, name="pos_emb"
+        )(pos_ids)
+        typ = nn.Embed(TYPE_VOCAB, cfg.hidden, dtype=self.dtype, name="type_emb")(
             jnp.zeros_like(input_ids)
         )
         hidden = nn.LayerNorm(
@@ -103,8 +134,10 @@ class MiniLM(nn.Module):
             attention_mask[:, None, None, :].astype(bool), 0.0, -1e9
         ).astype(jnp.float32)
 
-        for i in range(LAYERS):
-            hidden = MiniLMLayer(dtype=self.dtype, name=f"layer_{i}")(hidden, attn_bias)
+        for i in range(cfg.layers):
+            hidden = MiniLMLayer(
+                dtype=self.dtype, config=cfg, name=f"layer_{i}"
+            )(hidden, attn_bias)
 
         # masked mean pooling (sentence-transformers pooling mode)
         mask = attention_mask[:, :, None].astype(jnp.float32)
@@ -116,8 +149,8 @@ class MiniLM(nn.Module):
         return emb / norm
 
 
-def init_params(seed: int = 0, dtype=jnp.bfloat16):
-    model = MiniLM(dtype=dtype)
+def init_params(seed: int = 0, dtype=jnp.bfloat16, config: EncoderConfig | None = None):
+    model = MiniLM(dtype=dtype, config=config or EncoderConfig())
     rng = jax.random.PRNGKey(seed)
     dummy = jnp.zeros((1, 8), dtype=jnp.int32)
     params = model.init(rng, dummy, jnp.ones((1, 8), dtype=jnp.int32))
@@ -213,11 +246,24 @@ class HashingTokenizer:
 class MiniLMEmbedder:
     """Batched TPU sentence encoder with bucketed shapes."""
 
-    def __init__(self, params=None, dtype=jnp.bfloat16, tokenizer=None, dim=HIDDEN):
-        self.dim = HIDDEN
-        self.model = MiniLM(dtype=dtype)
+    def __init__(
+        self,
+        params=None,
+        dtype=jnp.bfloat16,
+        tokenizer=None,
+        dim=HIDDEN,
+        config: EncoderConfig | None = None,
+    ):
+        if config is None:
+            # pick the preset matching the requested embedding dimension
+            config = next(
+                (c for c in PRESETS.values() if c.hidden == dim), EncoderConfig()
+            )
+        self.config = config
+        self.dim = config.hidden
+        self.model = MiniLM(dtype=dtype, config=config)
         if params is None:
-            _, params = init_params(seed=0, dtype=dtype)
+            _, params = init_params(seed=0, dtype=dtype, config=config)
         self.params = params
         self._tokenizer = tokenizer or HashingTokenizer()
         self._apply = jax.jit(self.model.apply)
@@ -256,8 +302,8 @@ class MiniLMEmbedder:
 
     def encode(self, texts: list[str]) -> np.ndarray:
         if not texts:
-            return np.zeros((0, HIDDEN), dtype=np.float32)
-        encoded = [self._tokenizer.encode(t, MAX_POSITIONS) for t in texts]
+            return np.zeros((0, self.dim), dtype=np.float32)
+        encoded = [self._tokenizer.encode(t, self.config.max_positions) for t in texts]
         max_len = max(len(ids) for ids, _ in encoded)
         seq = self._bucket(max_len, SEQ_BUCKETS)
         batch = 1 << (len(encoded) - 1).bit_length()
