@@ -406,8 +406,14 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
         # slow on TPU at large N) and is the common big-corpus shape.
         dv = db._store.device_view(db.source_indices)
         n_pad = dv["n_pad"]
-        row_mask = np.zeros(n_pad, dtype=bool)
-        row_mask[:num_docs] = mask
+        if mask.all():
+            # no filters: reuse the device-resident validity mask instead of
+            # uploading a fresh (N,) bool array per query
+            row_mask_dev = dv["row_valid"]
+        else:
+            row_mask = np.zeros(n_pad, dtype=bool)
+            row_mask[:num_docs] = mask
+            row_mask_dev = jnp.asarray(row_mask)
         rec_pad = None
         if recency is not None:
             rec_pad = np.zeros(n_pad, dtype=np.float32)
@@ -433,7 +439,7 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 dv["rowsn_q"] if prenorm else dv["rows_q"],
                 dv["rown_scales"] if prenorm else dv["row_scales"],
                 k=min(k_pad, n_pad),
-                row_mask=jnp.asarray(row_mask),
+                row_mask=row_mask_dev,
                 recency=rec_pad,
                 rescore_rows=rescore,
             )
@@ -455,7 +461,7 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 dv["rows_norm"] if prenorm else dv["rows"],
                 k=min(k_pad, n_pad),
                 metric="dot_product" if prenorm else metric,
-                row_valid=jnp.asarray(row_mask),
+                row_valid=row_mask_dev,
                 recency=rec_pad,
                 tile_n=pick_tile(n_pad, dv["dim"]),
             )
@@ -465,7 +471,7 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 dv["rows_norm"] if prenorm else dv["rows"],
                 k=min(k_pad, n_pad),
                 metric=metric,
-                row_mask=jnp.asarray(row_mask),
+                row_mask=row_mask_dev,
                 recency=rec_pad,
                 prenormalized=prenorm,
             )
