@@ -217,7 +217,10 @@ def fused_topk(
     pad = (-n) % tile_n
     n_pad = n + pad
 
-    rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
+    # jnp.pad copies the whole corpus on device every call; pass rows
+    # already padded to a tile_n multiple to avoid it (the engine's device
+    # view pads to power-of-two-step buckets, which tile_n always divides).
+    rows_p = jnp.pad(rows, ((0, pad), (0, 0))) if pad else rows
     valid = (
         jnp.ones(n, dtype=jnp.int32) if row_valid is None
         else row_valid.astype(jnp.int32)
