@@ -648,6 +648,14 @@ def test_index_mapping_for_chunked_document():
     assert db.source_indices[returned_index] == 1
 
 
+def test_warmup_precompiles(setup_db):
+    setup_db.warmup(top_ks=(3,), batch_sizes=(1, 2))
+    # warmup must not pollute the user-visible query cache counters
+    setup_db.clear_cache()
+    results = setup_db.query("Abra", top_k=3)
+    assert len(results) == 3
+
+
 def test_ann_recency_path_returns_2_tuples(setup_db):
     """Q4 shape parity: the ANN+recency path returns (doc, combined_score)
     2-tuples; every other similarity-returning path yields 3-tuples."""
