@@ -13,6 +13,9 @@ from hyperdb_tpu.ops.metrics import (
     scores,
 )
 from hyperdb_tpu.ops.ranking import (
+    exact_top_k,
+    rank_docs_top_k,
+    rank_gathered,
     rank_top_k,
     ranking_algorithm_sort,
     recency_scores,
@@ -29,6 +32,9 @@ __all__ = [
     "normalize",
     "pearson_scores",
     "scores",
+    "exact_top_k",
+    "rank_docs_top_k",
+    "rank_gathered",
     "rank_top_k",
     "ranking_algorithm_sort",
     "recency_scores",
