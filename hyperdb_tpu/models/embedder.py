@@ -49,31 +49,39 @@ class HashEmbedder:
     def __init__(self, dim: int = 384, ngram_range: tuple[int, int] = (3, 5)):
         self.dim = int(dim)
         self._ngram_range = ngram_range
+        # word -> accumulated (dim,) contribution. Natural text repeats a
+        # small vocabulary, so memoizing per *word* (which covers all its
+        # n-grams) makes ingest throughput vocabulary-bound, not token-bound.
+        self._word_cache: dict[str, np.ndarray] = {}
 
-    def _features(self, text: str):
-        tokens = _TOKEN_RE.findall(text.lower())
-        feats: list[str] = []
-        for tok in tokens:
-            feats.append("w:" + tok)
-            padded = f"^{tok}$"
-            lo, hi = self._ngram_range
-            for n in range(lo, hi + 1):
-                if len(padded) < n:
-                    continue
-                for i in range(len(padded) - n + 1):
-                    feats.append("g:" + padded[i : i + n])
-        return feats
+    def _word_vector(self, tok: str) -> np.ndarray:
+        vec = self._word_cache.get(tok)
+        if vec is not None:
+            return vec
+        feats = ["w:" + tok]
+        padded = f"^{tok}$"
+        lo, hi = self._ngram_range
+        for n in range(lo, hi + 1):
+            if len(padded) < n:
+                continue
+            for i in range(len(padded) - n + 1):
+                feats.append("g:" + padded[i : i + n])
+        vec = np.zeros(self.dim, dtype=np.float32)
+        for feat in feats:
+            h = zlib.crc32(feat.encode("utf-8"))
+            sign = 1.0 if (h >> 31) & 1 else -1.0
+            vec[h % self.dim] += sign
+        if len(self._word_cache) < 2_000_000:  # bound memory
+            self._word_cache[tok] = vec
+        return vec
 
     def encode_one(self, text: str) -> np.ndarray:
         vec = np.zeros(self.dim, dtype=np.float32)
-        for feat in self._features(text):
-            h = zlib.crc32(feat.encode("utf-8"))
-            idx = h % self.dim
-            sign = 1.0 if (h >> 31) & 1 else -1.0
-            vec[idx] += sign
+        for tok in _TOKEN_RE.findall(text.lower()):
+            vec += self._word_vector(tok)
         norm = np.linalg.norm(vec)
         if norm > 0:
-            vec /= norm
+            vec = vec / norm
         return vec
 
     def encode(self, texts: list[str]) -> np.ndarray:
