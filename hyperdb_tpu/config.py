@@ -35,6 +35,10 @@ class EngineConfig:
     max_tokens: int = _env_int("HYPERDB_MAX_TOKENS", 510)
     # Default embedding dimension for the hermetic hash encoder.
     embed_dim: int = _env_int("HYPERDB_EMBED_DIM", 384)
+    # Minimum corpus row count before query_batch routes through the batched
+    # IVF path (shared probe frontier). Below it the exact masked full scan
+    # is measured faster on TPU (docs/ROADMAP.md: <=1M rows).
+    batch_ivf_min_rows: int = _env_int("HYPERDB_BATCH_IVF_MIN_ROWS", 2_000_000)
     # Use the fused Pallas score+top-k kernel on the unchunked brute-force
     # path (dot/cosine/euclidean). Off by default: measured ~10.5k qps vs
     # XLA's ~9.7-17k qps at batch>=64 on v5e — XLA wins for large batches,

@@ -210,6 +210,57 @@ class IVFIndex:
             return np.zeros(0, dtype=np.int32)
         return np.concatenate(picked)
 
+    def probe_batch(
+        self, q_block: np.ndarray, budget: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Shared probe frontier for a (B, d) query block.
+
+        Every query walks its own centroid ranking until ``budget`` rows are
+        covered (the same Q12 contract as :meth:`probe`), but the gathered
+        candidate set is the **union** of all probed clusters, so the engine
+        gathers each row once and scores the whole block against it in a
+        single matmul. Returns ``(cand_ids, valid)`` where ``cand_ids`` is a
+        (U,) i32 vector of global row ids and ``valid`` a (B, U) bool matrix
+        marking which union rows each query actually probed.
+        """
+        q = np.asarray(q_block, dtype=np.float32)
+        if self.normalized:
+            norms = np.linalg.norm(q, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            q = q / norms
+            order = np.argsort(-(q @ self.centroids.T), axis=1)
+        else:
+            d2 = np.sum(self.centroids * self.centroids, axis=1)[None, :] - 2 * (
+                q @ self.centroids.T
+            )
+            order = np.argsort(d2, axis=1)
+
+        nq = q.shape[0]
+        sizes = self._sizes
+        # per-query probed-cluster set: walk the per-query ranking until the
+        # cumulative row count covers the budget (vectorized over the block)
+        sizes_ranked = sizes[order]  # (B, nlist)
+        covered = np.cumsum(sizes_ranked, axis=1)
+        # probe cluster j iff everything before it hasn't covered the budget
+        probe_col = np.concatenate(
+            [np.ones((nq, 1), dtype=bool), covered[:, :-1] < budget], axis=1
+        )
+        probed = np.zeros((nq, self.nlist), dtype=bool)
+        np.put_along_axis(probed, order, probe_col, axis=1)
+        probed &= sizes[None, :] > 0  # never "probe" empty clusters
+
+        union_clusters = np.flatnonzero(probed.any(axis=0))
+        if union_clusters.size == 0:
+            return np.zeros(0, dtype=np.int32), np.zeros((nq, 0), dtype=bool)
+        segments = [
+            self.row_order[self.offsets[c] : self.offsets[c + 1]]
+            for c in union_clusters
+        ]
+        cand_ids = np.concatenate(segments).astype(np.int32)
+        cluster_of_row = np.repeat(union_clusters, sizes[union_clusters])
+        valid = probed[:, cluster_of_row]  # (B, U)
+        return cand_ids, valid
+
     def candidate_doc_mask(self, db, query_vector, budget: int) -> np.ndarray:
         rows = self.probe(query_vector, budget)
         mask = np.zeros(len(db.documents), dtype=bool)

@@ -189,6 +189,10 @@ def rank_gathered(
     ``cand_valid`` marking live entries; the returned indices are global row
     ids. Compute and HBM traffic scale with the candidate count, not the
     corpus (the point of the IVF pre-filter).
+
+    ``cand_valid`` may also be a (B, C) matrix — the batched-IVF shape, where
+    the candidate union is shared across the query block but each query only
+    scores the clusters it probed (IVFIndex.probe_batch).
     """
     sub = rows[cand_ids]  # (C, d) gather
     if metric == "cosine_similarity" and prenormalized:
@@ -198,7 +202,8 @@ def rank_gathered(
     s = jnp.where(jnp.isnan(s), NEG_INF, s)
     if recency is not None:
         s = s + recency[None, :]
-    s = jnp.where(cand_valid[None, :], s, NEG_INF)
+    valid = cand_valid if cand_valid.ndim == 2 else cand_valid[None, :]
+    s = jnp.where(valid, s, NEG_INF)
     vals, pos = exact_top_k(s, k)
     idx = cand_ids[pos]
     return vals, idx

@@ -315,7 +315,26 @@ def execute_query_batch(
     k = min(top_k, surviving)
     recency = handle_timestamps(db, recency_bias, timestamp_key, np.flatnonzero(mask))
 
-    doc_ids, scores_out = _rank_block(db, q_block, mask, override, recency, metric, k)
+    doc_ids = scores_out = None
+    from hyperdb_tpu.config import CONFIG
+
+    if (
+        METRIC_TO_ANN.get(metric) == db.ann_metric
+        and db.ann_index is not None
+        and getattr(db.ann_index, "is_ann", False)
+        and hasattr(db.ann_index, "probe_batch")
+        and override is None
+        and num_docs == db._store.num_rows
+        and num_docs >= CONFIG.batch_ivf_min_rows
+    ):
+        budget = max(top_k * 20, -(-int(base_mask.sum()) * ann_percent // 100))
+        doc_ids, scores_out = _rank_block_ivf(
+            db, q_block, mask, recency, metric, k, budget
+        )
+    if doc_ids is None:
+        doc_ids, scores_out = _rank_block(
+            db, q_block, mask, override, recency, metric, k
+        )
 
     results = []
     for b in range(q_block.shape[0]):
@@ -328,6 +347,67 @@ def execute_query_batch(
                 row.append(document)
         results.append(row)
     return results
+
+
+def _rank_block_ivf(db, q_block, mask, recency, metric, top_k, budget):
+    """Batched IVF: shared probe frontier over the query block.
+
+    One centroid matmul ranks clusters for every query; the union of probed
+    clusters is gathered ONCE and the whole (B, d) block scores it in one
+    matmul, with a per-query (B, U) validity matrix restricting each query to
+    the clusters it probed. Queries whose masked candidate count falls below
+    ``top_k`` fall back to the exact masked scan (the batched analogue of the
+    reference's empty-ANN-set fallback, SURVEY.md Q13). Returns None when
+    probing yields nothing, signalling the caller to brute-force the block.
+    """
+    cand_ids, valid = db.ann_index.probe_batch(q_block, budget)
+    if cand_ids.size == 0:
+        return None, None
+    valid = valid & mask[cand_ids][None, :]
+
+    counts = valid.sum(axis=1)
+    need_fallback = np.flatnonzero(counts < top_k)
+    ivf_rows = np.flatnonzero(counts >= top_k)
+
+    nq = q_block.shape[0]
+    doc_ids = np.zeros((nq, top_k), dtype=np.int64)
+    scores_out = np.full((nq, top_k), -np.inf, dtype=np.float32)
+
+    if ivf_rows.size:
+        dv = db._store.device_view(db.source_indices)
+        c_pad = bucket_size(int(cand_ids.size))
+        ids = np.zeros(c_pad, dtype=np.int32)
+        ids[: cand_ids.size] = cand_ids
+        valid_pad = np.zeros((ivf_rows.size, c_pad), dtype=bool)
+        valid_pad[:, : cand_ids.size] = valid[ivf_rows]
+        rec_c = None
+        if recency is not None:
+            rc = np.zeros(c_pad, dtype=np.float32)
+            rc[: cand_ids.size] = recency[cand_ids]
+            rec_c = jnp.asarray(rc)
+        prenorm = metric == "cosine_similarity"
+        k_eff = min(min(_pad_pow2(top_k), bucket_size(len(db.documents))), c_pad)
+        vals, idx = rank_gathered(
+            jnp.asarray(q_block[ivf_rows]),
+            dv["rows_norm"] if prenorm else dv["rows"],
+            jnp.asarray(ids),
+            jnp.asarray(valid_pad),
+            k=k_eff,
+            metric=metric,
+            recency=rec_c,
+            prenormalized=prenorm,
+        )
+        doc_ids[ivf_rows] = np.asarray(idx)[:, :top_k]
+        scores_out[ivf_rows] = np.asarray(vals)[:, :top_k]
+
+    if need_fallback.size:
+        fb_ids, fb_vals = _rank_block(
+            db, q_block[need_fallback], mask, None, recency, metric, top_k
+        )
+        doc_ids[need_fallback] = fb_ids
+        scores_out[need_fallback] = fb_vals
+
+    return doc_ids, scores_out
 
 
 def _rank(db, query_vector, mask, override, recency, metric, top_k, cand_rows=None):

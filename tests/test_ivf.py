@@ -115,3 +115,84 @@ def test_db_ivf_with_filters(monkeypatch):
     results = db.query(v[10], top_k=5, filters=[("metadata", {"parity": "even"})])
     assert all(doc["parity"] == "even" for doc, *_ in results)
     assert results[0][0]["i"] == 10
+
+
+def test_probe_batch_matches_per_query_probe():
+    """The batched probe's per-query valid set equals single-query probe()."""
+    v = _clustered_corpus(n=3000, d=16, n_clusters=20)
+    index = IVFIndex.build(v, metric="cosine", nlist=32)
+    rng = np.random.default_rng(7)
+    q_block = v[rng.choice(len(v), 8)].astype(np.float32)
+    budget = 200
+    cand_ids, valid = index.probe_batch(q_block, budget)
+    assert valid.shape == (8, cand_ids.size)
+    for b in range(8):
+        single = set(index.probe(q_block[b], budget).tolist())
+        batched = set(cand_ids[valid[b]].tolist())
+        assert batched == single
+
+
+def test_query_batch_ivf_matches_bruteforce(monkeypatch):
+    from hyperdb_tpu.config import CONFIG
+
+    monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
+    monkeypatch.setattr(CONFIG, "batch_ivf_min_rows", 500)
+    v = _clustered_corpus(n=2000, d=16, n_clusters=10)
+    docs = [{"i": int(i)} for i in range(len(v))]
+    db = HyperDB(documents=docs, vectors=v)
+    assert db.ann_index is not None
+
+    rng = np.random.default_rng(3)
+    q_block = (v[rng.choice(len(v), 6)] + 0.01).astype(np.float32)
+    ivf_res = db.query_batch(q_block, top_k=5, ann_percent=30)
+
+    monkeypatch.setattr(CONFIG, "batch_ivf_min_rows", 10**9)  # force brute force
+    bf_res = db.query_batch(q_block, top_k=5)
+    recalls = []
+    for ivf_row, bf_row in zip(ivf_res, bf_res):
+        ivf_ids = {r[2] for r in ivf_row}
+        bf_by_id = {r[2]: r[1] for r in bf_row}
+        recalls.append(len(ivf_ids & set(bf_by_id)) / 5)
+        # candidates are re-scored EXACTLY: shared ids must agree on score
+        for doc, score, doc_id in ivf_row:
+            if doc_id in bf_by_id:
+                np.testing.assert_allclose(score, bf_by_id[doc_id], rtol=1e-5)
+    assert np.mean(recalls) >= 0.9, f"mean recall@5 {np.mean(recalls)}"
+
+
+def test_query_batch_ivf_filter_fallback(monkeypatch):
+    """A metadata filter that shrinks a query's candidate set below top_k must
+    fall back to the exact scan for that query (batched Q13 analogue)."""
+    from hyperdb_tpu.config import CONFIG
+
+    monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
+    monkeypatch.setattr(CONFIG, "batch_ivf_min_rows", 500)
+    v = _clustered_corpus(n=2000, d=16, n_clusters=10)
+    docs = [
+        {"i": int(i), "rare": "yes" if i % 400 == 0 else "no"}
+        for i in range(len(v))
+    ]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["rare"])
+    res = db.query_batch(
+        v[:4].astype(np.float32), top_k=3, filters=[("metadata", {"rare": "yes"})]
+    )
+    for row in res:
+        assert len(row) == 3
+        assert all(doc["rare"] == "yes" for doc, *_ in row)
+        assert all(np.isfinite(score) for _, score, _ in row)
+
+
+def test_query_batch_ivf_recency(monkeypatch):
+    from hyperdb_tpu.config import CONFIG
+
+    monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
+    monkeypatch.setattr(CONFIG, "batch_ivf_min_rows", 500)
+    v = _clustered_corpus(n=1500, d=16, n_clusters=10)
+    docs = [{"i": int(i), "ts": float(i)} for i in range(len(v))]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["ts"])
+    res = db.query_batch(
+        v[:2].astype(np.float32), top_k=5, recency_bias=5.0, timestamp_key="ts"
+    )
+    # heavy recency bias must drag the newest doc (largest ts) into the top-k
+    top_ids = {r[2] for row in res for r in row}
+    assert (len(v) - 1) in top_ids
