@@ -963,15 +963,27 @@ class HyperDB:
     # persistence (C23)
     # ------------------------------------------------------------------
 
-    def save(self, storage_file, format: str = "pickle", save_ann_index: bool = True):
+    def save(
+        self,
+        storage_file,
+        format: str = "pickle",
+        save_ann_index: bool = True,
+        rows_per_shard: int | None = None,
+    ):
         """(reference hyperdb.py:769-794) Formats: pickle[.gz] / json /
         sqlite (reference-compatible) or 'checkpoint' — a self-describing
         binary directory format (persist/checkpoint.py) recommended for
-        large corpora."""
+        large corpora. ``rows_per_shard`` (checkpoint format only) splits
+        the vector matrix into independently-readable shard files so it can
+        later stream straight onto a device mesh
+        (ShardedHyperDB.from_checkpoint) without one-host materialization."""
         if format == "checkpoint":
             from hyperdb_tpu.persist.checkpoint import save_checkpoint
 
-            save_checkpoint(self, str(storage_file), save_ann_index)
+            save_checkpoint(
+                self, str(storage_file), save_ann_index,
+                rows_per_shard=rows_per_shard,
+            )
             return
         if self.vectors is None or len(self.vectors) == 0 or not self.documents:
             print("Nothing to save. Exit.")

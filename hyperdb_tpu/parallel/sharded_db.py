@@ -27,39 +27,92 @@ from hyperdb_tpu.query import filters as _filters
 
 
 class ShardedHyperDB:
-    def __init__(self, db, mesh: Mesh, axis: str = "data", chunk_slack: int = 4):
-        if db.vectors is None or len(db.vectors) == 0:
-            raise ValueError("Cannot shard an empty database.")
+    def __init__(
+        self,
+        db,
+        mesh: Mesh,
+        axis: str = "data",
+        chunk_slack: int = 4,
+        device_rows: jax.Array | None = None,
+        num_rows: int | None = None,
+    ):
+        """``device_rows`` injects an already-sharded (n_pad, d) matrix (the
+        from_checkpoint path, where the corpus never exists host-side);
+        ``num_rows`` is its true row count. Without it the host db's vectors
+        are padded and device_put here."""
         self.db = db
         self.mesh = mesh
         self.axis = axis
         self.chunk_slack = chunk_slack
 
-        n, d = db.vectors.shape
-        n_shards = mesh.shape[axis]
-        per_shard = -(-n // n_shards)
-        per_shard = -(-per_shard // 8) * 8
-        self.n = n
-        self.n_pad = per_shard * n_shards
+        if device_rows is not None:
+            if num_rows is None:
+                raise ValueError("num_rows is required with device_rows.")
+            self.n = int(num_rows)
+            self.n_pad = int(device_rows.shape[0])
+            self.rows = device_rows
+            # shard-local row normalization on device (zero pad rows stay 0)
+            f32 = device_rows.astype(jnp.float32)
+            norms = jnp.linalg.norm(f32, axis=1, keepdims=True)
+            self.rows_norm = (f32 / jnp.where(norms == 0, 1.0, norms)).astype(
+                device_rows.dtype
+            )
+        else:
+            if db.vectors is None or len(db.vectors) == 0:
+                raise ValueError("Cannot shard an empty database.")
+            n, d = db.vectors.shape
+            n_shards = mesh.shape[axis]
+            per_shard = -(-n // n_shards)
+            per_shard = -(-per_shard // 8) * 8
+            self.n = n
+            self.n_pad = per_shard * n_shards
 
-        host = np.zeros((self.n_pad, d), dtype=np.float32)
-        host[:n] = db.vectors.astype(np.float32, copy=False)
-        norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        host_norm = host.copy()
-        host_norm[:n] = host[:n] / norms
+            host = np.zeros((self.n_pad, d), dtype=np.float32)
+            host[:n] = db.vectors.astype(np.float32, copy=False)
+            norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            host_norm = host.copy()
+            host_norm[:n] = host[:n] / norms
 
-        dev_dtype = (
-            jnp.bfloat16 if db.vectors.dtype == np.float16 else jnp.float32
-        )
-        sharding = NamedSharding(mesh, P(axis, None))
-        self.rows = jax.device_put(host.astype(dev_dtype), sharding)
-        self.rows_norm = jax.device_put(host_norm.astype(dev_dtype), sharding)
+            dev_dtype = (
+                jnp.bfloat16 if db.vectors.dtype == np.float16 else jnp.float32
+            )
+            sharding = NamedSharding(mesh, P(axis, None))
+            self.rows = jax.device_put(host.astype(dev_dtype), sharding)
+            self.rows_norm = jax.device_put(host_norm.astype(dev_dtype), sharding)
+
         self.row_docs = np.zeros(self.n_pad, dtype=np.int64)
-        self.row_docs[:n] = np.asarray(db.source_indices, dtype=np.int64)
+        self.row_docs[: self.n] = np.asarray(
+            db.source_indices, dtype=np.int64
+        )
         self._mask_sharding = NamedSharding(mesh, P(axis))
         self._base_valid = np.zeros(self.n_pad, dtype=bool)
-        self._base_valid[:n] = True
+        self._base_valid[: self.n] = True
+
+    @classmethod
+    def from_checkpoint(
+        cls, directory: str, mesh: Mesh, axis: str = "data", chunk_slack: int = 4
+    ) -> "ShardedHyperDB":
+        """Serve a checkpoint whose vector matrix exceeds one host's RAM.
+
+        Documents/config/bookkeeping load host-side (they are the payload
+        store); the vector matrix streams from the checkpoint's shard files
+        straight onto the mesh (persist/checkpoint.load_sharded_vectors) —
+        it is never materialized as one host array.
+        """
+        from hyperdb_tpu.core.db import HyperDB
+        from hyperdb_tpu.persist.checkpoint import (
+            load_checkpoint,
+            load_sharded_vectors,
+        )
+
+        db = HyperDB()
+        load_checkpoint(db, directory, load_ann_index=False, load_vectors=False)
+        rows, n = load_sharded_vectors(directory, mesh, axis=axis)
+        return cls(
+            db, mesh, axis=axis, chunk_slack=chunk_slack,
+            device_rows=rows, num_rows=n,
+        )
 
     def _row_mask(self, filters) -> np.ndarray:
         """Host-side filter evaluation -> sharded row validity mask."""

@@ -67,3 +67,21 @@ def test_sentence_mask_cache_invalidation():
     db.add({"text": "alpha again"})
     r2 = db.query("alpha", filters=[("sentence", "alpha")])
     assert len(r2) == 2
+
+
+def test_checkpoint_sharded_roundtrip(tmp_path):
+    """rows_per_shard splits vectors into shard files; host load rebuilds the
+    exact matrix and state."""
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((130, 8)).astype(np.float32)
+    docs = [{"i": int(i)} for i in range(130)]
+    db = HyperDB(documents=docs, vectors=v)
+    path = str(tmp_path / "ckpt_sharded")
+    db.save(path, format="checkpoint", rows_per_shard=50)  # 50+50+30
+
+    new_db = HyperDB()
+    new_db.load(path, format="checkpoint")
+    np.testing.assert_array_equal(np.asarray(new_db.vectors), v)
+    assert new_db.documents == docs
+    res = new_db.query(v[7], top_k=1)
+    assert res[0][0]["i"] == 7
