@@ -518,6 +518,110 @@ class HyperDB:
                 self._pending_splits,
             ) = saved_state
 
+    def add_stream(
+        self,
+        documents,
+        batch_size: int = 1024,
+        add_timestamp: bool = False,
+        prefetch: int = 2,
+        defer_index: bool = False,
+    ) -> int:
+        """Streaming ingest: pipeline host embedding with commit/index work.
+
+        ``documents`` is any iterable (a generator over a file works); a
+        producer thread tokenizes + embeds batch i+1 while the caller thread
+        stages, commits, and updates the index for batch i — the
+        double-buffered ingest the reference's synchronous add loop
+        (hyperdb.py:628-689) cannot overlap. ``prefetch`` bounds the number
+        of embedded batches held in flight (host RAM = prefetch * batch_size
+        rows).
+
+        Each batch commits as its own transaction, so a failure mid-stream
+        keeps previously committed batches (the exception is re-raised).
+        ``defer_index=True`` skips per-batch index updates and builds once at
+        the end — preferable when streaming far past the IVF rebuild
+        threshold. Returns the number of documents added.
+
+        The overlap pays off when per-batch embedding cost is uniform and
+        releases the GIL (a jitted device encoder); the default memoized
+        HashEmbedder front-loads its cost into the first batch, leaving
+        little to pipeline.
+        """
+        import queue as _queue
+        import threading
+
+        done = object()
+        q: _queue.Queue = _queue.Queue(maxsize=max(1, prefetch))
+
+        def produce():
+            try:
+                batch: list = []
+
+                def flush():
+                    if not batch:
+                        return
+                    if add_timestamp:
+                        now = float(datetime.datetime.now().timestamp())
+                        for doc in batch:
+                            if isinstance(doc, dict):
+                                doc.setdefault("metadata", {})["timestamp"] = now
+                    embeddings, _, split_info = self.embedding_function(batch)
+                    q.put((list(batch), np.asarray(embeddings), dict(split_info)))
+                    batch.clear()
+
+                for doc in documents:
+                    if doc is None or (
+                        isinstance(doc, (list, tuple, str, dict)) and not doc
+                    ):
+                        continue
+                    batch.append(self.filter_document(doc))
+                    if len(batch) >= batch_size:
+                        flush()
+                flush()
+                q.put(done)
+            except BaseException as e:  # propagate to the consumer thread
+                q.put(e)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+
+        added = 0
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                batch_docs, rows_all, split_info = item
+                rows_all = rows_all.astype(self.fp_precision, copy=False)
+                if rows_all.ndim == 1:
+                    rows_all = rows_all[None, :]
+                self.validate_vector_uniformity(rows_all)
+                cursor = 0
+                for i, document in enumerate(batch_docs):
+                    chunk_count = int(split_info.get(i, 1))
+                    rows = rows_all[cursor : cursor + chunk_count]
+                    cursor += chunk_count
+                    doc_index = len(self.documents) + len(self.pending_documents)
+                    self.pending_documents.append(document)
+                    self.pending_vectors.append(rows)
+                    self._pending_splits.append((chunk_count, True))
+                    self.pending_source_indices.extend([doc_index] * chunk_count)
+                    self._store_metadata(document, doc_index)
+                self.commit_pending()
+                if not defer_index:
+                    self._update_ann_index()
+                added += len(batch_docs)
+        finally:
+            worker.join(timeout=5.0)
+            if added:
+                if defer_index:
+                    self._update_ann_index()
+                self.clear_cache()
+                self._on_mutation()
+        return added
+
     def commit_pending(self) -> None:
         """Apply staged documents/vectors to the main storage with a
         consistency check + rollback (reference hyperdb.py:496-545)."""
