@@ -43,24 +43,35 @@ def _load_db(path: str, metadata_keys=None):
 def cmd_build(args):
     from hyperdb_tpu import HyperDB
 
-    documents = []
-    with open(args.input) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                documents.append(json.loads(line))
-    print(f"loaded {len(documents)} documents from {args.input}")
+    def jsonl_docs():
+        with open(args.input) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
     t0 = time.perf_counter()
     db = HyperDB(
-        documents,
         metadata_keys=args.metadata_keys.split(",") if args.metadata_keys else None,
         fp_precision=args.fp_precision,
         ann_metric=args.ann_metric,
-        add_timestamp=args.add_timestamp,
     )
-    print(f"embedded + indexed in {time.perf_counter() - t0:.1f}s "
+    # streaming ingest: the corpus never has to fit in memory twice (raw
+    # JSONL + vectors); embedding overlaps commit/index work (add_stream)
+    count = db.add_stream(
+        jsonl_docs(),
+        batch_size=args.batch_size,
+        add_timestamp=args.add_timestamp,
+        defer_index=True,
+    )
+    print(f"embedded + indexed {count} documents from {args.input} in "
+          f"{time.perf_counter() - t0:.1f}s "
           f"({db.vectors.shape[0]} vectors, dim {db.dim})")
-    db.save(args.output, format=_format_of(args.output))
+    out_format = _format_of(args.output)
+    if args.rows_per_shard and out_format != "checkpoint":
+        print(f"warning: --rows-per-shard only applies to the checkpoint "
+              f"format; ignored for '{out_format}' output", file=sys.stderr)
+    db.save(args.output, format=out_format, rows_per_shard=args.rows_per_shard)
     print(f"saved to {args.output}")
 
 
@@ -113,7 +124,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="hyperdb_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("build", help="embed + index a JSONL corpus")
+    p = sub.add_parser("build", help="embed + index a JSONL corpus (streaming)")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--metadata-keys", default=None)
@@ -121,6 +132,11 @@ def main(argv=None):
                    choices=["float16", "float32", "float64"])
     p.add_argument("--ann-metric", default="cosine")
     p.add_argument("--add-timestamp", action="store_true")
+    p.add_argument("--batch-size", type=int, default=1024,
+                   help="streaming ingest batch (docs per embed/commit cycle)")
+    p.add_argument("--rows-per-shard", type=int, default=None,
+                   help="checkpoint format only: split vectors into shard "
+                        "files for mesh-streaming loads")
     p.set_defaults(fn=cmd_build)
 
     p = sub.add_parser("query", help="query a saved corpus")
