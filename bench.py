@@ -53,29 +53,44 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     platform). Best of 3 trials guards against transient tunnel stalls."""
     import jax.numpy as jnp
 
-    from hyperdb_tpu.ops.ranking import rank_top_k
+    from hyperdb_tpu.ops.ranking import _auto_group, rank_top_k_grouped
 
-    # pre-normalize once at "ingest" (f32 math, stored back at f16)
+    from hyperdb_tpu.core.store import bucket_size
+
+    # pre-normalize once at "ingest" (f32 math, stored back at f16), padded
+    # to the store's bucket shape with a validity mask (the engine layout)
+    n = vectors_f16.shape[0]
+    n_pad = bucket_size(n)
     norms = np.linalg.norm(vectors_f16.astype(np.float32), axis=1, keepdims=True)
     norms[norms == 0] = 1
-    v_norm = (vectors_f16.astype(np.float32) / norms).astype(np.float16)
+    v_norm = np.zeros((n_pad, vectors_f16.shape[1]), dtype=np.float16)
+    v_norm[:n] = (vectors_f16.astype(np.float32) / norms).astype(np.float16)
     rows = jnp.asarray(v_norm)
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    row_valid = jnp.asarray(valid)
 
-    q = jnp.asarray(queries[:batch].astype(np.float16))
+    # normalized query + unit rows => dot == cosine; the grouped exact
+    # top-k (group-max + rescore) replaces native TopK — measured 3x at
+    # batch 256 (benchmarks/ab_grouped_topk3.py), index-exact
+    qn = queries[:batch] / np.linalg.norm(queries[:batch], axis=1, keepdims=True)
+    q = jnp.asarray(qn.astype(np.float16))
+    group = _auto_group(batch)
+
+    def rank(qq):
+        return rank_top_k_grouped(qq, rows, k=k, row_mask=row_valid, group=group)
 
     def trial():
         acc = jnp.zeros((), dtype=jnp.float16)
         start = time.perf_counter()
         for _ in range(iters):
-            vals, _ = rank_top_k(
-                q + acc * 0, rows, k=k, metric="cosine_similarity", prenormalized=True
-            )
-            acc = vals[0, 0]
+            vals, _ = rank(q + acc * 0)
+            acc = vals[0, 0].astype(jnp.float16)
         float(acc)  # single blocking readback
         return time.perf_counter() - start
 
     # compile + first readback
-    vals, idx = rank_top_k(q, rows, k=k, metric="cosine_similarity", prenormalized=True)
+    vals, idx = rank(q)
     np.asarray(idx)
 
     best = min(trial() for _ in range(3))

@@ -39,6 +39,11 @@ class EngineConfig:
     # IVF path (shared probe frontier). Below it the exact masked full scan
     # is measured faster on TPU (docs/ROADMAP.md: <=1M rows).
     batch_ivf_min_rows: int = _env_int("HYPERDB_BATCH_IVF_MIN_ROWS", 2_000_000)
+    # Minimum padded row count before dot/cosine scans use the grouped
+    # (group-max + rescore) exact top-k instead of native TopK. Measured 3x
+    # at (256 queries, 1M rows) on v5e (benchmarks/ab_grouped_topk3.py);
+    # 0 disables.
+    grouped_topk_min_rows: int = _env_int("HYPERDB_GROUPED_TOPK_MIN_ROWS", 262144)
     # Use the fused Pallas score+top-k kernel on the unchunked brute-force
     # path (dot/cosine/euclidean). Off by default: measured ~10.5k qps vs
     # XLA's ~9.7-17k qps at batch>=64 on v5e — XLA wins for large batches,

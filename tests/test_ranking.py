@@ -232,3 +232,74 @@ class TestRankTopKDevice:
         )
         np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
         np.testing.assert_allclose(np.asarray(vals1), np.asarray(vals2), rtol=1e-5)
+
+
+class TestGroupedTopK:
+    """rank_top_k_grouped: exact agreement with the plain fused ranker."""
+
+    def _oracle(self, q, rows, k, mask=None, rec=None):
+        from hyperdb_tpu.ops.ranking import rank_top_k
+
+        return rank_top_k(
+            jnp.asarray(q), jnp.asarray(rows), k=k,
+            metric="dot_product",
+            row_mask=None if mask is None else jnp.asarray(mask),
+            recency=None if rec is None else jnp.asarray(rec),
+        )
+
+    def test_matches_native_topk(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+        rng = np.random.default_rng(0)
+        rows = rng.standard_normal((4096, 32)).astype(np.float32)
+        q = rng.standard_normal((7, 32)).astype(np.float32)
+        for group in (64, 128, 256):
+            vals, idx = rank_top_k_grouped(
+                jnp.asarray(q), jnp.asarray(rows), k=5, group=group
+            )
+            ov, oi = self._oracle(q, rows, 5)
+            np.testing.assert_allclose(np.asarray(vals), np.asarray(ov), rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(oi))
+
+    def test_mask_and_recency(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+        rng = np.random.default_rng(1)
+        rows = rng.standard_normal((2048, 16)).astype(np.float32)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        mask = rng.random(2048) > 0.4
+        rec = rng.standard_normal(2048).astype(np.float32) * 0.1
+        vals, idx = rank_top_k_grouped(
+            jnp.asarray(q), jnp.asarray(rows), k=8,
+            row_mask=jnp.asarray(mask), recency=jnp.asarray(rec), group=64,
+        )
+        ov, oi = self._oracle(q, rows, 8, mask=mask, rec=rec)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ov), rtol=1e-5)
+        assert mask[np.asarray(idx)].all()
+
+    def test_indivisible_rows_fall_back(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+        rng = np.random.default_rng(2)
+        rows = rng.standard_normal((1000, 8)).astype(np.float32)  # 1000 % 128 != 0
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        vals, idx = rank_top_k_grouped(jnp.asarray(q), jnp.asarray(rows), k=3)
+        ov, oi = self._oracle(q, rows, 3)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(oi))
+
+    def test_engine_routes_grouped(self, monkeypatch, capsys):
+        from hyperdb_tpu import HyperDB
+        from hyperdb_tpu.config import CONFIG
+
+        rng = np.random.default_rng(3)
+        v = rng.standard_normal((3000, 16)).astype(np.float32)
+        docs = [{"i": int(i)} for i in range(3000)]
+        db = HyperDB(documents=docs, vectors=v)
+        baseline = db.query(v[42], top_k=5)
+
+        monkeypatch.setattr(CONFIG, "grouped_topk_min_rows", 1024)
+        db.clear_cache()
+        grouped = db.query(v[42], top_k=5)
+        assert [r[2] for r in grouped] == [r[2] for r in baseline]
+        for (_, gs, _), (_, bs, _) in zip(grouped, baseline):
+            assert abs(gs - bs) < 1e-5
