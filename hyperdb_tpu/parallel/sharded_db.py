@@ -63,7 +63,7 @@ class ShardedHyperDB:
             n, d = db.vectors.shape
             n_shards = mesh.shape[axis]
             per_shard = -(-n // n_shards)
-            per_shard = -(-per_shard // 8) * 8
+            per_shard = -(-per_shard // 128) * 128  # grouped-topk tile alignment
             self.n = n
             self.n_pad = per_shard * n_shards
 

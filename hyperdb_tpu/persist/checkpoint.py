@@ -175,8 +175,9 @@ def load_sharded_vectors(directory: str, mesh, axis: str = "data"):
     """Load checkpoint vectors directly onto a device mesh.
 
     Returns ``(rows, n)``: a (n_pad, d) jax.Array row-sharded over
-    ``mesh[axis]`` (padded with zero rows to a multiple of 8 per shard, the
-    ShardedHyperDB layout) and the true row count. Shard files are opened
+    ``mesh[axis]`` (padded with zero rows to a multiple of 128 per shard —
+    the ShardedHyperDB layout, aligned for the grouped top-k) and the true
+    row count. Shard files are opened
     with ``mmap_mode='r'`` and each device's callback reads only the row
     range that device owns, so host RSS stays bounded by the largest single
     device shard, not the corpus.
@@ -200,7 +201,7 @@ def load_sharded_vectors(directory: str, mesh, axis: str = "data"):
 
     n_shards = mesh.shape[axis]
     per_shard = -(-n // n_shards)
-    per_shard = -(-per_shard // 8) * 8
+    per_shard = -(-per_shard // 128) * 128  # grouped-topk tile alignment
     n_pad = per_shard * n_shards
     dev_dtype = (
         jnp.bfloat16

@@ -100,3 +100,33 @@ def test_minilm_encoder_smoke():
     # identical inputs -> identical embeddings; different input -> different
     np.testing.assert_allclose(out[0], out[1], rtol=1e-5)
     assert not np.allclose(out[0], out[2])
+
+
+def test_sharded_grouped_topk_matches_oracle(monkeypatch):
+    """Per-shard grouped selection inside shard_map == plain sharded path."""
+    import jax
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.parallel import make_mesh
+    from hyperdb_tpu.parallel.distributed import sharded_rank_top_k
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(17)
+    n, d, b, k = 8 * 512, 16, 130, 7  # batch >= 128 -> group 128 divides 512
+    rows = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    valid = np.ones(n, dtype=bool)
+    valid[::5] = False
+    rec = rng.standard_normal(n).astype(np.float32) * 0.05
+
+    monkeypatch.setattr(CONFIG, "grouped_topk_min_rows", 10**9)
+    ov, oi = sharded_rank_top_k(
+        mesh, q, rows, jnp.asarray(valid), k=k, metric="dot_product",
+        recency=jnp.asarray(rec),
+    )
+    monkeypatch.setattr(CONFIG, "grouped_topk_min_rows", 256)
+    gv, gi = sharded_rank_top_k(
+        mesh, q, rows, jnp.asarray(valid), k=k, metric="dot_product",
+        recency=jnp.asarray(rec),
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(oi))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(ov), rtol=1e-5)
