@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hyperdb_tpu.ops import metrics as _metrics
-from hyperdb_tpu.ops.ranking import NEG_INF, exact_top_k
+from hyperdb_tpu.ops.ranking import NEG_INF, _auto_group, exact_top_k_grouped
 
 
 def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -86,11 +86,14 @@ def rank_top_k_int8(
     if row_mask is not None:
         s = jnp.where(row_mask[None, :], s, NEG_INF)
 
+    # group-max pre-selection instead of a wide native TopK sort — exact on
+    # the int8 scores and ~1.6-3x cheaper at 1M rows (ops/ranking notes)
+    group = _auto_group(int(queries.shape[0]))
     if rescore_rows is None:
-        return exact_top_k(s, k)
+        return exact_top_k_grouped(s, k, group=group)
 
     k_fetch = min(k * overfetch, s.shape[-1])
-    _, cand = exact_top_k(s, k_fetch)  # (B, k_fetch) candidate row ids
+    _, cand = exact_top_k_grouped(s, k_fetch, group=group)  # (B, k_fetch) ids
     sub = rescore_rows[cand]  # (B, k_fetch, d) gather
     exact = jnp.einsum(
         "bd,bkd->bk",

@@ -69,18 +69,6 @@ def _use_fused(metric: str) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _use_grouped(metric: str, n_pad: int) -> bool:
-    """Grouped exact top-k: dot-form metrics on large padded corpora
-    (ops/ranking.rank_top_k_grouped; HYPERDB_GROUPED_TOPK_MIN_ROWS)."""
-    from hyperdb_tpu.config import CONFIG
-
-    return (
-        metric in ("dot_product", "cosine_similarity")
-        and CONFIG.grouped_topk_min_rows > 0
-        and n_pad >= CONFIG.grouped_topk_min_rows
-    )
-
-
 def is_numeric_array(array: np.ndarray) -> bool:
     return np.issubdtype(array.dtype, np.number) and not np.issubdtype(
         array.dtype, np.complexfloating
@@ -540,21 +528,6 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 f"device_precision='int8-pure' supports only dot_product and "
                 f"cosine_similarity on the device scan (got '{metric}'); use "
                 "device_precision='int8' or 'auto' for other metrics."
-            )
-        elif _use_grouped(metric, n_pad):
-            from hyperdb_tpu.ops.ranking import _auto_group, rank_top_k_grouped
-
-            qq = q
-            if prenorm:
-                qn = jnp.linalg.norm(q, axis=1, keepdims=True)
-                qq = q / jnp.where(qn == 0, 1.0, qn)
-            vals, idx = rank_top_k_grouped(
-                qq,
-                dv["rows_norm"] if prenorm else dv["rows"],
-                k=min(k_pad, n_pad),
-                row_mask=row_mask_dev,
-                recency=rec_pad,
-                group=_auto_group(q.shape[0]),
             )
         elif _use_fused(metric):
             from hyperdb_tpu.ops.pallas_topk import fused_topk, pick_tile
