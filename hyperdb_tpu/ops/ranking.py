@@ -215,35 +215,41 @@ def rank_top_k(
     Returns:
         (values, indices): each (B, k); indices index rows of ``vectors``.
 
-    Dot-form metrics (dot product, prenormalized cosine) on corpora at least
-    HYPERDB_GROUPED_TOPK_MIN_ROWS rows route through the grouped exact top-k
-    (:func:`rank_top_k_grouped`) — identical results, ~3x at large batches.
-    The threshold is read at trace time (cached per shape).
+    Corpora at least HYPERDB_GROUPED_TOPK_MIN_ROWS rows avoid the wide
+    native-TopK sort (thresholds read at trace time, cached per shape):
+    dot-form metrics (dot product, prenormalized cosine) route through the
+    rescoring grouped top-k (:func:`rank_top_k_grouped`, ~3x at batch 256);
+    every other metric keeps its scores and uses group-max selection over
+    them (:func:`exact_top_k_grouped`, ~1.6x, provably exact).
     """
-    if metric == "dot_product" or (metric == "cosine_similarity" and prenormalized):
-        from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.config import CONFIG
 
-        group = _auto_group(int(queries.shape[0]))
-        # engine-padded corpora divide the preferred group; for raw row
-        # counts (e.g. 1M = 2^6 * 5^6) fall to the largest dividing power
-        # of two — group=64 still measured 2.2x native TopK at batch 256
-        while group >= 32 and vectors.shape[0] % group:
-            group //= 2
-        if (
-            CONFIG.grouped_topk_min_rows > 0
-            and vectors.shape[0] >= CONFIG.grouped_topk_min_rows
-            and group >= 32
-            and vectors.shape[0] % group == 0
-        ):
-            qq = queries
-            if metric == "cosine_similarity":
-                # mirror cosine_scores_prenormalized's numerics exactly
-                qq = _metrics._match_low_precision(
-                    _metrics.normalize(queries), vectors
-                )
-            return rank_top_k_grouped(
-                qq, vectors, k=k, row_mask=row_mask, recency=recency, group=group
+    group = _auto_group(int(queries.shape[0]))
+    # engine-padded corpora divide the preferred group; for raw row counts
+    # (e.g. 1M = 2^6 * 5^6) fall to the largest dividing power of two —
+    # group=64 still measured 2.2x native TopK at batch 256
+    while group >= 32 and vectors.shape[0] % group:
+        group //= 2
+    use_grouped = (
+        CONFIG.grouped_topk_min_rows > 0
+        and vectors.shape[0] >= CONFIG.grouped_topk_min_rows
+        and group >= 32
+        and vectors.shape[0] % group == 0
+    )
+
+    if use_grouped and (
+        metric == "dot_product"
+        or (metric == "cosine_similarity" and prenormalized)
+    ):
+        qq = queries
+        if metric == "cosine_similarity":
+            # mirror cosine_scores_prenormalized's numerics exactly
+            qq = _metrics._match_low_precision(
+                _metrics.normalize(queries), vectors
             )
+        return rank_top_k_grouped(
+            qq, vectors, k=k, row_mask=row_mask, recency=recency, group=group
+        )
     if metric == "cosine_similarity" and prenormalized:
         s = _metrics.cosine_scores_prenormalized(queries, vectors)
     else:
@@ -253,6 +259,8 @@ def rank_top_k(
         s = s + recency[None, :]
     if row_mask is not None:
         s = jnp.where(row_mask[None, :], s, NEG_INF)
+    if use_grouped:
+        return exact_top_k_grouped(s, k, group=group)
     return exact_top_k(s, k)
 
 
