@@ -14,9 +14,11 @@ from hyperdb_tpu.ops.metrics import (
 )
 from hyperdb_tpu.ops.ranking import (
     exact_top_k,
+    exact_top_k_grouped,
     rank_docs_top_k,
     rank_gathered,
     rank_top_k,
+    rank_top_k_grouped,
     ranking_algorithm_sort,
     recency_scores,
 )
@@ -33,9 +35,11 @@ __all__ = [
     "pearson_scores",
     "scores",
     "exact_top_k",
+    "exact_top_k_grouped",
     "rank_docs_top_k",
     "rank_gathered",
     "rank_top_k",
+    "rank_top_k_grouped",
     "ranking_algorithm_sort",
     "recency_scores",
 ]
