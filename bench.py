@@ -112,8 +112,14 @@ def main():
     queries = rng.standard_normal((args.batch, args.d), dtype=np.float32)
 
     qps_tpu, _ = tpu_qps(vectors, queries, args.k, args.batch, args.iters)
+    # Honest baseline: the reference path at f32. Its f16 storage dtype is
+    # pathologically slow in NumPy matmuls (~0.02 q/s — a 776,000x ratio that
+    # says nothing about the algorithm), so vs_baseline is computed against
+    # the charitable f32 run of the same normalize+matmul+argpartition path
+    # (BASELINE.md: ~0.5-2 q/s at 1M x 384 on this host).
     qps_numpy = numpy_reference_qps(
-        vectors, queries.astype(np.float16), args.k, args.baseline_iters
+        vectors.astype(np.float32), queries.astype(np.float32), args.k,
+        args.baseline_iters,
     )
 
     print(

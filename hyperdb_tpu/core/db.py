@@ -715,7 +715,11 @@ class HyperDB:
                 )
             return int(mask.sum())
         if with_chunks:
-            return len(self.documents)
+            # One entry per chunk ROW. The reference returns len(documents),
+            # which equals the row count only on its precomputed-vectors path
+            # (SURVEY.md Q1/Q19); this rebuild stores one documents entry per
+            # document, so the faithful chunk-inclusive count is the row map.
+            return len(self.source_indices)
         return len(set(self.source_indices))
 
     def dict(self, vectors: bool = False, metadata=None):
@@ -1132,6 +1136,8 @@ class HyperDB:
             from hyperdb_tpu.persist.checkpoint import load_checkpoint
 
             load_checkpoint(self, str(storage_file), load_ann_index)
+            if preload_ann_into_memory:
+                self._preload_into_memory(str(storage_file))
             return
         data = _persist.load_payload(str(storage_file), format=format)
         self._store.set(np.array(data["vectors"], dtype=self.fp_precision))
@@ -1156,17 +1162,51 @@ class HyperDB:
                 # No sidecar: rebuild from the loaded vectors (the reference
                 # silently skips; rebuilding is cheap and strictly better).
                 self._build_ann_index()
-                return
-            with np.load(ann_index_file, allow_pickle=False) as f:
-                state = _unflatten_state(dict(f.items()))
-            if state.get("kind") == "ivf":
-                from hyperdb_tpu.index.ivf import IVFIndex
-
-                self.ann_index = IVFIndex.from_state(state)
             else:
-                self.ann_index = FlatIndex.from_state(state)
+                if preload_ann_into_memory:
+                    size_gb = os.path.getsize(ann_index_file) / (1024**3)
+                    if size_gb > 2:
+                        # Reference hyperdb.py:932-939 — its message loses the
+                        # f-string prefix and prints the braces literally; we
+                        # keep the warning and fix the formatting.
+                        print(
+                            f"Warning: The ANN index file is {size_gb:.2f}GB "
+                            "and may consume a lot of memory. Make sure your "
+                            "machine has enough available memory or set "
+                            "preload_ann_into_memory to False."
+                        )
+                with np.load(ann_index_file, allow_pickle=False) as f:
+                    state = _unflatten_state(dict(f.items()))
+                if state.get("kind") == "ivf":
+                    from hyperdb_tpu.index.ivf import IVFIndex
+
+                    self.ann_index = IVFIndex.from_state(state)
+                else:
+                    self.ann_index = FlatIndex.from_state(state)
         except Exception as e:
             raise RuntimeError(f"An exception occurred during ANN index load: {e}")
+        if preload_ann_into_memory:
+            self._preload_into_memory(str(storage_file))
+
+    def _preload_into_memory(self, storage_file: str) -> None:
+        """Prefault the serving state (reference ``prefault=True`` analogue,
+        hyperdb.py:927-944): eagerly build the padded device view so the
+        corpus upload + first compile happen at load time, not on the first
+        query. No-ops on an empty corpus; failures degrade to lazy loading
+        (Q20 — soft failures print, never raise)."""
+        if self._store.num_rows == 0 or not self.source_indices:
+            return
+        try:
+            import jax
+
+            dv = self._store.device_view(self.source_indices)
+            # touch one device array to force the transfer to complete
+            for key in ("rows", "rows_q"):
+                if key in dv:
+                    jax.block_until_ready(dv[key])
+                    break
+        except Exception as e:  # pragma: no cover - device-specific failures
+            print(f"INFO: preload_ann_into_memory failed, staying lazy: {e}")
 
 
 def _flatten_state(state: dict) -> dict:

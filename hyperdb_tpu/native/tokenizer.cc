@@ -54,6 +54,9 @@ char* hdb_tokenize_words(const char* text, size_t len, size_t* out_len) {
 
 // Lowercase + strip punctuation + tokenize: the sentence-filter tokenizer
 // (reference hyperdb.py:1136-1141) for the host-side filter hot loop.
+// ASCII-only contract: the Python binding routes any input containing a
+// byte >= 0x80 to the Unicode-aware Python tokenizer (byte-level code can't
+// lowercase 'É' or classify Unicode word characters correctly).
 char* hdb_tokenize_filter(const char* text, size_t len, size_t* out_len) {
   std::string out;
   out.reserve(len);

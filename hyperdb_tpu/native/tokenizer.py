@@ -116,7 +116,14 @@ class NativeWordTokenizer:
 
 def native_filter_tokenize(text: str):
     """Sentence-filter tokenization (lowercase word set, punctuation
-    stripped) via C++; returns None when the library is unavailable."""
+    stripped) via C++; returns None when the library is unavailable.
+
+    The C++ path is ASCII-only: byte-level lowercasing cannot reproduce
+    Python's Unicode-aware ``str.lower()`` / ``\\w`` semantics ('CAFÉ' must
+    tokenize as {'café'}), so any non-ASCII input falls back to the Python
+    tokenizer (parity pinned in tests/test_native.py)."""
+    if not text.isascii():
+        return None
     lib = _load()
     if lib is None:
         return None

@@ -37,34 +37,16 @@ from hyperdb_tpu.ops.metrics import METRICS, scores
 
 NEG_INF = float("-inf")
 
-# Threshold for the two-stage top-k (per-block top-k then merge). MEASURED
-# SLOWER than XLA's native TopK on TPU v5e (benchmarks/ab_topk.py: 60 ms vs
-# 6.6 ms per 64x1M batch — the reshape + per-block sort + gather dominates),
-# so it is disabled; XLA's TopK lowering is already near-optimal. The helper
-# stays for backends where single wide TopK is the bottleneck.
-_TOPK_BLOCK = 1 << 62
-
-
 def exact_top_k(s: jax.Array, k: int):
-    """Exact, tie-stable top-k along the last axis; two-stage for wide rows."""
-    n = s.shape[-1]
-    if n <= _TOPK_BLOCK or n <= k:
-        return jax.lax.top_k(s, k)
-    block = _TOPK_BLOCK
-    pad = (-n) % block
-    if pad:
-        s = jnp.pad(s, [(0, 0)] * (s.ndim - 1) + [(0, pad)], constant_values=NEG_INF)
-    t = s.shape[-1] // block
-    kb = min(k, block)
-    s3 = s.reshape(*s.shape[:-1], t, block)
-    vals1, idx1 = jax.lax.top_k(s3, kb)  # (..., t, kb)
-    offsets = (jnp.arange(t, dtype=jnp.int32) * block)[:, None]
-    gidx1 = idx1 + offsets
-    flat_vals = vals1.reshape(*s.shape[:-1], t * kb)
-    flat_idx = gidx1.reshape(*s.shape[:-1], t * kb)
-    vals2, pos = jax.lax.top_k(flat_vals, k)
-    idx2 = jnp.take_along_axis(flat_idx, pos, axis=-1)
-    return vals2, idx2
+    """Exact top-k along the last axis = XLA's native TopK.
+
+    A two-stage per-block variant (block top-k then merge) was measured
+    10-20x SLOWER than native TopK on v5e (per-block sorts dominate;
+    BASELINE.md "Engineering findings") and has been removed; the fast wide
+    path is :func:`exact_top_k_grouped`, which replaces the block *sort*
+    with a block *max*.
+    """
+    return jax.lax.top_k(s, k)
 
 
 def exact_top_k_grouped(s: jax.Array, k: int, group: int = 1024):
@@ -356,7 +338,7 @@ def rank_gathered(
     if metric == "cosine_similarity" and prenormalized:
         s = _metrics.cosine_scores_prenormalized(queries, sub)
     else:
-        s = scores(queries, sub)
+        s = scores(queries, sub, metric)
     s = jnp.where(jnp.isnan(s), NEG_INF, s)
     if recency is not None:
         s = s + recency[None, :]

@@ -127,9 +127,16 @@ def _save_sqlite(path: str, data: dict) -> None:
                 [(json.dumps(doc),) for doc in data["documents"]],
             )
             vectors = np.asarray(data["vectors"])
+            # document_id records the true source document index of each
+            # chunk row (the reference writes the row number, hyperdb.py:846
+            # — wrong for chunked corpora despite the column name).
+            src = list(data.get("source_indices") or range(len(vectors)))
             cursor.executemany(
                 "INSERT INTO vectors (document_id, vector) VALUES (?, ?)",
-                [(i + 1, json.dumps(np.asarray(v).tolist())) for i, v in enumerate(vectors)],
+                [
+                    (int(src[i]), json.dumps(np.asarray(v).tolist()))
+                    for i, v in enumerate(vectors)
+                ],
             )
             cursor.executemany(
                 "INSERT INTO source_indices (value) VALUES (?)",
@@ -157,18 +164,22 @@ def _load_sqlite(path: str) -> dict:
     with closing(sqlite3.connect(path)) as conn:
         cursor = conn.cursor()
         try:
+            # Explicit ORDER BY id everywhere: implicit rowid order is not a
+            # documented SQLite guarantee (e.g. after VACUUM on a table with
+            # deletes), and row order IS the chunk-row order invariant.
             documents = [
                 json.loads(row[0])
-                for row in cursor.execute("SELECT data FROM documents")
+                for row in cursor.execute("SELECT data FROM documents ORDER BY id")
             ]
             vectors = [
                 json.loads(row[0])
-                for row in cursor.execute(
-                    "SELECT vector FROM vectors ORDER BY document_id"
-                )
+                for row in cursor.execute("SELECT vector FROM vectors ORDER BY id")
             ]
             source_indices = [
-                row[0] for row in cursor.execute("SELECT value FROM source_indices")
+                row[0]
+                for row in cursor.execute(
+                    "SELECT value FROM source_indices ORDER BY id"
+                )
             ]
             split_info = {}
             for row in cursor.execute("SELECT value FROM split_info"):

@@ -84,6 +84,60 @@ def test_db_with_ivf_matches_bruteforce(monkeypatch):
     assert len(bf_results) == 5 and len(ann_results) == 5
 
 
+@pytest.mark.parametrize(
+    "ann_metric,metric",
+    [
+        ("dot", "dot_product"),
+        ("euclidean", "euclidean_metric"),
+        ("hamming", "hamming_distance"),
+    ],
+)
+def test_db_ivf_non_cosine_metrics(monkeypatch, ann_metric, metric):
+    """The IVF gather fast path must score with the QUERY metric (regression:
+    rank_gathered once dropped the metric argument and raised TypeError for
+    every non-prenormalized metric on the ANN path)."""
+    monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
+    v = np.abs(_clustered_corpus(n=1000, d=16, n_clusters=10))
+    docs = [{"i": int(i)} for i in range(len(v))]
+    db = HyperDB(documents=docs, vectors=v, ann_metric=ann_metric)
+    assert db.ann_index is not None and db.ann_index.is_ann
+
+    results = db.query(v[42], top_k=5, metric=metric)
+    assert len(results) == 5
+    if metric == "euclidean_metric":  # self-distance 0 -> similarity 1 is max
+        assert results[0][0]["i"] == 42
+    # scores must be the metric's exact similarities, not another metric's
+    from hyperdb_tpu.ops.metrics import scores as metric_scores
+
+    expect = np.asarray(
+        metric_scores(
+            jnp.asarray(v[42][None, :]), jnp.asarray(v), metric
+        )
+    )[0]
+    for doc, score, doc_id in results:
+        np.testing.assert_allclose(score, expect[doc_id], rtol=1e-4)
+
+
+def test_query_batch_ivf_non_cosine(monkeypatch):
+    """Batched IVF path with a dot index (same regression, batched shape)."""
+    from hyperdb_tpu.config import CONFIG
+
+    monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
+    monkeypatch.setattr(CONFIG, "batch_ivf_min_rows", 500)
+    v = _clustered_corpus(n=1500, d=16, n_clusters=10)
+    docs = [{"i": int(i)} for i in range(len(v))]
+    db = HyperDB(documents=docs, vectors=v, ann_metric="dot")
+    res = db.query_batch(
+        v[:4].astype(np.float32), top_k=5, metric="dot_product", ann_percent=20
+    )
+    assert all(len(row) == 5 for row in res)
+    # returned scores must be exact dot products of the query with the rows
+    for b, row in enumerate(res):
+        expect = v @ v[b]
+        for doc, score, doc_id in row:
+            np.testing.assert_allclose(score, expect[doc_id], rtol=1e-4)
+
+
 def test_ivf_incremental_add(monkeypatch):
     monkeypatch.setattr(dbmod, "IVF_THRESHOLD", 500)
     v = _clustered_corpus(n=1000, d=16, n_clusters=10)

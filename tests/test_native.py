@@ -44,6 +44,23 @@ def test_native_filter_tokenizer_parity(lib_built):
         assert got == py_filter_tokenize(text), repr(text)
 
 
+def test_native_filter_tokenizer_non_ascii_falls_back(lib_built):
+    """Byte-level C++ cannot lowercase 'É' or classify Unicode word chars;
+    non-ASCII input must route to the Unicode-aware Python tokenizer."""
+    import re
+    import string
+
+    assert native.native_filter_tokenize("CAFÉ is great") is None
+    assert native.native_filter_tokenize("ellipsis… here") is None
+
+    punct = str.maketrans("", "", string.punctuation)
+    word_re = re.compile(r"\b\w+\b")
+    for text in ["CAFÉ is great", "ellipsis… here", "Ünïts of WÖRK"]:
+        pure_python = set(word_re.findall(text.translate(punct).lower()))
+        assert py_filter_tokenize(text) == pure_python, repr(text)
+    assert py_filter_tokenize("CAFÉ is great") == {"café", "is", "great"}
+
+
 def test_native_merge_topk(lib_built):
     rng = np.random.default_rng(0)
     scores = rng.standard_normal(64).astype(np.float32)

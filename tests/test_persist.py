@@ -59,6 +59,76 @@ def test_payload_intkeys_json(tmp_path):
     assert 0 in loaded["metadata_index"]
 
 
+def test_preload_ann_into_memory(tmp_path, capsys):
+    """preload_ann_into_memory prefaults the padded device view at load time
+    (instead of on the first query) and warns when the sidecar exceeds 2 GB."""
+    db = _db()
+    path = str(tmp_path / "db.pickle")
+    db.save(path)
+
+    new_db = HyperDB()
+    new_db.load(path, preload_ann_into_memory=True)
+    assert new_db._store._device is not None  # device view already built
+    assert "rows" in new_db._store._device
+
+    lazy_db = HyperDB()
+    lazy_db.load(path, preload_ann_into_memory=False)
+    assert lazy_db._store._device is None  # stays lazy until the first query
+
+    # >2 GB sidecar warning path (fake the size via monkey-sized stat)
+    import os
+    import unittest.mock as mock
+
+    warn_db = HyperDB()
+    real_getsize = os.path.getsize
+
+    def fake_getsize(p):
+        if str(p).endswith(".ann"):
+            return 3 * 1024**3
+        return real_getsize(p)
+
+    with mock.patch("os.path.getsize", side_effect=fake_getsize):
+        warn_db.load(path, preload_ann_into_memory=True)
+    out = capsys.readouterr().out
+    assert "Warning: The ANN index file is 3.00GB" in out
+
+
+def test_sqlite_chunked_roundtrip_and_document_id(tmp_path):
+    """SQLite round-trips a CHUNKED corpus (rows != docs) and records each
+    chunk row's true source document index in vectors.document_id; loads
+    must not depend on implicit rowid order (explicit ORDER BY id)."""
+    import sqlite3
+
+    rng = np.random.default_rng(5)
+    db = HyperDB()
+    chunk_counts = [2, 1, 3]
+    for i, c in enumerate(chunk_counts):
+        db.add_document(
+            {"i": int(i)}, vectors=rng.standard_normal((c, 6)).astype(np.float32)
+        )
+    db.commit_pending()
+    db._build_ann_index()
+    path = str(tmp_path / "db.sqlite")
+    db.save(path, format="sqlite")
+
+    with sqlite3.connect(path) as conn:
+        doc_ids = [
+            r[0]
+            for r in conn.execute("SELECT document_id FROM vectors ORDER BY id")
+        ]
+    assert doc_ids == [0, 0, 1, 2, 2, 2]  # == source_indices, not row numbers
+
+    new_db = HyperDB()
+    new_db.load(path, format="sqlite")
+    np.testing.assert_allclose(
+        np.asarray(new_db.vectors), np.asarray(db.vectors), rtol=1e-6
+    )
+    assert new_db.source_indices == db.source_indices
+    assert new_db.split_info == db.split_info
+    assert new_db.size() == 3
+    assert new_db.size(with_chunks=True) == 6  # chunk ROWS, not doc entries
+
+
 def test_sentence_mask_cache_invalidation():
     db = HyperDB()
     db.add([{"text": "alpha beta"}, {"text": "gamma delta"}])
