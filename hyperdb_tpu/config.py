@@ -44,6 +44,12 @@ class EngineConfig:
     # at (256 queries, 1M rows) on v5e (benchmarks/ab_grouped_topk3.py);
     # 0 disables.
     grouped_topk_min_rows: int = _env_int("HYPERDB_GROUPED_TOPK_MIN_ROWS", 262144)
+    # Rank on the host (NumPy) when corpus_rows * batch is at most this many
+    # score cells: every device call pays the platform's 25-30 ms round trip
+    # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo
+    # runs ~70x faster on host. 0 disables (tests pin the device paths this
+    # way and check host/device equality separately in test_host_path.py).
+    host_path_max_cells: int = _env_int("HYPERDB_HOST_PATH_MAX_CELLS", 65536)
     # Use the fused Pallas score+top-k kernel on the unchunked brute-force
     # path (dot/cosine/euclidean). Off by default: measured ~10.5k qps vs
     # XLA's ~9.7-17k qps at batch>=64 on v5e — XLA wins for large batches,

@@ -509,7 +509,9 @@ class HyperDB:
 
             self.commit_pending()
             self._update_ann_index()
-        except Exception as e:
+        except (ValueError, TypeError) as e:
+            # Input-validation failures print and roll back (reference Q20
+            # soft-failure contract, hyperdb.py:681-689).
             print(f"An exception occurred: {e}")
             (
                 self.pending_vectors,
@@ -517,6 +519,17 @@ class HyperDB:
                 self.pending_source_indices,
                 self._pending_splits,
             ) = saved_state
+        except Exception:
+            # Anything else is an engine bug, not bad input: roll back the
+            # staging state but RE-RAISE instead of masking it as a print
+            # (the reference's blanket except swallows these too).
+            (
+                self.pending_vectors,
+                self.pending_documents,
+                self.pending_source_indices,
+                self._pending_splits,
+            ) = saved_state
+            raise
 
     def add_stream(
         self,
@@ -905,8 +918,20 @@ class HyperDB:
         return _engine.generate_and_validate_query_vector(self, query_input)
 
     def _handle_timestamps(self, recency_bias, timestamp_key, filtered_documents):
-        """(reference hyperdb.py:1310-1346) — list-based parity helper."""
-        doc_indices = [self.documents.index(d) for d in filtered_documents]
+        """(reference hyperdb.py:1310-1346) — list-based parity helper.
+
+        Identity (id()) lookup instead of the reference's documents.index(d)
+        per filtered doc (O(N^2), SURVEY.md Q21); falls back to .index for
+        equal-but-distinct dict copies so the reference contract still holds.
+        """
+        pos_by_id = {id(doc): i for i, doc in enumerate(self.documents)}
+        doc_indices = [
+            pos_by_id.get(id(d), None) for d in filtered_documents
+        ]
+        doc_indices = [
+            i if i is not None else self.documents.index(d)
+            for i, d in zip(doc_indices, filtered_documents)
+        ]
         dense = _engine.handle_timestamps(
             self, recency_bias, timestamp_key, doc_indices
         )

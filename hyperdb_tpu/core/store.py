@@ -139,6 +139,10 @@ class VectorStore:
             "dim": d,
             "row_valid": jnp.asarray(row_valid),
             "row_docs": jnp.asarray(row_docs),
+            # per-row |v|^2 — the euclidean grouped kernel's epilogue
+            # constant (ops/ranking.rank_top_k_grouped_metric); (N_pad,) f32
+            # is ~d x smaller than the corpus, so always materialized
+            "row_sq": jnp.asarray(np.sum(host * host, axis=1)),
         }
         if self.precision in ("int8", "int8-pure"):
             from hyperdb_tpu.ops.quantized import quantize_rows
@@ -157,3 +161,20 @@ class VectorStore:
                 rows_norm=jnp.asarray(host_norm.astype(np.dtype(dev_dtype))),
             )
         return self._device
+
+    def binary_view(self, source_indices) -> dict:
+        """Binarized (x > 0) 0/1 rows + per-row popcounts for the hamming/
+        jaccard grouped kernels. Built lazily on the first binary-metric
+        query (it costs another (N_pad, d) device array) and cached on the
+        device view until the next mutation. 0/1 values are exact in every
+        float dtype and the f32-accumulated matmul counts them exactly."""
+        dv = self.device_view(source_indices)
+        if "rows_bin" not in dv:
+            dev_dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
+            host_bin = (self.vectors.astype(np.float32) > 0).astype(np.float32)
+            n, d = host_bin.shape
+            padded = np.zeros((dv["n_pad"], d), dtype=np.float32)
+            padded[:n] = host_bin
+            dv["rows_bin"] = jnp.asarray(padded.astype(np.dtype(dev_dtype)))
+            dv["row_bin_sum"] = jnp.asarray(np.sum(padded, axis=1))
+        return dv

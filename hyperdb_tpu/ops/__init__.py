@@ -13,12 +13,14 @@ from hyperdb_tpu.ops.metrics import (
     scores,
 )
 from hyperdb_tpu.ops.ranking import (
+    GROUPED_METRICS,
     exact_top_k,
     exact_top_k_grouped,
     rank_docs_top_k,
     rank_gathered,
     rank_top_k,
     rank_top_k_grouped,
+    rank_top_k_grouped_metric,
     ranking_algorithm_sort,
     recency_scores,
 )
@@ -34,8 +36,10 @@ __all__ = [
     "normalize",
     "pearson_scores",
     "scores",
+    "GROUPED_METRICS",
     "exact_top_k",
     "exact_top_k_grouped",
+    "rank_top_k_grouped_metric",
     "rank_docs_top_k",
     "rank_gathered",
     "rank_top_k",

@@ -170,6 +170,129 @@ def rank_top_k_grouped(
     return vals, (winner * group + pos % group).astype(jnp.int32)
 
 
+# Metrics served by rank_top_k_grouped_metric: one matmul + a per-row scalar
+# aux array turn the exact score into a fused epilogue of the grouped matmul.
+GROUPED_METRICS = ("euclidean_metric", "hamming_distance", "jaccard_similarity")
+
+
+def _grouped_metric_scores(inter, aux, q32, metric: str, dim: int):
+    """Exact similarity from the inner-product term + per-row constants.
+
+    ``inter`` is q.v (euclidean, over raw rows) or qb.vb (hamming/jaccard,
+    over 0/1 binarized rows) with any leading/group shape; ``aux`` broadcasts
+    against it carrying |v|^2 (euclidean) or popcount |vb| (hamming/jaccard).
+    ``q32`` is the (B, d) f32 query block (raw or binarized to match rows).
+    """
+    extra = (1,) * (inter.ndim - 1)
+    if metric == "euclidean_metric":
+        qsq = jnp.sum(q32 * q32, axis=-1).reshape(-1, *extra)
+        d2 = aux - 2.0 * inter + qsq
+        return 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d2, 0.0)))
+    qsum = jnp.sum(q32, axis=-1).reshape(-1, *extra)
+    if metric == "hamming_distance":
+        return jnp.float32(dim) - (aux + qsum - 2.0 * inter)
+    if metric == "jaccard_similarity":
+        union = aux + qsum - inter
+        return inter / union  # 0/0 -> NaN, scrubbed to -inf by the caller
+    raise ValueError(f"metric '{metric}' has no grouped epilogue form")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "group", "metric"))
+def rank_top_k_grouped_metric(
+    queries: jax.Array,
+    rows: jax.Array,
+    row_aux: jax.Array,
+    k: int,
+    metric: str,
+    row_mask: jax.Array | None = None,
+    recency: jax.Array | None = None,
+    group: int = 128,
+):
+    """Grouped exact top-k for euclidean/hamming/jaccard without ever
+    materializing the (B, N) score matrix.
+
+    The dot-metric grouped kernel (:func:`rank_top_k_grouped`) wins by
+    replacing the wide TopK sort with a per-group max fused into the matmul
+    epilogue. These metrics are equally one matmul plus *per-row constants*
+    (reference ranking_algorithm.py:44-52,63-75,128-147):
+
+        euclidean:  1/(1 + sqrt(|v|^2 - 2 q.v + |q|^2))
+        hamming:    d - (|vb| + |qb| - 2 qb.vb)        (0/1 rows)
+        jaccard:    qb.vb / (|vb| + |qb| - qb.vb)      (0/1 rows)
+
+    so the exact score lives in the epilogue too: stage 1 computes it
+    groupwise (B, N/group, group) feeding straight into the group max, and
+    stage 3 recomputes it on the k winning groups' gathered rows.
+
+    Args:
+        queries: (B, d) query block — raw for euclidean; callers pass raw
+            queries for hamming/jaccard too (binarized here).
+        rows: (N, d) corpus — RAW rows for euclidean, BINARIZED 0/1 rows
+            (``x > 0``) for hamming/jaccard (``VectorStore.device_view``'s
+            lazy binary view).
+        row_aux: (N,) f32 per-row constant — |v|^2 (euclidean) or popcount
+            |vb| (hamming/jaccard); zero on padding rows.
+        k, row_mask, recency, group: as in :func:`rank_top_k_grouped`.
+    """
+    if metric in ("hamming_distance", "jaccard_similarity"):
+        q32 = (queries > 0).astype(jnp.float32)
+    else:
+        q32 = queries.astype(jnp.float32)
+    qq = _metrics._match_low_precision(q32, rows)
+    n, d = rows.shape
+
+    def epilogue(inter, aux):
+        s = _grouped_metric_scores(inter, aux, q32, metric, d)
+        s = jnp.where(jnp.isnan(s), NEG_INF, s)
+        return s
+
+    if n % group or n <= k * group:
+        s = epilogue(
+            jax.lax.dot_general(
+                qq, rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            row_aux[None, :],
+        )
+        if recency is not None:
+            s = s + recency[None, :]
+        if row_mask is not None:
+            s = jnp.where(row_mask[None, :], s, NEG_INF)
+        return jax.lax.top_k(s, k)
+
+    g = n // group
+    r3 = rows.reshape(g, group, d)
+    aux3 = row_aux.reshape(g, group)
+    inter3 = jax.lax.dot_general(
+        qq, r3, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, g, group)
+    s3 = epilogue(inter3, aux3[None])
+    rec3 = mask3 = None
+    if recency is not None:
+        rec3 = recency.reshape(g, group)
+        s3 = s3 + rec3[None]
+    if row_mask is not None:
+        mask3 = row_mask.reshape(g, group)
+        s3 = jnp.where(mask3[None], s3, NEG_INF)
+    gmax = jnp.max(s3, axis=-1)
+    _, gidx = jax.lax.top_k(gmax, k)  # (B, k)
+
+    cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d)
+    inter_c = jnp.einsum(
+        "bd,bkgd->bkg", qq, cand_rows, preferred_element_type=jnp.float32
+    )
+    cs = epilogue(inter_c, jnp.take(aux3, gidx, axis=0))
+    if rec3 is not None:
+        cs = cs + jnp.take(rec3, gidx, axis=0)
+    if mask3 is not None:
+        cs = jnp.where(jnp.take(mask3, gidx, axis=0), cs, NEG_INF)
+    cs = cs.reshape(queries.shape[0], k * group)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(gidx, pos // group, axis=-1)
+    return vals, (winner * group + pos % group).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k", "prenormalized"))
 def rank_top_k(
     queries: jax.Array,

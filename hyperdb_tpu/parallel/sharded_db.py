@@ -7,10 +7,14 @@ row-sharded over the mesh's 'data' axis and queries run as per-chip scoring
 Filters are computed on host exactly as in the single-chip engine and ride
 along as a sharded row mask.
 
-Chunked corpora are supported: rows are ranked distributed, then chunk rows
-of the same document are deduplicated host-side from the merged k*slack
-candidates (documents rarely have more than a few chunks; ``chunk_slack``
-controls the overfetch).
+Chunked corpora are EXACT: rows are ranked distributed, chunk rows of the
+same document are deduplicated host-side from the merged candidates (first
+hit per doc in exact score order == the single-chip segment-max), and the
+fetch depth doubles until every query holds top_k unique documents or the
+whole corpus has been fetched (``chunk_slack`` only sets the initial
+overfetch). Recency (Q16/Q17) and the shared query LRU (C21) match the
+single-chip engine; key filters are the one unsupported feature (they
+replace document vectors per query — use HyperDB.query).
 """
 
 from __future__ import annotations
@@ -136,6 +140,37 @@ class ShardedHyperDB:
         rows[: self.n] &= mask[self.row_docs[: self.n]]
         return rows
 
+    def query(
+        self,
+        query_input,
+        top_k: int = 5,
+        filters=None,
+        metric: str = "cosine_similarity",
+        return_similarities: bool = True,
+        recency_bias: float = 0,
+        timestamp_key=None,
+    ):
+        """Single-query surface with the single-chip engine's LRU semantics:
+        results are cached on the host db's LRU (shared counters, cleared by
+        any db mutation — C21 parity), keyed separately from single-chip
+        results."""
+        key = ("sharded",) + self.db._hashable_key(
+            query_input, top_k, return_similarities, filters,
+            recency_bias, timestamp_key, metric, None,
+        )
+        db = self.db
+        if key in db.lru_cache:
+            db.cache_hits += 1
+            return db.lru_cache[key]
+        db.cache_misses += 1
+        result = self.query_batch(
+            [query_input], top_k=top_k, filters=filters, metric=metric,
+            return_similarities=return_similarities,
+            recency_bias=recency_bias, timestamp_key=timestamp_key,
+        )[0]
+        db.lru_cache[key] = result
+        return result
+
     def query_batch(
         self,
         query_inputs,
@@ -143,6 +178,8 @@ class ShardedHyperDB:
         filters=None,
         metric: str = "cosine_similarity",
         return_similarities: bool = True,
+        recency_bias: float = 0,
+        timestamp_key=None,
     ):
         db = self.db
         if isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
@@ -156,48 +193,108 @@ class ShardedHyperDB:
             ).astype(np.float32)
 
         row_mask = self._row_mask(filters)
-        chunked = len(db.documents) != self.n
-        k_fetch = min(
-            top_k * (self.chunk_slack if chunked else 1),
-            self.n_pad // self.mesh.shape[self.axis],
-        )
+        num_docs = len(db.documents)
+        chunked = num_docs != self.n
+
+        # Recency (Q16/Q17): doc-level term over surviving documents,
+        # expanded to rows — a document's score is max over its chunk rows of
+        # (row score + its doc's recency), identical to the single-chip
+        # engine's order of operations.
+        recency_rows = None
+        if recency_bias != 0:
+            doc_mask = np.zeros(num_docs, dtype=bool)
+            surviving = np.unique(self.row_docs[: self.n][row_mask[: self.n]])
+            doc_mask[surviving.astype(np.int64)] = True
+            dense = _engine.handle_timestamps(
+                db, recency_bias, timestamp_key, np.flatnonzero(doc_mask)
+            )
+            rec = np.zeros(self.n_pad, dtype=np.float32)
+            rec[: self.n] = dense[self.row_docs[: self.n]]
+            recency_rows = jax.device_put(rec, self._mask_sharding)
+
+        n_local = self.n_pad // self.mesh.shape[self.axis]
+        if chunked:
+            k_fetch = 1 << max(0, (top_k * self.chunk_slack - 1)).bit_length()
+        else:
+            k_fetch = top_k
+        k_fetch = min(k_fetch, n_local)
 
         prenorm = metric == "cosine_similarity"
-        vals, idx = sharded_rank_top_k(
-            self.mesh,
-            jnp.asarray(q),
-            self.rows_norm if prenorm else self.rows,
-            jax.device_put(row_mask, self._mask_sharding),
-            k=k_fetch,
-            metric="dot_product" if prenorm else metric,
-            axis=self.axis,
-        )
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        if prenorm:
-            # dot over unit rows == cosine up to query norm; rescale so the
-            # returned scores are true cosine similarities
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            qn[qn == 0] = 1.0
-            vals = vals / qn
+        rows_dev = self.rows_norm if prenorm else self.rows
+        mask_dev = jax.device_put(row_mask, self._mask_sharding)
+        dev_metric = "dot_product" if prenorm else metric
 
-        results = []
-        for b in range(q.shape[0]):
-            row = []
-            seen: set[int] = set()
-            for r, score in zip(idx[b], vals[b]):
-                if r >= self.n or not np.isfinite(score):
-                    continue
-                doc_id = int(self.row_docs[r])
-                if doc_id in seen:
-                    continue
-                seen.add(doc_id)
-                document = db.documents[doc_id]
-                if return_similarities:
-                    row.append((document, float(score), doc_id))
-                else:
-                    row.append(document)
-                if len(row) >= top_k:
-                    break
-            results.append(row)
-        return results
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+
+        # Exact doc-level results via iterative refill: candidates arrive in
+        # exact global row-score order, so host-side dedup (first hit per
+        # doc = its best chunk = segment-max semantics) is exact as long as
+        # enough rows were fetched. A document with > chunk_slack
+        # high-scoring chunks just triggers a deeper (doubled-k) refetch;
+        # k_fetch == n_local fetches every row and is exact by construction.
+        while True:
+            if prenorm and recency_rows is not None:
+                # recency adds to COSINE scores; dot-over-unit-rows differs
+                # by the query norm, so pre-scale the recency term per query
+                # ... not expressible as a shared row vector: score cosine
+                # directly instead (one extra normalization, still exact).
+                vals, idx = sharded_rank_top_k(
+                    self.mesh,
+                    jnp.asarray(q / qn),
+                    rows_dev,
+                    mask_dev,
+                    k=k_fetch,
+                    metric=dev_metric,
+                    recency=recency_rows,
+                    axis=self.axis,
+                )
+                vals = np.asarray(vals)
+            else:
+                vals, idx = sharded_rank_top_k(
+                    self.mesh,
+                    jnp.asarray(q),
+                    rows_dev,
+                    mask_dev,
+                    k=k_fetch,
+                    metric=dev_metric,
+                    recency=recency_rows,
+                    axis=self.axis,
+                )
+                vals = np.asarray(vals)
+                if prenorm:
+                    # dot over unit rows == cosine up to query norm; rescale
+                    # so the returned scores are true cosine similarities
+                    vals = vals / qn
+            idx = np.asarray(idx)
+
+            results = []
+            need_refill = False
+            for b in range(q.shape[0]):
+                row = []
+                seen: set[int] = set()
+                finite = 0
+                for r, score in zip(idx[b], vals[b]):
+                    if r >= self.n or not np.isfinite(score):
+                        continue
+                    finite += 1
+                    doc_id = int(self.row_docs[r])
+                    if doc_id in seen:
+                        continue
+                    seen.add(doc_id)
+                    if len(row) < top_k:
+                        document = db.documents[doc_id]
+                        if return_similarities:
+                            row.append((document, float(score), doc_id))
+                        else:
+                            row.append(document)
+                if (
+                    len(row) < top_k
+                    and finite == k_fetch  # candidates not exhausted
+                    and k_fetch < n_local
+                ):
+                    need_refill = True
+                results.append(row)
+            if not need_refill:
+                return results
+            k_fetch = min(k_fetch * 2, n_local)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from hyperdb_tpu.core.nested import get_nested_value
 from hyperdb_tpu.core.store import bucket_size
+from hyperdb_tpu.ops import ranking as _ranking
 from hyperdb_tpu.ops.metrics import METRICS
 from hyperdb_tpu.ops.ranking import rank_docs_top_k, rank_gathered, rank_top_k
 from hyperdb_tpu.query import filters as _filters
@@ -54,6 +55,18 @@ METRIC_TO_ANN = {
 
 def _pad_pow2(k: int) -> int:
     return 1 << max(0, (k - 1)).bit_length() if k > 1 else 1
+
+
+def _grouped_ok(n_pad: int, batch: int) -> bool:
+    """Corpus large enough (and group-divisible) for the grouped kernels."""
+    from hyperdb_tpu.config import CONFIG
+
+    if CONFIG.grouped_topk_min_rows <= 0 or n_pad < CONFIG.grouped_topk_min_rows:
+        return False
+    group = _ranking._auto_group(batch)
+    while group >= 32 and n_pad % group:
+        group //= 2
+    return group >= 32 and n_pad % group == 0
 
 
 def _use_fused(metric: str) -> bool:
@@ -420,7 +433,38 @@ def _rank(db, query_vector, mask, override, recency, metric, top_k, cand_rows=No
 
 def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=None):
     """Run the fused device program; returns ((B, k) doc_ids, (B, k) scores)."""
+    from hyperdb_tpu.config import CONFIG
+
     num_docs = len(db.documents)
+
+    # Tiny-corpus host fast path: the device round trip (25-30 ms on this
+    # platform) dwarfs the compute below this cell count, so rank straight
+    # on the host master arrays (ops/host_ranking — result-identical, pinned
+    # by tests/test_host_path.py). cand_rows is ignored: the mask already
+    # carries the ANN candidate restriction and the full tiny scan is exact.
+    cells = db._store.num_rows * max(1, int(np.asarray(q_block).shape[0]))
+    if 0 < cells <= CONFIG.host_path_max_cells:
+        from hyperdb_tpu.ops.host_ranking import rank_block_host
+
+        if override is not None:
+            vals, idx = rank_block_host(
+                q_block, override, top_k, metric,
+                doc_mask=mask, recency=recency,
+            )
+        elif num_docs == db._store.num_rows:
+            vals, idx = rank_block_host(
+                q_block, db._store.vectors, top_k, metric,
+                doc_mask=mask, recency=recency,
+            )
+        else:
+            vals, idx = rank_block_host(
+                q_block, db._store.vectors, top_k, metric,
+                doc_mask=mask, recency=recency,
+                row_docs=np.asarray(db.source_indices, dtype=np.int64),
+                num_docs=num_docs,
+            )
+        return idx, vals
+
     q = jnp.asarray(np.asarray(q_block, dtype=np.float32))
     k_pad = min(_pad_pow2(top_k), bucket_size(num_docs))
 
@@ -528,6 +572,30 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 f"device_precision='int8-pure' supports only dot_product and "
                 f"cosine_similarity on the device scan (got '{metric}'); use "
                 "device_precision='int8' or 'auto' for other metrics."
+            )
+        elif metric in _ranking.GROUPED_METRICS and _grouped_ok(
+            dv["n_pad"], q_block.shape[0]
+        ):
+            # euclidean/hamming/jaccard ride the grouped epilogue kernel:
+            # exact scores fused into the grouped matmul + group-max, no
+            # (B, N) score materialization (ops/ranking notes).
+            if metric == "euclidean_metric":
+                g_rows, g_aux = dv["rows"], dv["row_sq"]
+            else:
+                bv = db._store.binary_view(db.source_indices)
+                g_rows, g_aux = bv["rows_bin"], bv["row_bin_sum"]
+            group = _ranking._auto_group(int(q_block.shape[0]))
+            while group >= 32 and dv["n_pad"] % group:
+                group //= 2
+            vals, idx = _ranking.rank_top_k_grouped_metric(
+                q,
+                g_rows,
+                g_aux,
+                k=min(k_pad, n_pad),
+                metric=metric,
+                row_mask=row_mask_dev,
+                recency=rec_pad,
+                group=group,
             )
         elif _use_fused(metric):
             from hyperdb_tpu.ops.pallas_topk import fused_topk, pick_tile

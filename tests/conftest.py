@@ -7,6 +7,12 @@ before the first ``import jax`` anywhere in the test process.
 
 import os
 
+# Keep the suite on the DEVICE paths: the tiny-corpus host fast path would
+# otherwise absorb most small fixtures and silently drop device-kernel
+# coverage. Host/device result equality is pinned in tests/test_host_path.py,
+# which re-enables the path via CONFIG monkeypatching.
+os.environ.setdefault("HYPERDB_HOST_PATH_MAX_CELLS", "0")
+
 # Force CPU even when the environment pins a TPU platform (JAX_PLATFORMS=axon
 # in this image): tests must be hermetic and exercise the 8-device mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"

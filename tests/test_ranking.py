@@ -303,3 +303,113 @@ class TestGroupedTopK:
         assert [r[2] for r in grouped] == [r[2] for r in baseline]
         for (_, gs, _), (_, bs, _) in zip(grouped, baseline):
             assert abs(gs - bs) < 1e-5
+
+
+class TestGroupedMetricTopK:
+    """rank_top_k_grouped_metric: exact agreement with the materialized
+    metric scores for euclidean/hamming/jaccard (no (B, N) score tensor)."""
+
+    def _oracle(self, q, rows, k, metric, mask=None, rec=None):
+        from hyperdb_tpu.ops.metrics import scores
+
+        s = np.asarray(scores(jnp.asarray(q), jnp.asarray(rows), metric))
+        s = np.where(np.isnan(s), -np.inf, s)
+        if rec is not None:
+            s = s + rec[None, :]
+        if mask is not None:
+            s = np.where(mask[None, :], s, -np.inf)
+        # lax.top_k tie order: higher score first, lower index on ties
+        order = np.lexsort((np.arange(s.shape[1])[None, :].repeat(s.shape[0], 0), -s))
+        idx = order[:, :k]
+        return np.take_along_axis(s, idx, axis=1), idx
+
+    def _kernel_inputs(self, rows, metric):
+        if metric == "euclidean_metric":
+            return rows, np.sum(rows.astype(np.float32) ** 2, axis=1)
+        rb = (rows > 0).astype(np.float32)
+        return rb, rb.sum(axis=1)
+
+    @pytest.mark.parametrize(
+        "metric", ["euclidean_metric", "hamming_distance", "jaccard_similarity"]
+    )
+    def test_matches_materialized(self, metric):
+        from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+        rng = np.random.default_rng(10)
+        rows = rng.standard_normal((4096, 24)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        k_rows, aux = self._kernel_inputs(rows, metric)
+        for group in (64, 128):
+            vals, idx = rank_top_k_grouped_metric(
+                jnp.asarray(q), jnp.asarray(k_rows), jnp.asarray(aux),
+                k=6, metric=metric, group=group,
+            )
+            ov, oi = self._oracle(q, rows, 6, metric)
+            np.testing.assert_allclose(
+                np.asarray(vals), ov, rtol=1e-5, atol=1e-6
+            )
+            # hamming/jaccard have massive score ties; compare by score sets
+            if metric == "euclidean_metric":
+                np.testing.assert_array_equal(np.asarray(idx), oi)
+
+    @pytest.mark.parametrize(
+        "metric", ["euclidean_metric", "hamming_distance", "jaccard_similarity"]
+    )
+    def test_mask_recency_and_fallback(self, metric):
+        from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+        rng = np.random.default_rng(11)
+        for n in (2048, 1000):  # 1000 % 64 != 0 exercises the fallback
+            rows = rng.standard_normal((n, 16)).astype(np.float32)
+            q = rng.standard_normal((3, 16)).astype(np.float32)
+            mask = rng.random(n) > 0.3
+            rec = (rng.standard_normal(n) * 0.01).astype(np.float32)
+            k_rows, aux = self._kernel_inputs(rows, metric)
+            vals, idx = rank_top_k_grouped_metric(
+                jnp.asarray(q), jnp.asarray(k_rows), jnp.asarray(aux),
+                k=7, metric=metric,
+                row_mask=jnp.asarray(mask), recency=jnp.asarray(rec),
+                group=64,
+            )
+            ov, oi = self._oracle(q, rows, 7, metric, mask=mask, rec=rec)
+            np.testing.assert_allclose(
+                np.asarray(vals), ov, rtol=1e-5, atol=1e-6
+            )
+            assert mask[np.asarray(idx)].all()
+
+    def test_jaccard_all_zero_rows_rank_last(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+        rng = np.random.default_rng(12)
+        rows = np.abs(rng.standard_normal((256, 8))).astype(np.float32)
+        rows[5] = 0.0  # 0/0 jaccard -> NaN -> -inf
+        q = np.abs(rng.standard_normal((1, 8))).astype(np.float32)
+        rb = (rows > 0).astype(np.float32)
+        vals, idx = rank_top_k_grouped_metric(
+            jnp.asarray(q), jnp.asarray(rb), jnp.asarray(rb.sum(axis=1)),
+            k=255, metric="jaccard_similarity", group=64,
+        )
+        assert 5 not in np.asarray(idx)[0][np.isfinite(np.asarray(vals)[0])]
+
+    @pytest.mark.parametrize(
+        "metric", ["euclidean_metric", "hamming_distance", "jaccard_similarity"]
+    )
+    def test_engine_routes_grouped_metric(self, monkeypatch, metric):
+        from hyperdb_tpu import HyperDB
+        from hyperdb_tpu.config import CONFIG
+
+        rng = np.random.default_rng(13)
+        v = rng.standard_normal((3000, 16)).astype(np.float32)
+        docs = [{"i": int(i)} for i in range(3000)]
+        db = HyperDB(documents=docs, vectors=v)
+        baseline = db.query(v[42], top_k=5, metric=metric)
+
+        monkeypatch.setattr(CONFIG, "grouped_topk_min_rows", 1024)
+        db.clear_cache()
+        grouped = db.query(v[42], top_k=5, metric=metric)
+        got = {(r[2], round(r[1], 5)) for r in grouped}
+        want = {(r[2], round(r[1], 5)) for r in baseline}
+        # binary metrics tie heavily; require score-level equality
+        assert sorted(s for _, s in got) == sorted(s for _, s in want)
+        if metric == "euclidean_metric":
+            assert got == want

@@ -62,6 +62,97 @@ def test_chunked_dedup(mesh):
     assert len(ids) == len(set(ids)) == 3  # every doc once
 
 
+def test_recency_matches_single_chip(mesh):
+    """recency_bias/timestamp_key on the sharded path == the single-chip
+    engine (Q16/Q17), exactly, including the filter interaction."""
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((160, 16)).astype(np.float32)
+    docs = [
+        {"i": int(i), "ts": float(i % 37), "parity": "even" if i % 2 == 0 else "odd"}
+        for i in range(len(v))
+    ]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["ts", "parity"])
+    sdb = ShardedHyperDB(db, make_mesh(8))
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+
+    for bias in (2.0, -1.5):
+        got = sdb.query_batch(q, top_k=5, recency_bias=bias, timestamp_key="ts")
+        want = db.query_batch(q, top_k=5, recency_bias=bias, timestamp_key="ts")
+        for g, w in zip(got, want):
+            assert [r[2] for r in g] == [r[2] for r in w]
+            for (_, gs, _), (_, ws, _) in zip(g, w):
+                assert gs == pytest.approx(ws, rel=1e-4, abs=1e-5)
+
+    got = sdb.query_batch(
+        q, top_k=4, recency_bias=1.0, timestamp_key="ts",
+        filters=[("metadata", {"parity": "odd"})],
+    )
+    want = db.query_batch(
+        q, top_k=4, recency_bias=1.0, timestamp_key="ts",
+        filters=[("metadata", {"parity": "odd"})],
+    )
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+
+
+def test_recency_requires_metadata_key(mesh, db):
+    sdb = ShardedHyperDB(db, mesh)
+    q = np.zeros((1, 16), dtype=np.float32)
+    with pytest.raises(ValueError):
+        sdb.query_batch(q, top_k=2, recency_bias=1.0, timestamp_key="absent")
+
+
+def test_many_chunks_per_doc_exact(mesh):
+    """A document whose chunk count far exceeds chunk_slack must not displace
+    distinct documents: the refill loop keeps dedup exact vs the single-chip
+    segment-max engine."""
+    rng = np.random.default_rng(8)
+    db = HyperDB()
+    target = rng.standard_normal(12).astype(np.float32)
+    # doc 0: 40 chunks ALL near the query (>> chunk_slack=4 overfetch)
+    db.add_document(
+        {"i": 0},
+        vectors=(target[None, :] + 0.01 * rng.standard_normal((40, 12))).astype(
+            np.float32
+        ),
+    )
+    for i in range(1, 30):
+        c = int(rng.integers(1, 3))
+        db.add_document(
+            {"i": int(i)},
+            vectors=(0.3 * target[None, :] + rng.standard_normal((c, 12))).astype(
+                np.float32
+            ),
+        )
+    db.commit_pending()
+    db._build_ann_index()
+
+    sdb = ShardedHyperDB(db, make_mesh(8), chunk_slack=2)
+    got = sdb.query_batch(target[None, :], top_k=10)[0]
+    want = db.query_batch(target[None, :], top_k=10)[0]
+    assert [r[2] for r in got] == [r[2] for r in want]
+    assert len({r[2] for r in got}) == 10
+    for (_, gs, _), (_, ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-4)
+
+
+def test_sharded_query_uses_shared_lru(mesh, db):
+    sdb = ShardedHyperDB(db, mesh)
+    db.clear_cache()
+    q = np.random.default_rng(9).standard_normal(16).astype(np.float32)
+    r1 = sdb.query(q, top_k=3)
+    assert db.cache_misses == 1 and db.cache_hits == 0
+    r2 = sdb.query(q, top_k=3)
+    assert db.cache_hits == 1
+    assert [r[2] for r in r1] == [r[2] for r in r2]
+    # sharded and single-chip results are keyed separately
+    db.query(q, top_k=3)
+    assert db.cache_misses == 2
+    # mutation clears the shared cache
+    db.add({"i": 999, "parity": "even", "text": "new"})
+    assert len(db.lru_cache) == 0
+
+
 def test_key_filter_rejected(mesh, db):
     sdb = ShardedHyperDB(db, mesh)
     q = np.zeros((1, 16), dtype=np.float32)
