@@ -42,7 +42,18 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=10_000)
     parser.add_argument("--remove", type=int, default=1_000)
+    parser.add_argument(
+        "--embedder", default=None, choices=["auto", "hash", "local"],
+        help="override HYPERDB_DEFAULT_EMBEDDER for this run",
+    )
+    parser.add_argument(
+        "--stream", action="store_true",
+        help="ingest via add_stream (producer-thread embedding overlapped "
+        "with commit/index work) instead of one add()",
+    )
     args = parser.parse_args()
+    if args.embedder:
+        os.environ["HYPERDB_DEFAULT_EMBEDDER"] = args.embedder
 
     rng = random.Random(0)
     docs = [
@@ -51,9 +62,16 @@ def main():
     ]
 
     db = HyperDB()
+    emb_name = type(db._embedder()).__name__
     t0 = time.perf_counter()
-    db.add(docs)
-    report("add_documents", time.perf_counter() - t0, {"n": args.n})
+    if args.stream:
+        db.add_stream(docs, batch_size=2048)
+    else:
+        db.add(docs)
+    report(
+        "add_documents", time.perf_counter() - t0,
+        {"n": args.n, "embedder": emb_name, "stream": bool(args.stream)},
+    )
 
     t0 = time.perf_counter()
     db.query("a random query string", top_k=10)

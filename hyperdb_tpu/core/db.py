@@ -199,7 +199,11 @@ class HyperDB:
 
     def _tokenizer(self):
         if self._tokenizer_obj is None:
-            self._tokenizer_obj = _chunker.default_tokenizer()
+            # The trained local encoder chunks with its own WordPiece vocab
+            # (the reference pairs BertTokenizerFast with MiniLM the same
+            # way, hyperdb.py:248); other embedders use word tokens.
+            chunk_tok = getattr(self._embedder(), "chunk_tokenizer", None)
+            self._tokenizer_obj = chunk_tok or _chunker.default_tokenizer()
         return self._tokenizer_obj
 
     def _embedder(self):

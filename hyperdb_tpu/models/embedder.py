@@ -91,21 +91,37 @@ class HashEmbedder:
 
 
 def default_embedder(dim: int = 384) -> Embedder:
-    """MiniLM on TPU when its assets are available locally, else the hermetic
-    hash encoder. Process-wide singleton mirrors the reference's module-level
+    """Best semantic encoder available, in order: HF-pretrained MiniLM (when
+    its cache exists locally), the IN-REPO TRAINED encoder (models/assets/,
+    built by benchmarks/train_encoder.py — the default in zero-egress
+    images), then the hermetic hash encoder. Override with
+    HYPERDB_DEFAULT_EMBEDDER=auto|hash|local|hf.
+
+    Process-wide singleton mirrors the reference's module-level
     EMBEDDING_MODEL (hyperdb.py:24-25,241-248) — but with an init lock (the
     reference's check-then-set is racy under threads, SURVEY.md §5)."""
+    import os
+
     global _DEFAULT_EMBEDDER
     with _EMBEDDER_LOCK:
         if _DEFAULT_EMBEDDER is not None and _DEFAULT_EMBEDDER.dim == dim:
             return _DEFAULT_EMBEDDER
+        mode = os.environ.get("HYPERDB_DEFAULT_EMBEDDER", "auto")
         embedder: Embedder | None = None
-        try:
-            from hyperdb_tpu.models.minilm import MiniLMEmbedder
+        if mode in ("auto", "hf"):
+            try:
+                from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
-            embedder = MiniLMEmbedder.maybe_pretrained(dim=dim)
-        except Exception:
-            embedder = None
+                embedder = MiniLMEmbedder.maybe_pretrained(dim=dim)
+            except Exception:
+                embedder = None
+        if embedder is None and mode in ("auto", "local") and dim == 384:
+            try:
+                from hyperdb_tpu.models.minilm import MiniLMEmbedder
+
+                embedder = MiniLMEmbedder.from_local_assets()
+            except Exception:
+                embedder = None
         if embedder is None:
             embedder = HashEmbedder(dim=dim)
         _DEFAULT_EMBEDDER = embedder

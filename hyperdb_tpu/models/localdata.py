@@ -1,0 +1,443 @@
+"""Local training data for the from-scratch sentence encoder.
+
+This image has no network, so the encoder's training corpus is generated
+locally from two sources:
+
+1. :func:`concept_corpus` — a templated entity-profile corpus with a
+   CONTROLLED paraphrase structure: each latent concept ("sleeps a lot",
+   "lives near water", ...) has several disjoint surface phrasings.
+   Documents render concepts with one phrasing; queries mention the same
+   concepts with a *different* phrasing, so lexical overlap between a query
+   and its target document is systematically low. A feature-hashing encoder
+   (models/embedder.HashEmbedder) cannot bridge the paraphrase gap; a
+   contrastively trained encoder learns that co-occurring surfaces of one
+   concept embed together. Train/held-out splits use disjoint entities and
+   concept combinations, so the eval measures generalization, not
+   memorization.
+
+2. :func:`stdlib_texts` — natural English mined from the Python standard
+   library's docstrings (deterministic order). Used to enrich the WordPiece
+   vocabulary and as span-pair pretraining text so the encoder sees real
+   prose, not only templates.
+
+The retrieval benchmark built from the held-out split
+(:func:`retrieval_eval_set`) is the acceptance test for "semantic encoder
+beats hash encoder" (benchmarks/eval_retrieval.py; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Concept bank: each concept has >= 4 surface phrasings with deliberately low
+# mutual word overlap. Queries and documents always draw DIFFERENT surfaces.
+# ---------------------------------------------------------------------------
+
+CONCEPTS: dict[str, list[str]] = {
+    "sleep": [
+        "sleeps through most of the day",
+        "naps constantly in warm corners",
+        "dozes for hours beneath the rocks",
+        "spends the afternoon slumbering",
+        "is rarely awake before dusk",
+    ],
+    "water": [
+        "lives near rivers and shallow streams",
+        "makes its home by the waterside",
+        "is found along lakes and wet marshes",
+        "never strays far from the shore",
+        "favors damp pools and flooded caves",
+    ],
+    "fly": [
+        "soars high above the cliffs",
+        "rides the wind for days without rest",
+        "glides silently over open fields",
+        "circles the peaks on broad wings",
+        "drifts with the storm currents",
+    ],
+    "dig": [
+        "burrows long tunnels underground",
+        "digs deep chambers below the surface",
+        "excavates winding dens in the soil",
+        "carves hollows beneath tree roots",
+        "tunnels through packed earth with ease",
+    ],
+    "sing": [
+        "sings at dusk to mark its territory",
+        "calls out with a melodic evening cry",
+        "whistles long tunes from the treetops",
+        "hums a low song when content",
+        "fills the valley with its voice",
+    ],
+    "hoard": [
+        "hoards shiny pebbles and lost trinkets",
+        "collects glittering stones in its den",
+        "gathers bright objects obsessively",
+        "stockpiles polished shells and beads",
+        "keeps a stash of gleaming treasures",
+    ],
+    "hunt": [
+        "hunts small prey at first light",
+        "stalks its quarry through tall grass",
+        "ambushes anything that wanders close",
+        "chases down insects with darting strikes",
+        "preys on whatever crosses its path",
+    ],
+    "cold": [
+        "thrives in snowfields and bitter frost",
+        "prefers the coldest mountain slopes",
+        "is at home in ice caves and glaciers",
+        "endures freezing winds without shelter",
+        "waits out blizzards buried in snow",
+    ],
+    "heat": [
+        "basks on sun-scorched desert stones",
+        "tolerates searing midday temperatures",
+        "lingers near lava vents and hot springs",
+        "flourishes in dry burning badlands",
+        "absorbs warmth from heated sand",
+    ],
+    "night": [
+        "is active only after dark",
+        "emerges when the moon rises",
+        "prowls during the midnight hours",
+        "avoids daylight entirely",
+        "wakes as the stars come out",
+    ],
+    "social": [
+        "travels in large noisy packs",
+        "is never seen without its herd",
+        "forms tight-knit family groups",
+        "migrates in sweeping flocks",
+        "shares its den with many companions",
+    ],
+    "solitary": [
+        "lives entirely alone",
+        "defends a territory of its own",
+        "avoids others of its kind",
+        "wanders the wilds as a loner",
+        "meets its kin only to quarrel",
+    ],
+    "fast": [
+        "outruns everything on the plains",
+        "moves in sudden lightning bursts",
+        "races storms across open ground",
+        "is too quick for the eye to follow",
+        "dashes between shadows in a blink",
+    ],
+    "strong": [
+        "topples trees with a single blow",
+        "carries boulders twice its size",
+        "crushes stone between its jaws",
+        "is famed for its immense power",
+        "drags whole logs back to its nest",
+    ],
+    "shy": [
+        "hides at the faintest sound",
+        "flees from anything unfamiliar",
+        "is almost impossible to approach",
+        "melts into the undergrowth when seen",
+        "trembles and retreats from strangers",
+    ],
+    "curious": [
+        "investigates every new scent",
+        "pokes its nose into travelers' packs",
+        "follows wanderers out of curiosity",
+        "studies unfamiliar objects for hours",
+        "cannot resist exploring strange places",
+    ],
+    "glow": [
+        "glows with a soft inner light",
+        "shimmers faintly in the dark",
+        "gives off a pale luminous haze",
+        "lights caverns with its radiance",
+        "flickers like a lantern at night",
+    ],
+    "armor": [
+        "is covered in thick bony plates",
+        "wears a shell harder than iron",
+        "carries natural armor on its back",
+        "deflects blows with its rigid hide",
+        "is protected by overlapping scales",
+    ],
+    "venom": [
+        "delivers a paralyzing sting",
+        "carries potent toxins in its fangs",
+        "secretes a numbing poison",
+        "tips its spines with venom",
+        "leaves a toxic trace on whatever it touches",
+    ],
+    "heal": [
+        "mends the wounds of other creatures",
+        "tends to injured companions",
+        "soothes pain with its warm aura",
+        "is sought out for its restorative touch",
+        "nurses the sick back to strength",
+    ],
+    "fruit": [
+        "feeds on fallen orchard fruit",
+        "forages for ripe berries",
+        "raids melon patches at harvest time",
+        "lives on sweet windfall apples",
+        "picks soft figs from low branches",
+    ],
+    "fish": [
+        "catches fish with practiced ease",
+        "snaps minnows from the current",
+        "dives for trout in clear pools",
+        "waits motionless to spear passing fish",
+        "scoops fry from the riverbed",
+    ],
+    "storm": [
+        "appears just before thunderstorms",
+        "dances in the lightning's glare",
+        "follows the path of rolling thunder",
+        "is drawn to charged stormy skies",
+        "rides ahead of the breaking gale",
+    ],
+    "mimic": [
+        "imitates the calls of other animals",
+        "copies any sound it hears",
+        "echoes voices back at travelers",
+        "disguises itself as common wildlife",
+        "repeats whole songs note for note",
+    ],
+}
+
+TYPES = ["ember", "tide", "vine", "storm", "stone", "gale", "frost",
+         "shadow", "light", "iron"]
+
+_SYLLA = ["ka", "ru", "mo", "ti", "ve", "sha", "lo", "zi", "pon", "dra",
+          "ne", "qua", "fel", "gor", "mi", "tu", "bel", "os", "ya", "ki"]
+
+_QUERY_TEMPLATES = [
+    "a creature that {c}",
+    "which one {c}?",
+    "find the {t} creature that {c}",
+    "looking for something that {c}",
+    "it {c}",
+]
+
+# Two-concept queries: mentioning two of a document's three concepts makes
+# the target (nearly) unique among 1000 docs, where a single concept is
+# shared by ~12% of the corpus — raising the achievable recall ceiling.
+_QUERY2_TEMPLATES = [
+    "a creature that {c0} and {c1}",
+    "which {t} creature {c0} and also {c1}?",
+    "looking for one that {c0}; it also {c1}",
+    "find something that {c0} and {c1}",
+    "it {c0} and it {c1}",
+]
+
+_DOC_TEMPLATES = [
+    "{name} is a {t}-aligned creature. It {c0}. It also {c1}. Keepers note that it {c2}.",
+    "The {t} creature {name} {c0} and {c1}. Old field guides say it {c2}.",
+    "{name}, of the {t} kind, {c0}. Unusually, it {c1}; moreover it {c2}.",
+]
+
+
+def _entity_name(rng: np.random.Generator) -> str:
+    parts = rng.choice(len(_SYLLA), size=3, replace=True)
+    return "".join(_SYLLA[p] for p in parts).capitalize()
+
+
+def concept_corpus(
+    num_docs: int = 4000,
+    seed: int = 0,
+    concepts_per_doc: int = 3,
+):
+    """Entity-profile documents with latent concept assignments.
+
+    Returns (docs, doc_concepts, doc_surface_ids): ``docs`` are text
+    documents; ``doc_concepts[i]`` the concept keys rendered into doc i;
+    ``doc_surface_ids[i]`` which surface index each concept used.
+    """
+    rng = np.random.default_rng(seed)
+    keys = sorted(CONCEPTS)
+    docs, doc_concepts, doc_surfaces, doc_types = [], [], [], []
+    for i in range(num_docs):
+        chosen = rng.choice(len(keys), size=concepts_per_doc, replace=False)
+        ckeys = [keys[c] for c in chosen]
+        sids = [int(rng.integers(0, len(CONCEPTS[k]))) for k in ckeys]
+        name = _entity_name(rng)
+        typ = TYPES[int(rng.integers(0, len(TYPES)))]
+        tmpl = _DOC_TEMPLATES[int(rng.integers(0, len(_DOC_TEMPLATES)))]
+        text = tmpl.format(
+            name=name, t=typ,
+            c0=CONCEPTS[ckeys[0]][sids[0]],
+            c1=CONCEPTS[ckeys[1]][sids[1]],
+            c2=CONCEPTS[ckeys[2]][sids[2]],
+        )
+        docs.append(text)
+        doc_concepts.append(ckeys)
+        doc_surfaces.append(sids)
+        doc_types.append(typ)
+    return docs, doc_concepts, doc_surfaces, doc_types
+
+
+def paraphrase_query(
+    concept_key: str,
+    doc_surface_id: int,
+    rng: np.random.Generator,
+    doc_type: str | None = None,
+) -> str:
+    """A query about ``concept_key`` using a surface DIFFERENT from the one
+    rendered in the document (the paraphrase gap the encoder must learn).
+    When the template mentions a creature type it uses the TARGET document's
+    type — a weak lexical anchor every encoder (including the hash baseline)
+    can exploit, keeping the benchmark fair rather than purely adversarial
+    to lexical methods."""
+    surfaces = CONCEPTS[concept_key]
+    choices = [j for j in range(len(surfaces)) if j != doc_surface_id]
+    sid = choices[int(rng.integers(0, len(choices)))]
+    tmpl = _QUERY_TEMPLATES[int(rng.integers(0, len(_QUERY_TEMPLATES)))]
+    typ = doc_type or TYPES[int(rng.integers(0, len(TYPES)))]
+    return tmpl.format(c=surfaces[sid], t=typ)
+
+
+def _other_surface(concept_key: str, doc_surface_id: int, rng) -> str:
+    surfaces = CONCEPTS[concept_key]
+    choices = [j for j in range(len(surfaces)) if j != doc_surface_id]
+    return surfaces[choices[int(rng.integers(0, len(choices)))]]
+
+
+def paraphrase_query2(
+    doc_concepts: list[str],
+    doc_surfaces: list[int],
+    rng: np.random.Generator,
+    doc_type: str,
+) -> str:
+    """A query mentioning TWO of the document's concepts, each with a
+    surface different from the document's rendering."""
+    picks = rng.choice(len(doc_concepts), size=2, replace=False)
+    c0 = _other_surface(doc_concepts[picks[0]], doc_surfaces[picks[0]], rng)
+    c1 = _other_surface(doc_concepts[picks[1]], doc_surfaces[picks[1]], rng)
+    tmpl = _QUERY2_TEMPLATES[int(rng.integers(0, len(_QUERY2_TEMPLATES)))]
+    return tmpl.format(c0=c0, c1=c1, t=doc_type)
+
+
+def training_pairs(num_pairs: int = 20000, seed: int = 1):
+    """(query, positive document) pairs over a fresh training corpus."""
+    docs, doc_concepts, doc_surfaces, doc_types = concept_corpus(
+        num_docs=max(1000, num_pairs // 4), seed=seed
+    )
+    rng = np.random.default_rng(seed + 1)
+    pairs = []
+    for n in range(num_pairs):
+        di = int(rng.integers(0, len(docs)))
+        if n % 2 == 0:  # mix single- and two-concept query styles
+            ci = int(rng.integers(0, len(doc_concepts[di])))
+            q = paraphrase_query(
+                doc_concepts[di][ci], doc_surfaces[di][ci], rng, doc_types[di]
+            )
+        else:
+            q = paraphrase_query2(
+                doc_concepts[di], doc_surfaces[di], rng, doc_types[di]
+            )
+        pairs.append((q, docs[di]))
+    return pairs
+
+
+def retrieval_eval_set(
+    num_docs: int = 1000, num_queries: int = 200, seed: int = 777
+):
+    """Held-out corpus + paraphrase queries with known target documents.
+
+    The seed is disjoint from training (fresh entities, fresh concept
+    combinations, and each query's surface differs from its document's), so
+    a high recall requires surface->concept generalization.
+    """
+    docs, doc_concepts, doc_surfaces, doc_types = concept_corpus(
+        num_docs=num_docs, seed=seed
+    )
+    rng = np.random.default_rng(seed + 1)
+    queries, targets = [], []
+    for _ in range(num_queries):
+        di = int(rng.integers(0, len(docs)))
+        queries.append(
+            paraphrase_query2(
+                doc_concepts[di], doc_surfaces[di], rng, doc_types[di]
+            )
+        )
+        targets.append(di)
+    return docs, queries, targets
+
+
+def evaluate_retrieval(encode, ks=(1, 10), eval_set=None):
+    """Recall@k / MRR of an encoder on the held-out paraphrase benchmark.
+
+    ``encode`` maps a list of texts to (n, d) float32 embeddings. Ranking is
+    plain cosine (the engine's default metric). Returns a dict of metrics.
+    """
+    docs, queries, targets = eval_set or retrieval_eval_set()
+    d_emb = np.array(encode(docs), dtype=np.float32)
+    q_emb = np.array(encode(queries), dtype=np.float32)
+    d_emb /= np.maximum(np.linalg.norm(d_emb, axis=1, keepdims=True), 1e-12)
+    q_emb /= np.maximum(np.linalg.norm(q_emb, axis=1, keepdims=True), 1e-12)
+    sims = q_emb @ d_emb.T  # (Q, N)
+    order = np.argsort(-sims, axis=1)
+    ranks = np.empty(len(queries), dtype=np.int64)
+    for qi, tgt in enumerate(targets):
+        ranks[qi] = int(np.where(order[qi] == tgt)[0][0])
+    out = {f"recall@{k}": float(np.mean(ranks < k)) for k in ks}
+    out["mrr"] = float(np.mean(1.0 / (ranks + 1)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Natural prose from the standard library (vocab enrichment + span pairs)
+# ---------------------------------------------------------------------------
+
+_SENTENCE_RE = re.compile(r"[A-Z][^.!?]{30,400}[.!?]")
+
+
+def stdlib_texts(max_files: int = 400, min_len: int = 60) -> list[str]:
+    """Docstring paragraphs mined from the Python standard library, in
+    deterministic (sorted path) order. Pure local data — no network."""
+    stdlib_dir = os.path.dirname(os.__file__)
+    texts: list[str] = []
+    names = sorted(
+        f for f in os.listdir(stdlib_dir)
+        if f.endswith(".py") and not f.startswith("_")
+    )[:max_files]
+    for name in names:
+        path = os.path.join(stdlib_dir, name)
+        try:
+            with open(path, encoding="utf-8", errors="ignore") as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError, ValueError):
+            continue
+        for node in ast.walk(tree):
+            if isinstance(
+                node,
+                (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            ):
+                doc = ast.get_docstring(node)
+                if doc:
+                    cleaned = " ".join(doc.split())
+                    if len(cleaned) >= min_len:
+                        texts.append(cleaned)
+    return texts
+
+
+def stdlib_span_pairs(max_pairs: int = 8000) -> list[tuple[str, str]]:
+    """Contrastive (span, other-span-of-same-docstring) pairs: two disjoint
+    sentence runs of one docstring are positives (they share a topic, not
+    necessarily words) — the classic unsupervised cropping objective."""
+    pairs = []
+    for text in stdlib_texts():
+        sentences = _SENTENCE_RE.findall(text)
+        if len(sentences) >= 2:
+            half = len(sentences) // 2
+            a = " ".join(sentences[:half])
+            b = " ".join(sentences[half:])
+            if len(a) > 40 and len(b) > 40:
+                pairs.append((a, b))
+        if len(pairs) >= max_pairs:
+            break
+    return pairs

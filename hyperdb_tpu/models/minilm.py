@@ -61,7 +61,14 @@ PRESETS = {
     "minilm-l6": EncoderConfig(),
     "minilm-l12": EncoderConfig(layers=12),
     "bert-base": EncoderConfig(hidden=768, layers=12, heads=12, intermediate=3072),
+    # The in-repo trained encoder (benchmarks/train_encoder.py): same 384-d
+    # sentence embeddings as MiniLM-L6 but 4 layers and an 8k in-repo
+    # WordPiece vocab — small enough to ship trained weights as a repo
+    # artifact (models/assets/) in a zero-egress image.
+    "local-384": EncoderConfig(layers=4, vocab_size=8192),
 }
+
+ASSETS_DIR = __file__.rsplit("/", 1)[0] + "/assets"
 
 
 class MiniLMLayer(nn.Module):
@@ -216,6 +223,50 @@ def load_hf_params(dtype=jnp.bfloat16):
 
 
 # --------------------------------------------------------------------------
+# Repo-artifact persistence for trained parameters (models/assets/)
+# --------------------------------------------------------------------------
+
+
+def save_params(params, path: str) -> None:
+    """Flatten a param tree into a compressed npz (float16 leaves)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            arr = np.asarray(node)
+            if arr.dtype in (np.float32, np.float64) or str(arr.dtype) == "bfloat16":
+                arr = arr.astype(np.float16)
+            flat[prefix] = arr
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_saved_params(path: str, dtype=jnp.bfloat16):
+    """Inverse of :func:`save_params`; float leaves cast to ``dtype``
+    (layer norms back to f32, matching the model's mixed precision)."""
+    tree: dict = {}
+    with np.load(path, allow_pickle=False) as f:
+        for key, arr in f.items():
+            node = tree
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            leaf = parts[-1]
+            target = (
+                jnp.float32
+                if leaf == "scale"
+                or (len(parts) > 1 and parts[-2].endswith("_ln"))
+                else dtype
+            )
+            node[leaf] = jnp.asarray(arr, dtype=target)
+    return tree
+
+
+# --------------------------------------------------------------------------
 # Hermetic tokenizer: words -> stable ids in the BERT id space
 # --------------------------------------------------------------------------
 
@@ -269,6 +320,33 @@ class MiniLMEmbedder:
         self._apply = jax.jit(self.model.apply)
 
     @classmethod
+    def from_local_assets(cls, assets_dir: str | None = None):
+        """The in-repo trained encoder: WordPiece vocab + trained weights
+        shipped as repo artifacts (built by benchmarks/train_encoder.py).
+        Returns None when the artifacts are absent."""
+        import json
+        import os
+
+        from hyperdb_tpu.models.wordpiece import WordPieceTokenizer
+
+        assets = assets_dir or ASSETS_DIR
+        vocab_path = os.path.join(assets, "vocab.txt")
+        params_path = os.path.join(assets, "encoder_local.npz")
+        manifest_path = os.path.join(assets, "manifest.json")
+        if not (os.path.exists(vocab_path) and os.path.exists(params_path)):
+            return None
+        config = PRESETS["local-384"]
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            config = EncoderConfig(**manifest.get("config", {}))
+        tokenizer = WordPieceTokenizer.load(vocab_path)
+        params = load_saved_params(params_path)
+        emb = cls(params=params, tokenizer=tokenizer, config=config)
+        emb.chunk_tokenizer = tokenizer  # WordPiece chunking (C3 upgrade)
+        return emb
+
+    @classmethod
     def maybe_pretrained(cls, dim: int = HIDDEN):
         """Only returns an embedder when real pretrained weights exist
         locally; None otherwise (callers fall back to the hash encoder)."""
@@ -308,7 +386,9 @@ class MiniLMEmbedder:
         seq = self._bucket(max_len, SEQ_BUCKETS)
         batch = 1 << (len(encoded) - 1).bit_length()
 
-        ids = np.full((batch, seq), _PAD, dtype=np.int32)
+        pad_id = getattr(self._tokenizer, "pad_id", _PAD)
+        cls_id = getattr(self._tokenizer, "cls_id", _CLS)
+        ids = np.full((batch, seq), pad_id, dtype=np.int32)
         mask = np.zeros((batch, seq), dtype=np.int32)
         for i, (tok_ids, tok_mask) in enumerate(encoded):
             tok_ids = tok_ids[:seq]
@@ -318,7 +398,7 @@ class MiniLMEmbedder:
         # fully padded rows would mean-pool over nothing; give them one live
         # CLS token so the kernel stays NaN-free
         empty = mask.sum(axis=1) == 0
-        ids[empty, 0] = _CLS
+        ids[empty, 0] = cls_id
         mask[empty, 0] = 1
 
         emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))

@@ -123,3 +123,132 @@ void hdb_merge_topk(const float* scores, const int64_t* ids, size_t total,
 void hdb_free(void* ptr) { std::free(ptr); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// WordPiece encoder — the in-repo C++ replacement for the HF Rust
+// tokenizers dependency (reference hyperdb.py:18,248; SURVEY.md §2.3).
+// Greedy longest-match-first over a fixed vocab, identical semantics to
+// hyperdb_tpu/models/wordpiece.WordPieceTokenizer for ASCII input (the
+// Python binding routes non-ASCII to the Python path, same contract as
+// hdb_tokenize_filter).
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct WordPieceVocab {
+  std::unordered_map<std::string, int32_t> token_to_id;
+  std::unordered_map<std::string, std::vector<int32_t>> word_cache;
+  size_t max_piece = 1;
+  int32_t unk_id = 1;
+};
+
+// Pretokenize: lowercase words (\w+ = [a-z0-9_]) and single punctuation
+// chars, matching the Python `\w+|[^\w\s]` pretokenizer on ASCII.
+inline bool is_word_char(unsigned char c) {
+  return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+         (c >= 'A' && c <= 'Z') || c == '_';
+}
+
+void wordpiece_word(WordPieceVocab* v, const std::string& word,
+                    std::vector<int32_t>& out) {
+  auto cached = v->word_cache.find(word);
+  if (cached != v->word_cache.end()) {
+    out.insert(out.end(), cached->second.begin(), cached->second.end());
+    return;
+  }
+  std::vector<int32_t> ids;
+  size_t start = 0;
+  const size_t n = word.size();
+  while (start < n) {
+    size_t end = n < start + v->max_piece ? n : start + v->max_piece;
+    int32_t piece_id = -1;
+    while (end > start) {
+      std::string piece = start > 0 ? "##" + word.substr(start, end - start)
+                                    : word.substr(start, end - start);
+      auto it = v->token_to_id.find(piece);
+      if (it != v->token_to_id.end()) {
+        piece_id = it->second;
+        break;
+      }
+      --end;
+    }
+    if (piece_id < 0) {  // unsplittable word -> single [UNK]
+      ids.assign(1, v->unk_id);
+      break;
+    }
+    ids.push_back(piece_id);
+    start = end;
+  }
+  if (v->word_cache.size() < 1000000) v->word_cache.emplace(word, ids);
+  out.insert(out.end(), ids.begin(), ids.end());
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab_blob: '\n'-joined vocab tokens in id order. Returns opaque handle.
+void* hdb_wordpiece_load(const char* vocab_blob, size_t len, int32_t unk_id) {
+  auto* v = new WordPieceVocab();
+  v->unk_id = unk_id;
+  size_t start = 0;
+  int32_t id = 0;
+  for (size_t i = 0; i <= len; ++i) {
+    if (i == len || vocab_blob[i] == '\n') {
+      if (i > start) {
+        std::string tok(vocab_blob + start, i - start);
+        if (tok.size() > v->max_piece) v->max_piece = tok.size();
+        v->token_to_id.emplace(std::move(tok), id);
+      }
+      ++id;
+      start = i + 1;
+    }
+  }
+  return v;
+}
+
+void hdb_wordpiece_free(void* handle) {
+  delete static_cast<WordPieceVocab*>(handle);
+}
+
+// Encode one ASCII text: lowercase, pretokenize, greedy WordPiece. Writes at
+// most max_out ids into out_ids; returns the number written (the text's
+// full id count is min()'d into max_out — callers size max_out generously).
+int64_t hdb_wordpiece_encode(void* handle, const char* text, size_t len,
+                             int32_t* out_ids, int64_t max_out) {
+  auto* v = static_cast<WordPieceVocab*>(handle);
+  std::vector<int32_t> ids;
+  ids.reserve(len / 4 + 4);
+  std::string word;
+  size_t i = 0;
+  while (i < len) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (is_word_char(c)) {
+      word.clear();
+      while (i < len && is_word_char(static_cast<unsigned char>(text[i]))) {
+        unsigned char w = static_cast<unsigned char>(text[i]);
+        word.push_back((w >= 'A' && w <= 'Z') ? static_cast<char>(w + 32)
+                                              : static_cast<char>(w));
+        ++i;
+      }
+      wordpiece_word(v, word, ids);
+    } else if (!is_space(c)) {
+      // single punctuation char token (Python's [^\w\s] also covers
+      // control chars outside \s — they just resolve to [UNK])
+      word.assign(1, static_cast<char>(c));
+      wordpiece_word(v, word, ids);
+      ++i;
+    } else {
+      ++i;  // whitespace
+    }
+  }
+  int64_t count = static_cast<int64_t>(ids.size());
+  if (count > max_out) count = max_out;
+  for (int64_t j = 0; j < count; ++j) out_ids[j] = ids[j];
+  return count;
+}
+
+}  // extern "C"

@@ -65,6 +65,22 @@ def _load():
             ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t),
         ]
+    lib.hdb_wordpiece_load.restype = ctypes.c_void_p
+    lib.hdb_wordpiece_load.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_int32,
+    ]
+    lib.hdb_wordpiece_free.restype = None
+    lib.hdb_wordpiece_free.argtypes = [ctypes.c_void_p]
+    lib.hdb_wordpiece_encode.restype = ctypes.c_int64
+    lib.hdb_wordpiece_encode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
     lib.hdb_merge_topk.restype = None
     lib.hdb_merge_topk.argtypes = [
         ctypes.POINTER(ctypes.c_float),
@@ -128,6 +144,48 @@ def native_filter_tokenize(text: str):
     if lib is None:
         return None
     return set(_call_tokenize(lib, "hdb_tokenize_filter", text))
+
+
+class NativeWordPiece:
+    """C++ greedy WordPiece encoder over a fixed vocab (the in-repo
+    replacement for the HF Rust tokenizers dependency, SURVEY.md §2.3).
+
+    ASCII-only by the same contract as the filter tokenizer: the caller
+    (models/wordpiece.WordPieceTokenizer) routes non-ASCII text to Python.
+    """
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+        self._buf = (ctypes.c_int32 * 4096)()
+
+    @classmethod
+    def maybe_load(cls, vocab: list[str], unk_id: int):
+        lib = _load()
+        if lib is None:
+            return None
+        blob = "\n".join(vocab).encode("utf-8")
+        handle = lib.hdb_wordpiece_load(blob, len(blob), unk_id)
+        if not handle:
+            return None
+        return cls(lib, handle)
+
+    def __del__(self):
+        try:
+            if self._handle:
+                self._lib.hdb_wordpiece_free(self._handle)
+        except Exception:
+            pass
+
+    def encode_ids(self, text: str) -> list[int] | None:
+        raw = text.encode("utf-8")
+        need = max(4096, len(raw) + 8)
+        if need > len(self._buf):
+            self._buf = (ctypes.c_int32 * need)()
+        n = self._lib.hdb_wordpiece_encode(
+            self._handle, raw, len(raw), self._buf, len(self._buf)
+        )
+        return list(self._buf[:n])
 
 
 def native_merge_topk(scores: np.ndarray, ids: np.ndarray, k: int):

@@ -59,6 +59,53 @@ def int8_scores(
     return s.astype(jnp.float32) * (q_scale[:, None] * v_scales[None, :])
 
 
+def _int8_grouped_topk(
+    q_i8, q_scale, v_i8, v_scales, k, group, row_mask, recency
+):
+    """Grouped int8 scan: the (B, N) f32 score tensor is never materialized.
+
+    Stage 1 runs the int8 matmul GROUPWISE — (B, g, group) int32 straight
+    into the scale/mask/recency epilogue and the per-group max — so HBM
+    traffic is the int8 corpus read plus (B, g) maxes, not a (B, N) f32
+    write+read (1 GB at batch 256 x 1M rows, which dominated the flat form).
+    Stage 3 rescoring gathers only the k winning groups' int8 rows. Same
+    containment argument as ops/ranking.rank_top_k_grouped.
+    """
+    n, d = v_i8.shape
+    g = n // group
+    r3 = v_i8.reshape(g, group, d)
+    sc3 = v_scales.reshape(g, group)
+    inter3 = jax.lax.dot_general(
+        q_i8, r3, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B, g, group) int32
+    s3 = inter3.astype(jnp.float32) * (q_scale[:, None, None] * sc3[None])
+    rec3 = mask3 = None
+    if recency is not None:
+        rec3 = recency.reshape(g, group)
+        s3 = s3 + rec3[None]
+    if row_mask is not None:
+        mask3 = row_mask.reshape(g, group)
+        s3 = jnp.where(mask3[None], s3, NEG_INF)
+    gmax = jnp.max(s3, axis=-1)
+    _, gidx = jax.lax.top_k(gmax, k)  # (B, k)
+
+    cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d) int8
+    inter_c = jnp.einsum(
+        "bd,bkgd->bkg", q_i8.astype(jnp.float32), cand_rows.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    cs = inter_c * (q_scale[:, None, None] * jnp.take(sc3, gidx, axis=0))
+    if rec3 is not None:
+        cs = cs + jnp.take(rec3, gidx, axis=0)
+    if mask3 is not None:
+        cs = jnp.where(jnp.take(mask3, gidx, axis=0), cs, NEG_INF)
+    cs = cs.reshape(q_i8.shape[0], k * group)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(gidx, pos // group, axis=-1)
+    return vals, (winner * group + pos % group).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "overfetch"))
 def rank_top_k_int8(
     queries: jax.Array,
@@ -78,22 +125,27 @@ def rank_top_k_int8(
     """
     q32 = queries.astype(jnp.float32)
     q_i8, q_scale = _quantize_device(q32)
-    s = int8_scores(q_i8, q_scale, v_i8, v_scales)
-    if recency is not None:
-        # recency shifts the ranking like a score offset, so candidate
-        # selection must see it too, not just the re-score pass
-        s = s + recency[None, :]
-    if row_mask is not None:
-        s = jnp.where(row_mask[None, :], s, NEG_INF)
-
-    # group-max pre-selection instead of a wide native TopK sort — exact on
-    # the int8 scores and ~1.6-3x cheaper at 1M rows (ops/ranking notes)
     group = _auto_group(int(queries.shape[0]))
-    if rescore_rows is None:
-        return exact_top_k_grouped(s, k, group=group)
+    n = v_i8.shape[0]
+    k_fetch = k if rescore_rows is None else min(k * overfetch, n)
 
-    k_fetch = min(k * overfetch, s.shape[-1])
-    _, cand = exact_top_k_grouped(s, k_fetch, group=group)  # (B, k_fetch) ids
+    if n % group == 0 and n > k_fetch * group:
+        vals, cand = _int8_grouped_topk(
+            q_i8, q_scale, v_i8, v_scales, k_fetch, group, row_mask, recency
+        )
+    else:
+        s = int8_scores(q_i8, q_scale, v_i8, v_scales)
+        if recency is not None:
+            # recency shifts the ranking like a score offset, so candidate
+            # selection must see it too, not just the re-score pass
+            s = s + recency[None, :]
+        if row_mask is not None:
+            s = jnp.where(row_mask[None, :], s, NEG_INF)
+        vals, cand = exact_top_k_grouped(s, k_fetch, group=group)
+
+    if rescore_rows is None:
+        return vals, cand
+
     sub = rescore_rows[cand]  # (B, k_fetch, d) gather
     exact = jnp.einsum(
         "bd,bkd->bk",

@@ -13,6 +13,10 @@ import os
 # which re-enables the path via CONFIG monkeypatching.
 os.environ.setdefault("HYPERDB_HOST_PATH_MAX_CELLS", "0")
 
+# The hermetic hash embedder keeps the suite fast and deterministic; the
+# trained local encoder (models/assets/) is exercised by its own tests.
+os.environ.setdefault("HYPERDB_DEFAULT_EMBEDDER", "hash")
+
 # Force CPU even when the environment pins a TPU platform (JAX_PLATFORMS=axon
 # in this image): tests must be hermetic and exercise the 8-device mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"

@@ -1,0 +1,298 @@
+"""WordPiece trainer/tokenizer, local training data, and encoder assets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hyperdb_tpu.models import localdata
+from hyperdb_tpu.models.wordpiece import (
+    CLS,
+    PAD,
+    SEP,
+    SPECIALS,
+    UNK,
+    WordPieceTokenizer,
+    train_wordpiece,
+)
+
+
+class TestWordPiece:
+    def test_train_learns_frequent_merges(self):
+        vocab = train_wordpiece(["low lower lowest " * 50], vocab_size=40)
+        tok = WordPieceTokenizer(vocab)
+        # 'low' appears in every word; it must have merged into one piece
+        assert "low" in vocab
+        assert tok.word_ids("low") == [tok.token_to_id["low"]]
+
+    def test_greedy_longest_match(self):
+        vocab = list(SPECIALS) + ["un", "##able", "##b", "a", "##ble", "unable"]
+        tok = WordPieceTokenizer(vocab)
+        # full-word match wins over any split
+        assert tok.word_ids("unable") == [tok.token_to_id["unable"]]
+
+    def test_unk_for_unsplittable(self):
+        vocab = list(SPECIALS) + ["a", "##b"]
+        tok = WordPieceTokenizer(vocab)
+        assert tok.word_ids("xyz") == [tok.unk_id]
+
+    def test_encode_decode_roundtrip(self):
+        texts = localdata.stdlib_texts(max_files=20)[:50]
+        vocab = train_wordpiece(texts, vocab_size=2000)
+        tok = WordPieceTokenizer(vocab)
+        sample = "the quick brown fox jumps over the lazy dog"
+        ids = tok.encode(sample)  # chunker protocol: plain id list
+        assert tok.decode(ids) == sample
+
+    def test_model_interface_specials(self):
+        vocab = train_wordpiece(["hello world " * 10], vocab_size=64)
+        tok = WordPieceTokenizer(vocab)
+        ids, mask = tok.encode("hello world", 16)
+        assert ids[0] == tok.cls_id and ids[-1] == tok.sep_id
+        assert len(ids) == len(mask) and all(m == 1 for m in mask)
+        assert tok.pad_id == 0  # PAD is vocab slot 0
+
+    def test_max_len_truncation(self):
+        vocab = train_wordpiece(["word " * 30], vocab_size=64)
+        tok = WordPieceTokenizer(vocab)
+        ids, _ = tok.encode("word " * 30, 8)
+        assert len(ids) == 8 and ids[-1] == tok.sep_id
+
+    def test_save_load(self, tmp_path):
+        vocab = train_wordpiece(["alpha beta gamma " * 20], vocab_size=128)
+        tok = WordPieceTokenizer(vocab)
+        p = str(tmp_path / "vocab.txt")
+        tok.save(p)
+        tok2 = WordPieceTokenizer.load(p)
+        assert tok2.vocab == tok.vocab
+        assert tok2.encode("alpha beta", 16) == tok.encode("alpha beta", 16)
+
+    def test_chunker_integration(self):
+        from hyperdb_tpu.core.chunker import text_to_chunks
+
+        vocab = train_wordpiece(["word " * 50], vocab_size=64)
+        tok = WordPieceTokenizer(vocab)
+        chunks = text_to_chunks("word " * 700, tok, max_length=510)
+        assert len(chunks) == 2
+        assert chunks[0].split()[0] == "word"
+
+
+class TestLocalData:
+    def test_eval_set_deterministic(self):
+        a = localdata.retrieval_eval_set(num_docs=50, num_queries=10)
+        b = localdata.retrieval_eval_set(num_docs=50, num_queries=10)
+        assert a == b
+
+    def test_query_surface_differs_from_doc(self):
+        docs, queries, targets = localdata.retrieval_eval_set(
+            num_docs=100, num_queries=40
+        )
+        # a query must never contain its target doc's full concept surface
+        hits = sum(1 for q, t in zip(queries, targets) if q[12:] in docs[t])
+        assert hits == 0
+
+    def test_training_pairs_shapes(self):
+        pairs = localdata.training_pairs(100)
+        assert len(pairs) == 100
+        assert all(isinstance(q, str) and isinstance(d, str) for q, d in pairs)
+
+    def test_stdlib_texts_available(self):
+        texts = localdata.stdlib_texts(max_files=30)
+        assert len(texts) > 20
+        assert all(len(t) >= 60 for t in texts)
+
+    def test_evaluate_retrieval_perfect_encoder(self):
+        docs, queries, targets = localdata.retrieval_eval_set(
+            num_docs=30, num_queries=10
+        )
+
+        def oracle_encode(texts):
+            # one-hot on the target mapping: doc i -> e_i; query j -> e_target
+            out = np.zeros((len(texts), 30), dtype=np.float32)
+            for i, t in enumerate(texts):
+                if t in docs:
+                    out[i, docs.index(t)] = 1.0
+                else:
+                    out[i, targets[queries.index(t)]] = 1.0
+            return out
+
+        metrics = localdata.evaluate_retrieval(
+            oracle_encode, eval_set=(docs, queries, targets)
+        )
+        assert metrics["recall@1"] == 1.0 and metrics["mrr"] == 1.0
+
+
+class TestEncoderAssets:
+    def _make_tiny_assets(self, tmp_path):
+        import jax.numpy as jnp
+
+        from hyperdb_tpu.models.minilm import (
+            EncoderConfig,
+            MiniLM,
+            save_params,
+        )
+
+        vocab = train_wordpiece(
+            [t for p in localdata.training_pairs(50) for t in p],
+            vocab_size=256,
+        )
+        tok = WordPieceTokenizer(vocab)
+        config = EncoderConfig(
+            hidden=32, layers=1, heads=2, intermediate=64,
+            vocab_size=max(256, tok.vocab_size), max_positions=64,
+        )
+        import jax
+
+        model = MiniLM(config=config)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 4), dtype=jnp.int32),
+            jnp.ones((1, 4), dtype=jnp.int32),
+        )
+        tok.save(str(tmp_path / "vocab.txt"))
+        save_params(params, str(tmp_path / "encoder_local.npz"))
+        manifest = {
+            "config": {
+                "hidden": 32, "layers": 1, "heads": 2, "intermediate": 64,
+                "vocab_size": config.vocab_size, "max_positions": 64,
+            }
+        }
+        with open(tmp_path / "manifest.json", "w") as f:
+            json.dump(manifest, f)
+        return params
+
+    def test_save_load_params_roundtrip(self, tmp_path):
+        from hyperdb_tpu.models.minilm import load_saved_params
+
+        params = self._make_tiny_assets(tmp_path)
+        loaded = load_saved_params(str(tmp_path / "encoder_local.npz"))
+        import jax
+
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(loaded)
+        assert len(flat_a) == len(flat_b)
+        # f16 storage: values round-trip within half precision
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a, dtype=np.float32),
+                np.asarray(b, dtype=np.float32),
+                atol=2e-3, rtol=2e-2,
+            )
+
+    def test_from_local_assets_end_to_end(self, tmp_path):
+        from hyperdb_tpu.models.minilm import MiniLMEmbedder
+
+        self._make_tiny_assets(tmp_path)
+        emb = MiniLMEmbedder.from_local_assets(str(tmp_path))
+        assert emb is not None
+        assert emb.dim == 32
+        out = emb.encode(["a creature that naps", "lives near water"])
+        assert out.shape == (2, 32)
+        norms = np.linalg.norm(out, axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
+        # deterministic: same text -> same embedding
+        out2 = emb.encode(["a creature that naps", "lives near water"])
+        np.testing.assert_allclose(out, out2, atol=1e-6)
+        # chunk tokenizer exposed for the DB's chunking path
+        assert emb.chunk_tokenizer is not None
+
+    def test_from_local_assets_missing_dir(self, tmp_path):
+        from hyperdb_tpu.models.minilm import MiniLMEmbedder
+
+        assert MiniLMEmbedder.from_local_assets(str(tmp_path / "nope")) is None
+
+    def test_default_embedder_hash_mode(self, monkeypatch):
+        import hyperdb_tpu.models.embedder as embmod
+
+        monkeypatch.setenv("HYPERDB_DEFAULT_EMBEDDER", "hash")
+        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDER", None)
+        emb = embmod.default_embedder()
+        assert isinstance(emb, embmod.HashEmbedder)
+
+
+class TestShippedAssets:
+    """The repo-artifact encoder (models/assets/, trained on TPU by
+    benchmarks/train_encoder.py) must load and beat the hash encoder on a
+    small slice of the held-out paraphrase benchmark."""
+
+    @pytest.fixture(scope="class")
+    def shipped(self):
+        from hyperdb_tpu.models.minilm import ASSETS_DIR, MiniLMEmbedder
+
+        emb = MiniLMEmbedder.from_local_assets()
+        if emb is None:
+            pytest.skip(f"no trained assets in {ASSETS_DIR}")
+        return emb
+
+    def test_loads_and_encodes(self, shipped):
+        out = shipped.encode(["a creature that naps in the sun"])
+        assert out.shape == (1, 384)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-3)
+
+    def test_beats_hash_on_heldout(self, shipped):
+        from hyperdb_tpu.models.embedder import HashEmbedder
+
+        eval_set = localdata.retrieval_eval_set(num_docs=150, num_queries=30)
+        local = localdata.evaluate_retrieval(shipped.encode, eval_set=eval_set)
+        hash_m = localdata.evaluate_retrieval(
+            HashEmbedder(dim=384).encode, eval_set=eval_set
+        )
+        assert local["recall@10"] > hash_m["recall@10"]
+        assert local["mrr"] > hash_m["mrr"]
+
+    def test_manifest_records_eval(self):
+        from hyperdb_tpu.models.minilm import ASSETS_DIR
+
+        path = os.path.join(ASSETS_DIR, "manifest.json")
+        if not os.path.exists(path):
+            pytest.skip("no manifest")
+        with open(path) as f:
+            manifest = json.load(f)
+        assert manifest["beats_hash"] is True
+        assert manifest["eval"]["local"]["recall@10"] > (
+            manifest["eval"]["hash_baseline"]["recall@10"]
+        )
+
+    def test_default_embedder_auto_prefers_local(self, monkeypatch):
+        import hyperdb_tpu.models.embedder as embmod
+        from hyperdb_tpu.models.minilm import MiniLMEmbedder
+
+        monkeypatch.setenv("HYPERDB_DEFAULT_EMBEDDER", "auto")
+        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDER", None)
+        emb = embmod.default_embedder()
+        if not isinstance(emb, MiniLMEmbedder):
+            pytest.skip("no trained assets")
+        assert emb.dim == 384
+
+
+class TestDBWithLocalEncoder:
+    def test_db_retrieval_with_tiny_trained_encoder(self, tmp_path):
+        """End-to-end: train a tiny encoder for a few steps on CPU, plug it
+        into HyperDB via the injectable boundary, retrieve."""
+        import jax
+
+        from hyperdb_tpu import HyperDB
+        from hyperdb_tpu.models.embedder import make_embedding_function
+        from hyperdb_tpu.models.minilm import (
+            EncoderConfig, MiniLMEmbedder,
+        )
+
+        pairs = localdata.training_pairs(200, seed=5)
+        vocab = train_wordpiece([t for p in pairs for t in p], vocab_size=512)
+        tok = WordPieceTokenizer(vocab)
+        config = EncoderConfig(
+            hidden=32, layers=1, heads=2, intermediate=64,
+            vocab_size=max(512, tok.vocab_size), max_positions=64,
+        )
+        emb = MiniLMEmbedder(params=None, tokenizer=tok, config=config)
+
+        docs, queries, targets = localdata.retrieval_eval_set(
+            num_docs=30, num_queries=5
+        )
+        db = HyperDB(
+            documents=[{"text": d} for d in docs],
+            embedding_function=make_embedding_function(emb, tok),
+        )
+        res = db.query(queries[0], top_k=3)
+        assert len(res) == 3  # untrained weights: just a working pipeline
