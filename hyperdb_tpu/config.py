@@ -29,8 +29,6 @@ class EngineConfig:
     ivf_threshold: int = _env_int("HYPERDB_IVF_THRESHOLD", 65536)
     # IVF cluster count; 0 = sqrt-scaled default (index/ivf.py).
     ivf_nlist: int = _env_int("HYPERDB_IVF_NLIST", 0)
-    # Pallas fused-kernel row tile; 0 = auto (ops/pallas_topk.pick_tile).
-    fused_tile: int = _env_int("HYPERDB_FUSED_TILE", 0)
     # Token window for document chunking (reference MAX_LENGTH=510).
     max_tokens: int = _env_int("HYPERDB_MAX_TOKENS", 510)
     # Default embedding dimension for the hermetic hash encoder.
@@ -50,11 +48,13 @@ class EngineConfig:
     # runs ~70x faster on host. 0 disables (tests pin the device paths this
     # way and check host/device equality separately in test_host_path.py).
     host_path_max_cells: int = _env_int("HYPERDB_HOST_PATH_MAX_CELLS", 65536)
-    # Use the fused Pallas score+top-k kernel on the unchunked brute-force
-    # path (dot/cosine/euclidean). Off by default: measured ~10.5k qps vs
-    # XLA's ~9.7-17k qps at batch>=64 on v5e — XLA wins for large batches,
-    # the fused kernel for small ones; flip per deployment.
-    use_fused_kernel: int = _env_int("HYPERDB_USE_FUSED", 0)
+    # NOTE: the hand-written Pallas fused scan was RETIRED in round 2 after
+    # losing to the XLA grouped formulation at every batch size that matters
+    # (1M x 384 bf16, ms/batch — benchmarks/results.jsonl
+    # ab_fused_smallbatch: b=1 3.61 vs 3.19; b=32 4.91 vs 4.53; b=256
+    # 15.2 vs 4.7 from round 1; its b=8/b=64 wins were within the tunnel's
+    # run-to-run variance). The grouped matmul + group-max epilogue keeps
+    # XLA's software pipelining and beats per-tile hand scheduling here.
 
 
 CONFIG = EngineConfig()

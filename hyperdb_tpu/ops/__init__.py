@@ -1,4 +1,4 @@
-"""TPU compute kernels: similarity metrics, fused ranking, Pallas kernels."""
+"""TPU compute kernels: similarity metrics and fused grouped ranking."""
 
 from hyperdb_tpu.ops.metrics import (
     METRICS,

@@ -69,19 +69,6 @@ def _grouped_ok(n_pad: int, batch: int) -> bool:
     return group >= 32 and n_pad % group == 0
 
 
-def _use_fused(metric: str) -> bool:
-    """Fused Pallas brute-force path: opt-in (HYPERDB_USE_FUSED=1), TPU only,
-    matmul-form metrics only."""
-    from hyperdb_tpu.config import CONFIG
-    from hyperdb_tpu.ops.pallas_topk import FUSED_METRICS
-
-    if not CONFIG.use_fused_kernel or metric not in FUSED_METRICS:
-        return False
-    import jax
-
-    return jax.default_backend() not in ("cpu",)
-
-
 def is_numeric_array(array: np.ndarray) -> bool:
     return np.issubdtype(array.dtype, np.number) and not np.issubdtype(
         array.dtype, np.complexfloating
@@ -596,22 +583,6 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 row_mask=row_mask_dev,
                 recency=rec_pad,
                 group=group,
-            )
-        elif _use_fused(metric):
-            from hyperdb_tpu.ops.pallas_topk import fused_topk, pick_tile
-
-            qq = q
-            if prenorm:  # rows_norm are unit; normalize q for true cosine
-                qn = jnp.linalg.norm(q, axis=1, keepdims=True)
-                qq = q / jnp.where(qn == 0, 1.0, qn)
-            vals, idx = fused_topk(
-                qq,
-                dv["rows_norm"] if prenorm else dv["rows"],
-                k=min(k_pad, n_pad),
-                metric="dot_product" if prenorm else metric,
-                row_valid=row_mask_dev,
-                recency=rec_pad,
-                tile_n=pick_tile(n_pad, dv["dim"]),
             )
         else:
             vals, idx = rank_top_k(
