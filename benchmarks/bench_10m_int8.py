@@ -107,9 +107,11 @@ def main():
     print(f"HBM in use: {hbm_gb:.2f} GB (peak {peak_gb:.2f})", flush=True)
 
     # ---- queries: corpus rows + noise (dequantized gather + jitter) ----
+    # rq/rs MUST be jit arguments: closing over the 8 GB corpus bakes it
+    # into the HLO as captured constants, which wedges the remote compile.
     @jax.jit
-    def make_queries(key, ids):
-        base = rows_q[ids].astype(jnp.float32) * row_scales[ids][:, None]
+    def make_queries(key, ids, rq, rs):
+        base = rq[ids].astype(jnp.float32) * rs[ids][:, None]
         noise = 0.05 * jax.random.normal(key, base.shape, dtype=jnp.float32)
         q = base + noise
         return q / jnp.linalg.norm(q, axis=1, keepdims=True)
@@ -117,7 +119,7 @@ def main():
     qids = jnp.asarray(
         np.random.default_rng(1).integers(0, n, size=args.batch, dtype=np.int64)
     )
-    queries = make_queries(jax.random.PRNGKey(7), qids)
+    queries = make_queries(jax.random.PRNGKey(7), qids, rows_q, row_scales)
 
     def rank(qq):
         return rank_top_k_int8(
@@ -158,7 +160,7 @@ def main():
     oq_ids = jnp.asarray(
         np.random.default_rng(2).integers(0, ow, size=args.oracle_queries)
     )
-    oqueries = make_queries(jax.random.PRNGKey(8), oq_ids)
+    oqueries = make_queries(jax.random.PRNGKey(8), oq_ids, rows_q, row_scales)
     o_vals, o_idx = rank_top_k(
         oqueries, w, k=args.k, metric="dot_product"
     )  # exact f32 on unit rows == cosine

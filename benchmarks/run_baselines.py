@@ -216,32 +216,70 @@ def config3_ivf_1m():
 
 
 def config4_multimetric():
+    """Mirrors the engine's device shapes exactly: corpus padded to the
+    bucket ladder (group=128), validity row_mask, recency padded — so dot
+    rides rank_top_k_grouped and euclidean/hamming ride the grouped exact-
+    metric epilogue kernel (the paths db.query actually takes)."""
     import jax.numpy as jnp
 
-    from hyperdb_tpu.ops.ranking import rank_top_k, recency_scores
+    from hyperdb_tpu.core.store import bucket_size
+    from hyperdb_tpu.ops.ranking import (
+        rank_top_k,
+        rank_top_k_grouped_metric,
+        recency_scores,
+    )
 
     rng = np.random.default_rng(0)
     n, d, b, k = 1_000_000, 384, 256, 10
-    v = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32), dtype=jnp.bfloat16)
+    n_pad = bucket_size(n)
+    v32 = np.zeros((n_pad, d), dtype=np.float32)
+    v32[:n] = rng.standard_normal((n, d), dtype=np.float32)
+    v = jnp.asarray(v32, dtype=jnp.bfloat16)
+    row_sq = jnp.asarray(np.sum(v32 * v32, axis=1))
+    vbin32 = (v32 > 0).astype(np.float32)
+    vbin32[n:] = 0.0
+    vbin = jnp.asarray(vbin32, dtype=jnp.bfloat16)
+    bin_sum = jnp.asarray(np.sum(vbin32, axis=1))
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+    rmask = jnp.asarray(valid)
     q = jnp.asarray(
         rng.standard_normal((b, d), dtype=np.float32), dtype=jnp.bfloat16
     )
-    rec = jnp.asarray(
-        recency_scores(rng.uniform(0, 100, size=n), recency_bias=0.5)
-    )
-    out = {}
-    for metric in ("dot_product", "euclidean_metric", "hamming_distance"):
-        t = _chained_batch_time(
-            lambda qq, m=metric: rank_top_k(qq, v, k=k, metric=m, recency=rec),
-            q,
-            iters=10,
-            trials=2,
+    rec_h = np.zeros(n_pad, dtype=np.float32)
+    rec_h[:n] = recency_scores(rng.uniform(0, 100, size=n), recency_bias=0.5)
+    rec = jnp.asarray(rec_h)
+
+    def dot_fn(qq):
+        return rank_top_k(
+            qq, v, k=k, metric="dot_product", row_mask=rmask, recency=rec
         )
+
+    def euclid_fn(qq):
+        return rank_top_k_grouped_metric(
+            qq, v, row_sq, k=k, metric="euclidean_metric",
+            row_mask=rmask, recency=rec,
+        )
+
+    def hamming_fn(qq):
+        return rank_top_k_grouped_metric(
+            qq, vbin, bin_sum, k=k, metric="hamming_distance",
+            row_mask=rmask, recency=rec,
+        )
+
+    out = {}
+    for metric, fn in (
+        ("dot_product", dot_fn),
+        ("euclidean_metric", euclid_fn),
+        ("hamming_distance", hamming_fn),
+    ):
+        t = _chained_batch_time(fn, q, iters=10, trials=2)
         out[metric] = round(b / t, 1)
     emit(
         {
             "config": 4,
-            "desc": "1M x 384 bf16, batch-256 top-10 with time-decay",
+            "desc": "1M x 384 bf16 (engine-padded), batch-256 top-10 "
+            "with time-decay",
             "qps": out,
         }
     )

@@ -106,6 +106,96 @@ def _int8_grouped_topk(
     return vals, (winner * group + pos % group).astype(jnp.int32)
 
 
+# The (B, g, group) f32 scale/mask epilogue is materialized by XLA before
+# the group-max (kOutput fusion), so its bytes are bounded here: above this
+# budget the scan runs row-chunked via lax.scan (measured OOM otherwise at
+# 10M x 768 int8, batch 256: a 10 GB temp on a 16 GB chip).
+_EPILOGUE_BUDGET_BYTES = 1 << 31  # 2 GB
+
+
+def _int8_grouped_topk_chunked(
+    q_i8, q_scale, v_i8, v_scales, k, group, row_mask, recency, n_chunks
+):
+    """Row-chunked grouped int8 scan: lax.scan over corpus chunks keeps the
+    per-step epilogue at (B, g/n_chunks, group) f32 while carrying a running
+    (B, k) frontier of the best group maxes. Stage-3 rescoring then gathers
+    the k winning groups from the full corpus exactly as the unchunked form.
+    """
+    b = q_i8.shape[0]
+    n, d = v_i8.shape
+    g = n // group
+    g_c = g // n_chunks
+    r4 = v_i8.reshape(n_chunks, g_c, group, d)
+    sc4 = v_scales.reshape(n_chunks, g_c, group)
+    rec4 = recency.reshape(n_chunks, g_c, group) if recency is not None else None
+    mask4 = row_mask.reshape(n_chunks, g_c, group) if row_mask is not None else None
+
+    def step(carry, xs):
+        best_v, best_g = carry
+        chunk_i, rows_c, sc_c, rec_c, mask_c = xs
+        inter = jax.lax.dot_general(
+            q_i8, rows_c, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, g_c, group)
+        s3 = inter.astype(jnp.float32) * (q_scale[:, None, None] * sc_c[None])
+        if rec_c is not None:
+            s3 = s3 + rec_c[None]
+        if mask_c is not None:
+            s3 = jnp.where(mask_c[None], s3, NEG_INF)
+        gmax = jnp.max(s3, axis=-1)  # (B, g_c)
+        k_c = min(k, g_c)
+        v_c, i_c = jax.lax.top_k(gmax, k_c)
+        cat_v = jnp.concatenate([best_v, v_c], axis=-1)
+        cat_g = jnp.concatenate(
+            [best_g, (i_c + chunk_i * g_c).astype(jnp.int32)], axis=-1
+        )
+        nv, npos = jax.lax.top_k(cat_v, k)
+        ng = jnp.take_along_axis(cat_g, npos, axis=-1)
+        return (nv, ng), None
+
+    init = (
+        jnp.full((b, k), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((b, k), dtype=jnp.int32),
+    )
+    xs = (jnp.arange(n_chunks, dtype=jnp.int32), r4, sc4, rec4, mask4)
+    (gvals, gidx), _ = jax.lax.scan(step, init, xs)
+
+    # stage 3: rescore the k winning groups from the full corpus
+    r3 = v_i8.reshape(g, group, d)
+    sc3 = v_scales.reshape(g, group)
+    cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d) int8
+    inter_c = jnp.einsum(
+        "bd,bkgd->bkg", q_i8.astype(jnp.float32), cand_rows.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    cs = inter_c * (q_scale[:, None, None] * jnp.take(sc3, gidx, axis=0))
+    if recency is not None:
+        cs = cs + jnp.take(recency.reshape(g, group), gidx, axis=0)
+    if row_mask is not None:
+        cs = jnp.where(
+            jnp.take(row_mask.reshape(g, group), gidx, axis=0), cs, NEG_INF
+        )
+    cs = cs.reshape(b, k * group)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(gidx, pos // group, axis=-1)
+    return vals, (winner * group + pos % group).astype(jnp.int32)
+
+
+def _pick_chunks(b: int, n: int, group: int) -> int:
+    """Smallest chunk count dividing g that keeps the per-step epilogue
+    under _EPILOGUE_BUDGET_BYTES (1 = unchunked)."""
+    g = n // group
+    n_chunks = 1
+    while (
+        b * (g // n_chunks) * group * 4 > _EPILOGUE_BUDGET_BYTES
+        and n_chunks < g
+    ):
+        n_chunks += 1
+        while g % n_chunks and n_chunks < g:
+            n_chunks += 1
+    return n_chunks if g % n_chunks == 0 else 1
+
+
 @functools.partial(jax.jit, static_argnames=("k", "overfetch"))
 def rank_top_k_int8(
     queries: jax.Array,
@@ -130,9 +220,16 @@ def rank_top_k_int8(
     k_fetch = k if rescore_rows is None else min(k * overfetch, n)
 
     if n % group == 0 and n > k_fetch * group:
-        vals, cand = _int8_grouped_topk(
-            q_i8, q_scale, v_i8, v_scales, k_fetch, group, row_mask, recency
-        )
+        n_chunks = _pick_chunks(int(queries.shape[0]), n, group)
+        if n_chunks > 1 and (n // group) // n_chunks > k_fetch:
+            vals, cand = _int8_grouped_topk_chunked(
+                q_i8, q_scale, v_i8, v_scales, k_fetch, group,
+                row_mask, recency, n_chunks,
+            )
+        else:
+            vals, cand = _int8_grouped_topk(
+                q_i8, q_scale, v_i8, v_scales, k_fetch, group, row_mask, recency
+            )
     else:
         s = int8_scores(q_i8, q_scale, v_i8, v_scales)
         if recency is not None:

@@ -84,3 +84,73 @@ def test_int8_mask_and_recency():
     idx = np.asarray(idx)
     assert (idx >= 100).all()
     assert (idx[:, 0] == 200).all()
+
+
+def test_int8_chunked_scan_matches_unchunked():
+    """The row-chunked lax.scan form (engaged when the grouped epilogue would
+    blow the HBM budget — measured OOM at 10M x 768 batch 256) must return
+    exactly what the one-shot grouped kernel returns."""
+    from hyperdb_tpu.ops.quantized import (
+        _int8_grouped_topk,
+        _int8_grouped_topk_chunked,
+        _quantize_device,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, b, k, group = 4096, 32, 4, 5, 64
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v_i8, scales = quantize_rows(v)
+    mask = rng.random(n) < 0.9
+    rec = (rng.random(n) * 0.01).astype(np.float32)
+
+    q_i8, q_scale = _quantize_device(jnp.asarray(q))
+    base = _int8_grouped_topk(
+        q_i8, q_scale, jnp.asarray(v_i8), jnp.asarray(scales), k, group,
+        jnp.asarray(mask), jnp.asarray(rec),
+    )
+    for n_chunks in (2, 4, 8):
+        got = _int8_grouped_topk_chunked(
+            q_i8, q_scale, jnp.asarray(v_i8), jnp.asarray(scales), k, group,
+            jnp.asarray(mask), jnp.asarray(rec), n_chunks,
+        )
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(base[0]), rtol=1e-5
+        )
+
+
+def test_int8_chunked_no_mask_no_recency():
+    from hyperdb_tpu.ops.quantized import (
+        _int8_grouped_topk,
+        _int8_grouped_topk_chunked,
+        _quantize_device,
+    )
+
+    rng = np.random.default_rng(4)
+    n, d, b, k, group = 2048, 16, 3, 4, 32
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v_i8, scales = quantize_rows(v)
+    q_i8, q_scale = _quantize_device(jnp.asarray(q))
+    base = _int8_grouped_topk(
+        q_i8, q_scale, jnp.asarray(v_i8), jnp.asarray(scales), k, group,
+        None, None,
+    )
+    got = _int8_grouped_topk_chunked(
+        q_i8, q_scale, jnp.asarray(v_i8), jnp.asarray(scales), k, group,
+        None, None, 4,
+    )
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(base[1]))
+
+
+def test_pick_chunks_budget_and_divisibility():
+    from hyperdb_tpu.ops.quantized import _EPILOGUE_BUDGET_BYTES, _pick_chunks
+
+    # 10M x 768 at batch 256, group 128: the measured-OOM config must chunk
+    g = 10_485_760 // 128
+    c = _pick_chunks(256, 10_485_760, 128)
+    assert c > 1 and g % c == 0
+    assert 256 * (g // c) * 128 * 4 <= _EPILOGUE_BUDGET_BYTES
+    # small configs stay unchunked
+    assert _pick_chunks(8, 65536, 128) == 1
