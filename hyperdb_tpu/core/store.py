@@ -54,6 +54,7 @@ class VectorStore:
         self.precision = precision
         self.vectors: np.ndarray | None = None  # (N, d) host master
         self._device: dict | None = None
+        self._host: dict | None = None
 
     # ---------------- host mutation ----------------
 
@@ -94,6 +95,18 @@ class VectorStore:
 
     def invalidate(self) -> None:
         self._device = None
+        self._host = None
+
+    def host_view(self) -> dict:
+        """Cached f32 host arrays for the tiny-corpus host ranking path
+        (ops/host_ranking): raw rows and unit-norm rows. Re-normalizing the
+        corpus on every query was the dominant per-call cost at demo scale."""
+        if getattr(self, "_host", None) is None:
+            rows = np.ascontiguousarray(self.vectors, dtype=np.float32)
+            norms = np.linalg.norm(rows, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            self._host = {"rows": rows, "rows_norm": rows / norms}
+        return self._host
 
     # ---------------- device views ----------------
 

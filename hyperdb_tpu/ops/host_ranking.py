@@ -78,7 +78,9 @@ def host_scores(q: np.ndarray, v: np.ndarray, metric: str) -> np.ndarray:
 def host_top_k(s: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k with ``lax.top_k`` tie order (descending score, ascending index).
 
-    argpartition bounds the sort to k + ties instead of N log N.
+    argpartition bounds the sort to k + ties instead of N log N; plain
+    advanced indexing instead of take_along_axis (whose index-broadcast
+    helper costs ~40 us per call — material at demo scale).
     """
     b, n = s.shape
     k = min(k, n)
@@ -86,10 +88,11 @@ def host_top_k(s: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         part = np.argpartition(-s, k - 1, axis=1)[:, :k]
     else:
         part = np.tile(np.arange(n), (b, 1))
-    part_vals = np.take_along_axis(s, part, axis=1)
+    rows = np.arange(b)[:, None]
+    part_vals = s[rows, part]
     order = np.lexsort((part, -part_vals), axis=1)
-    idx = np.take_along_axis(part, order, axis=1)
-    return np.take_along_axis(s, idx, axis=1), idx
+    idx = part[rows, order]
+    return s[rows, idx], idx
 
 
 def rank_block_host(
@@ -101,6 +104,7 @@ def rank_block_host(
     recency: np.ndarray | None = None,
     row_docs: np.ndarray | None = None,
     num_docs: int | None = None,
+    rows_norm: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score + (optionally) reduce rows to documents + top-k, all on host.
 
@@ -108,9 +112,14 @@ def rank_block_host(
     and ``rank_docs_top_k`` otherwise (per-document max over chunk rows,
     SURVEY.md Q1). ``doc_mask`` / ``recency`` are document-level, matching
     the engine's fused program order: NaN scrub, then doc reduction, then
-    recency add, then mask.
+    recency add, then mask. ``rows_norm`` (the store's cached unit-norm
+    corpus) skips the per-call corpus normalization for cosine.
     """
-    s = host_scores(np.asarray(q_block, dtype=np.float32), rows, metric)
+    if metric == "cosine_similarity" and rows_norm is not None:
+        q32 = np.asarray(q_block, dtype=np.float32)
+        s = _normalize(q32) @ rows_norm.T
+    else:
+        s = host_scores(np.asarray(q_block, dtype=np.float32), rows, metric)
     s = np.where(np.isnan(s), NEG_INF, s).astype(np.float32)
 
     if row_docs is not None:

@@ -78,6 +78,16 @@ def is_numeric_array(array: np.ndarray) -> bool:
 def generate_and_validate_query_vector(db, query_input) -> np.ndarray:
     """String -> embedding; array-like -> validated (reference
     hyperdb.py:1197-1216). Returns a 1-D float32 vector."""
+    # Hot-path shortcut: an already-valid (d,) f32 vector needs no copy and
+    # no dtype introspection (both measurable per-query costs at demo scale).
+    if (
+        isinstance(query_input, np.ndarray)
+        and query_input.dtype == np.float32
+        and query_input.ndim == 1
+        and query_input.size
+        and (db.dim is None or query_input.shape[0] == db.dim)
+    ):
+        return query_input
     try:
         if isinstance(query_input, str):
             emb = db.embedding_function([query_input])[0]
@@ -233,8 +243,10 @@ def execute_query(
         )
         top_k = surviving
 
-    recency = handle_timestamps(
-        db, recency_bias, timestamp_key, np.flatnonzero(mask)
+    recency = (
+        None
+        if recency_bias == 0
+        else handle_timestamps(db, recency_bias, timestamp_key, np.flatnonzero(mask))
     )
 
     with db.stats.phase("query.rank"):
@@ -313,7 +325,11 @@ def execute_query_batch(
 
     surviving = int(mask.sum())
     k = min(top_k, surviving)
-    recency = handle_timestamps(db, recency_bias, timestamp_key, np.flatnonzero(mask))
+    recency = (
+        None
+        if recency_bias == 0
+        else handle_timestamps(db, recency_bias, timestamp_key, np.flatnonzero(mask))
+    )
 
     doc_ids = scores_out = None
     from hyperdb_tpu.config import CONFIG
@@ -438,18 +454,22 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 q_block, override, top_k, metric,
                 doc_mask=mask, recency=recency,
             )
-        elif num_docs == db._store.num_rows:
-            vals, idx = rank_block_host(
-                q_block, db._store.vectors, top_k, metric,
-                doc_mask=mask, recency=recency,
-            )
         else:
-            vals, idx = rank_block_host(
-                q_block, db._store.vectors, top_k, metric,
-                doc_mask=mask, recency=recency,
-                row_docs=np.asarray(db.source_indices, dtype=np.int64),
-                num_docs=num_docs,
-            )
+            hv = db._store.host_view()
+            if num_docs == db._store.num_rows:
+                vals, idx = rank_block_host(
+                    q_block, hv["rows"], top_k, metric,
+                    doc_mask=mask, recency=recency,
+                    rows_norm=hv["rows_norm"],
+                )
+            else:
+                vals, idx = rank_block_host(
+                    q_block, hv["rows"], top_k, metric,
+                    doc_mask=mask, recency=recency,
+                    row_docs=np.asarray(db.source_indices, dtype=np.int64),
+                    num_docs=num_docs,
+                    rows_norm=hv["rows_norm"],
+                )
         return idx, vals
 
     q = jnp.asarray(np.asarray(q_block, dtype=np.float32))
