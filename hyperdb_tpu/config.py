@@ -42,6 +42,13 @@ class EngineConfig:
     # at (256 queries, 1M rows) on v5e (benchmarks/ab_grouped_topk3.py);
     # 0 disables.
     grouped_topk_min_rows: int = _env_int("HYPERDB_GROUPED_TOPK_MIN_ROWS", 262144)
+    # Route the int8 scan's stage 1 through the Pallas gmax kernel
+    # (ops/pallas_gmax.py) when the XLA grouped epilogue would have to chunk
+    # (ops/quantized._pick_chunks > 1): measured 2.2x there (10M x 768 int8
+    # batch 256: 23.1 vs 50.5 ms, index-identical — benchmarks/ab_gmax.py),
+    # tie at batch 64, and a loss at 1M bf16 (XLA stays the default for
+    # float scans). 0 disables.
+    pallas_gmax: int = _env_int("HYPERDB_PALLAS_GMAX", 1)
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

@@ -1,0 +1,261 @@
+"""Pallas stage-1 grouped-scan kernel: matmul + epilogue + per-group max.
+
+Why this exists: the XLA grouped top-k (ops/ranking.rank_top_k_grouped,
+ops/quantized._int8_grouped_topk) computes scores groupwise and reduces each
+group to its max, but XLA materializes the (B, g, group) f32 epilogue in HBM
+before the reduce (kOutput fusion) — measured as a 10 GB temp (OOM) at
+10M x 768 int8 batch 256, and roughly doubles HBM traffic everywhere else.
+This kernel keeps the score tile in VMEM: each grid step streams one corpus
+block HBM->VMEM, runs the (B, blk) matmul on the MXU, applies the scale /
+additive epilogue on the VPU, reduces each 128-wide group to its max, and
+writes only the (B, blk/128) maxes back. HBM traffic = corpus read + B*g
+floats — the scan's bandwidth floor.
+
+Scope is deliberately tiny: ONLY stage 1+2's input (the per-group maxes).
+Selection of the k best groups (`lax.top_k` over (B, g)) and the exact
+stage-3 rescore of the winners stay in XLA, where they were never the
+problem. Masks and recency collapse into one additive `extra` vector
+(0 or recency on live rows, -inf on dead/padding rows), added after the
+scale — identical score semantics to the XLA formulation, same containment
+argument, so the final top-k is index-identical.
+
+Round-1 history (why a *previous* Pallas kernel was retired): that kernel
+fused the full scan *including a running top-k merge per tile* and lost to
+XLA's pipelining (config.py note). This one replaces only the reduction
+XLA provably fuses badly, and keeps everything XLA does well.
+
+Unlike the reference's NumPy argpartition ranker
+(/root/reference/hyperdb/ranking_algorithm.py:149-204) this is a
+bandwidth-shaped device program; exactness parity is pinned in
+tests/test_pallas_gmax.py (interpret mode, hermetic).
+
+Layout rules honored (CLAUDE.md): aux vectors are fed lane-major as
+(1, N) blocks — never reshaped from (N, 1) inside the kernel; group is
+fixed at 128 = the lane width, so the group reduction is a lane reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+GROUP = 128  # one VPU lane tile per group; stage-3 rescore depends on it
+
+_BLK_N_DEFAULT = 4096  # corpus rows per grid step (VMEM-sized, /128)
+
+
+def _block_rows(b: int, d: int, itemsize: int) -> int:
+    """Largest corpus block (rows) keeping VMEM under ~12 MB: the corpus
+    tile is double-buffered by the pipeline and the (B, blk) f32 score tile
+    lives alongside it."""
+    blk = _BLK_N_DEFAULT
+    while blk > GROUP and (2 * blk * d * itemsize + 4 * b * blk) > 12 * (1 << 20):
+        blk //= 2
+    return blk
+
+
+def _gmax_kernel_f(q_ref, v_ref, extra_ref, out_ref):
+    # q: (B, d) f, v: (blk, d) f, extra: (1, blk) f32
+    # out: (1, B, blk/128) f32 — one grid step's slice (3D so the block
+    # equals the array's trailing dims, satisfying Mosaic's lane tiling;
+    # the caller transposes (grid, B, blkg) -> (B, g) outside the kernel)
+    s = jax.lax.dot_general(
+        q_ref[:],
+        v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s + extra_ref[:]
+    b, blk = s.shape
+    out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
+
+
+def _gmax_kernel_int8(q_ref, qs_ref, v_ref, vs_ref, extra_ref, out_ref):
+    # q: (B, d) i8, qs: (B, 1) f32, v: (blk, d) i8, vs/extra: (1, blk) f32
+    s = jax.lax.dot_general(
+        q_ref[:],
+        v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = s.astype(jnp.float32) * (qs_ref[:] * vs_ref[:]) + extra_ref[:]
+    b, blk = s.shape
+    out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gmax_f(
+    queries: jax.Array,
+    vectors: jax.Array,
+    extra: jax.Array,
+    interpret: bool = False,
+):
+    """Per-group score maxes for one-matmul metrics (dot / prenorm cosine).
+
+    Args:
+        queries: (B, d), B % 8 == 0 (f32 sublane), d % 128 == 0.
+        vectors: (N, d) corpus, N % block == 0 (engine bucket padding).
+        extra: (N,) f32 additive term — recency on live rows, -inf (or a
+            very negative finite) on masked/padding rows, 0 otherwise.
+
+    Returns: (B, N // 128) f32 group maxes.
+    """
+    from jax.experimental import pallas as pl
+
+    b, d = queries.shape
+    n = vectors.shape[0]
+    blk = _block_rows(b, d, vectors.dtype.itemsize)
+    grid = n // blk
+    out = pl.pallas_call(
+        _gmax_kernel_f,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((blk, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, b, blk // GROUP), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
+        interpret=interpret,
+    )(queries, vectors, extra.reshape(1, n))
+    return out.transpose(1, 0, 2).reshape(b, n // GROUP)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gmax_int8(
+    q_i8: jax.Array,
+    q_scale: jax.Array,
+    v_i8: jax.Array,
+    v_scales: jax.Array,
+    extra: jax.Array,
+    interpret: bool = False,
+):
+    """Per-group maxes of the rescaled int8 scores:
+    max over each 128-row group of  (q_i8 . v_i8) * q_scale * v_scale + extra.
+    Shapes as :func:`gmax_f`; q_scale (B,), v_scales (N,).
+    """
+    from jax.experimental import pallas as pl
+
+    b, d = q_i8.shape
+    n = v_i8.shape[0]
+    blk = _block_rows(b, d, 1)
+    grid = n // blk
+    out = pl.pallas_call(
+        _gmax_kernel_int8,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((b, 1), lambda i: (0, 0)),
+            pl.BlockSpec((blk, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((1, blk), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, b, blk // GROUP), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
+        interpret=interpret,
+    )(
+        q_i8,
+        q_scale.reshape(b, 1),
+        v_i8,
+        v_scales.reshape(1, n),
+        extra.reshape(1, n),
+    )
+    return out.transpose(1, 0, 2).reshape(b, n // GROUP)
+
+
+def supported(b: int, n: int, d: int) -> bool:
+    """Shape gate: engine bucket padding guarantees these for big corpora."""
+    blk = _block_rows(b, d, 1)
+    return b % 8 == 0 and d % 128 == 0 and n % blk == 0 and n // GROUP >= 2
+
+
+def make_extra(n: int, row_mask=None, recency=None):
+    """Fold mask + recency into the kernel's one additive (N,) f32 vector."""
+    extra = jnp.zeros((n,), dtype=jnp.float32)
+    if recency is not None:
+        extra = extra + recency.astype(jnp.float32)
+    if row_mask is not None:
+        extra = jnp.where(row_mask, extra, float("-inf"))
+    return extra
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def rank_top_k_grouped_pallas(
+    queries: jax.Array,
+    vectors: jax.Array,
+    k: int,
+    row_mask: jax.Array | None = None,
+    recency: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Dot-metric grouped exact top-k with the Pallas stage-1 kernel.
+
+    Same three stages as ops/ranking.rank_top_k_grouped (group fixed at 128):
+    per-group maxes (Pallas — no HBM epilogue materialization), narrow
+    ``lax.top_k`` over (B, g), exact rescore of the k winning groups' corpus
+    rows in XLA. Index-identical to the XLA formulation (same containment
+    argument; ties at the k-th value resolve by the same lax.top_k order).
+    """
+    n, d = vectors.shape
+    b = queries.shape[0]
+    extra = make_extra(n, row_mask, recency)
+    gm = gmax_f(queries, vectors, extra, interpret=interpret)  # (B, g)
+    _, gidx = jax.lax.top_k(gm, k)  # (B, k)
+
+    g = n // GROUP
+    r3 = vectors.reshape(g, GROUP, d)
+    e3 = extra.reshape(g, GROUP)
+    cand = jnp.take(r3, gidx, axis=0)  # (B, k, GROUP, d)
+    cs = jnp.einsum(
+        "bd,bkgd->bkg", queries, cand, preferred_element_type=jnp.float32
+    )
+    cs = jnp.where(jnp.isnan(cs), float("-inf"), cs)
+    cs = cs + jnp.take(e3, gidx, axis=0)
+    cs = cs.reshape(b, k * GROUP)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(gidx, pos // GROUP, axis=-1)
+    return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def rank_top_k_int8_pallas(
+    queries: jax.Array,
+    v_i8: jax.Array,
+    v_scales: jax.Array,
+    k: int,
+    row_mask: jax.Array | None = None,
+    recency: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Int8 grouped top-k with the Pallas stage-1 kernel (int8-pure mode:
+    quantized scores, no full-precision rescore rows). Mirrors
+    ops/quantized.rank_top_k_int8 without ``rescore_rows``."""
+    from hyperdb_tpu.ops.quantized import _quantize_device
+
+    n, d = v_i8.shape
+    b = queries.shape[0]
+    q32 = queries.astype(jnp.float32)
+    q_i8, q_scale = _quantize_device(q32)
+    extra = make_extra(n, row_mask, recency)
+    gm = gmax_int8(q_i8, q_scale, v_i8, v_scales, extra, interpret=interpret)
+    _, gidx = jax.lax.top_k(gm, k)
+
+    g = n // GROUP
+    r3 = v_i8.reshape(g, GROUP, d)
+    sc3 = v_scales.reshape(g, GROUP)
+    e3 = extra.reshape(g, GROUP)
+    cand = jnp.take(r3, gidx, axis=0)
+    inter_c = jnp.einsum(
+        "bd,bkgd->bkg",
+        q_i8.astype(jnp.float32),
+        cand.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    cs = inter_c * (q_scale[:, None, None] * jnp.take(sc3, gidx, axis=0))
+    cs = cs + jnp.take(e3, gidx, axis=0)
+    cs = cs.reshape(b, k * GROUP)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(gidx, pos // GROUP, axis=-1)
+    return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)

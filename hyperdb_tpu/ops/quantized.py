@@ -59,6 +59,48 @@ def int8_scores(
     return s.astype(jnp.float32) * (q_scale[:, None] * v_scales[None, :])
 
 
+def _rescore_groups(q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recency):
+    """Stage 3 of the grouped int8 scan: exactly rescore the winning groups'
+    gathered int8 rows and take the final top-k (k = gidx.shape[-1]).
+    Shared by the XLA stage-1 forms and the Pallas gmax path."""
+    n, d = v_i8.shape
+    g = n // group
+    k = gidx.shape[-1]
+    r3 = v_i8.reshape(g, group, d)
+    sc3 = v_scales.reshape(g, group)
+    cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d) int8
+    inter_c = jnp.einsum(
+        "bd,bkgd->bkg", q_i8.astype(jnp.float32), cand_rows.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    cs = inter_c * (q_scale[:, None, None] * jnp.take(sc3, gidx, axis=0))
+    if recency is not None:
+        cs = cs + jnp.take(recency.reshape(g, group), gidx, axis=0)
+    if row_mask is not None:
+        cs = jnp.where(
+            jnp.take(row_mask.reshape(g, group), gidx, axis=0), cs, NEG_INF
+        )
+    cs = cs.reshape(q_i8.shape[0], k * group)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(gidx, pos // group, axis=-1)
+    return vals, (winner * group + pos % group).astype(jnp.int32)
+
+
+def _use_pallas_gmax(b: int, n: int, d: int) -> bool:
+    """Route stage 1 through the Pallas gmax kernel only where the XLA form
+    must chunk (epilogue over _EPILOGUE_BUDGET_BYTES): measured 2.2x there
+    (10M x 768 int8 batch 256) and a tie/loss elsewhere (ab_gmax.py)."""
+    from hyperdb_tpu.config import CONFIG
+
+    if not CONFIG.pallas_gmax:
+        return False
+    if jax.default_backend() == "cpu":
+        return False  # Mosaic lowering is TPU-only (tests run interpret mode)
+    from hyperdb_tpu.ops.pallas_gmax import supported
+
+    return supported(b, n, d)
+
+
 def _int8_grouped_topk(
     q_i8, q_scale, v_i8, v_scales, k, group, row_mask, recency
 ):
@@ -80,30 +122,15 @@ def _int8_grouped_topk(
         preferred_element_type=jnp.int32,
     )  # (B, g, group) int32
     s3 = inter3.astype(jnp.float32) * (q_scale[:, None, None] * sc3[None])
-    rec3 = mask3 = None
     if recency is not None:
-        rec3 = recency.reshape(g, group)
-        s3 = s3 + rec3[None]
+        s3 = s3 + recency.reshape(g, group)[None]
     if row_mask is not None:
-        mask3 = row_mask.reshape(g, group)
-        s3 = jnp.where(mask3[None], s3, NEG_INF)
+        s3 = jnp.where(row_mask.reshape(g, group)[None], s3, NEG_INF)
     gmax = jnp.max(s3, axis=-1)
     _, gidx = jax.lax.top_k(gmax, k)  # (B, k)
-
-    cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d) int8
-    inter_c = jnp.einsum(
-        "bd,bkgd->bkg", q_i8.astype(jnp.float32), cand_rows.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    return _rescore_groups(
+        q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recency
     )
-    cs = inter_c * (q_scale[:, None, None] * jnp.take(sc3, gidx, axis=0))
-    if rec3 is not None:
-        cs = cs + jnp.take(rec3, gidx, axis=0)
-    if mask3 is not None:
-        cs = jnp.where(jnp.take(mask3, gidx, axis=0), cs, NEG_INF)
-    cs = cs.reshape(q_i8.shape[0], k * group)
-    vals, pos = jax.lax.top_k(cs, k)
-    winner = jnp.take_along_axis(gidx, pos // group, axis=-1)
-    return vals, (winner * group + pos % group).astype(jnp.int32)
 
 
 # The (B, g, group) f32 scale/mask epilogue is materialized by XLA before
@@ -161,24 +188,9 @@ def _int8_grouped_topk_chunked(
     (gvals, gidx), _ = jax.lax.scan(step, init, xs)
 
     # stage 3: rescore the k winning groups from the full corpus
-    r3 = v_i8.reshape(g, group, d)
-    sc3 = v_scales.reshape(g, group)
-    cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d) int8
-    inter_c = jnp.einsum(
-        "bd,bkgd->bkg", q_i8.astype(jnp.float32), cand_rows.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    return _rescore_groups(
+        q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recency
     )
-    cs = inter_c * (q_scale[:, None, None] * jnp.take(sc3, gidx, axis=0))
-    if recency is not None:
-        cs = cs + jnp.take(recency.reshape(g, group), gidx, axis=0)
-    if row_mask is not None:
-        cs = jnp.where(
-            jnp.take(row_mask.reshape(g, group), gidx, axis=0), cs, NEG_INF
-        )
-    cs = cs.reshape(b, k * group)
-    vals, pos = jax.lax.top_k(cs, k)
-    winner = jnp.take_along_axis(gidx, pos // group, axis=-1)
-    return vals, (winner * group + pos % group).astype(jnp.int32)
 
 
 def _pick_chunks(b: int, n: int, group: int) -> int:
@@ -216,12 +228,25 @@ def rank_top_k_int8(
     q32 = queries.astype(jnp.float32)
     q_i8, q_scale = _quantize_device(q32)
     group = _auto_group(int(queries.shape[0]))
-    n = v_i8.shape[0]
+    n, d = v_i8.shape
     k_fetch = k if rescore_rows is None else min(k * overfetch, n)
 
     if n % group == 0 and n > k_fetch * group:
         n_chunks = _pick_chunks(int(queries.shape[0]), n, group)
-        if n_chunks > 1 and (n // group) // n_chunks > k_fetch:
+        if n_chunks > 1 and _use_pallas_gmax(int(queries.shape[0]), n, d):
+            # The regime where XLA must chunk is exactly where the Pallas
+            # stage-1 kernel wins (10M x 768 b=256: 23.1 vs 50.5 ms, b=64
+            # tie — benchmarks/ab_gmax.py); selection + rescore stay in XLA.
+            from hyperdb_tpu.ops import pallas_gmax as _pg
+
+            extra = _pg.make_extra(n, row_mask, recency)
+            gm = _pg.gmax_int8(q_i8, q_scale, v_i8, v_scales, extra)
+            _, gidx = jax.lax.top_k(gm, min(k_fetch, n // _pg.GROUP))
+            vals, cand = _rescore_groups(
+                q_i8, q_scale, v_i8, v_scales, gidx, _pg.GROUP,
+                row_mask, recency,
+            )
+        elif n_chunks > 1 and (n // group) // n_chunks > k_fetch:
             vals, cand = _int8_grouped_topk_chunked(
                 q_i8, q_scale, v_i8, v_scales, k_fetch, group,
                 row_mask, recency, n_chunks,

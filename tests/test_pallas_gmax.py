@@ -1,0 +1,119 @@
+"""Pallas grouped-max scan kernel: exactness vs the XLA formulation.
+
+Runs in interpret mode (hermetic on the CPU test mesh); the real Mosaic
+lowering is exercised by the TPU benchmarks (benchmarks/ab_gmax.py).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hyperdb_tpu.ops.pallas_gmax import (
+    GROUP,
+    gmax_f,
+    gmax_int8,
+    make_extra,
+    supported,
+)
+from hyperdb_tpu.ops.quantized import _quantize_device, quantize_rows
+
+
+def _ref_gmax(s: np.ndarray) -> np.ndarray:
+    b, n = s.shape
+    return s.reshape(b, n // GROUP, GROUP).max(axis=-1)
+
+
+def test_gmax_f_matches_xla():
+    rng = np.random.default_rng(0)
+    b, n, d = 8, 4096, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.9
+    rec = (rng.random(n) * 0.1).astype(np.float32)
+    extra = make_extra(n, jnp.asarray(mask), jnp.asarray(rec))
+    got = np.asarray(gmax_f(jnp.asarray(q), jnp.asarray(v), extra, interpret=True))
+    s = q @ v.T + np.asarray(extra)[None, :]
+    np.testing.assert_allclose(got, _ref_gmax(s), rtol=1e-5, atol=1e-5)
+
+
+def test_gmax_f_multi_block():
+    """n larger than one kernel block: the grid walks corpus blocks."""
+    rng = np.random.default_rng(1)
+    b, n, d = 8, 16384, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    extra = make_extra(n)
+    got = np.asarray(gmax_f(jnp.asarray(q), jnp.asarray(v), extra, interpret=True))
+    np.testing.assert_allclose(got, _ref_gmax(q @ v.T), rtol=1e-5, atol=1e-5)
+
+
+def test_gmax_int8_matches_xla():
+    rng = np.random.default_rng(2)
+    b, n, d = 8, 8192, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v_i8, v_sc = quantize_rows(v)
+    q_i8, q_sc = _quantize_device(jnp.asarray(q))
+    mask = rng.random(n) < 0.8
+    extra = make_extra(n, jnp.asarray(mask))
+    got = np.asarray(
+        gmax_int8(
+            q_i8, q_sc, jnp.asarray(v_i8), jnp.asarray(v_sc), extra,
+            interpret=True,
+        )
+    )
+    s = (
+        np.asarray(q_i8, dtype=np.float32) @ v_i8.T.astype(np.float32)
+    ) * (np.asarray(q_sc)[:, None] * v_sc[None, :]) + np.asarray(extra)[None, :]
+    np.testing.assert_allclose(got, _ref_gmax(s), rtol=1e-5, atol=1e-4)
+
+
+def test_supported_gate():
+    assert supported(256, 1 << 20, 384)
+    assert not supported(7, 1 << 20, 384)  # batch not sublane-aligned
+    assert not supported(256, 1 << 20, 100)  # d not lane-aligned
+    assert not supported(256, 12345, 384)  # n not block-divisible
+
+
+def test_pipeline_dot_index_identical():
+    from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_pallas
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+    rng = np.random.default_rng(5)
+    b, n, d, k = 8, 8192, 128, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.9
+    rec = (rng.random(n) * 0.05).astype(np.float32)
+    pv, pi = rank_top_k_grouped_pallas(
+        jnp.asarray(q), jnp.asarray(v), k,
+        row_mask=jnp.asarray(mask), recency=jnp.asarray(rec), interpret=True,
+    )
+    xv, xi = rank_top_k_grouped(
+        jnp.asarray(q), jnp.asarray(v), k,
+        row_mask=jnp.asarray(mask), recency=jnp.asarray(rec), group=GROUP,
+    )
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-5)
+
+
+def test_pipeline_int8_index_identical():
+    from hyperdb_tpu.ops.pallas_gmax import rank_top_k_int8_pallas
+    from hyperdb_tpu.ops.quantized import rank_top_k_int8
+
+    rng = np.random.default_rng(6)
+    b, n, d, k = 8, 8192, 128, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v_i8, v_sc = quantize_rows(v)
+    mask = rng.random(n) < 0.9
+    pv, pi = rank_top_k_int8_pallas(
+        jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(v_sc), k,
+        row_mask=jnp.asarray(mask), interpret=True,
+    )
+    xv, xi = rank_top_k_int8(
+        jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(v_sc), k=k,
+        row_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-5)
