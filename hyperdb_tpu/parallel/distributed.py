@@ -115,6 +115,70 @@ def sharded_rank_top_k(
     return fn(*args)
 
 
+def sharded_rank_top_k_int8(
+    mesh: Mesh,
+    queries: jax.Array,
+    rows_q: jax.Array,
+    row_scales: jax.Array,
+    row_valid: jax.Array,
+    k: int,
+    recency: jax.Array | None = None,
+    axis: str = "data",
+):
+    """Exact distributed top-k over a row-sharded INT8 corpus (int8-pure
+    mode: quantized scores, no rescore rows — ops/quantized semantics).
+
+    Each shard runs the grouped int8 scan (Pallas gmax stage 1 where that
+    regime applies, ops/quantized.rank_top_k_int8) on its rows; only
+    (k scores, k global ids) per shard cross the interconnect. Merged
+    results equal the unsharded int8 scan on the full corpus (top-k is
+    distributive over row partitions; tested on the CPU mesh).
+
+    Row shards are quantized per-row, so per-shard scales are just the row
+    slice — no cross-shard calibration needed.
+    """
+    from hyperdb_tpu.ops.quantized import rank_top_k_int8
+
+    n = rows_q.shape[0]
+    n_shards = mesh.shape[axis]
+    if n % n_shards:
+        raise ValueError(f"rows ({n}) must divide evenly over '{axis}' ({n_shards})")
+    n_local = n // n_shards
+    if k > n_local:
+        raise ValueError(f"k ({k}) must be <= rows per shard ({n_local})")
+    has_recency = recency is not None
+
+    def local_fn(q, rq, rs, valid, *rest):
+        vals, idx = rank_top_k_int8(
+            q, rq, rs, k=k, row_mask=valid,
+            recency=rest[0] if has_recency else None,
+        )
+        shard_id = jax.lax.axis_index(axis)
+        gidx = idx + shard_id * n_local
+        all_vals = jax.lax.all_gather(vals, axis)
+        all_idx = jax.lax.all_gather(gidx, axis)
+        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q.shape[0], -1)
+        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q.shape[0], -1)
+        merged_vals, merged_pos = jax.lax.top_k(all_vals, k)
+        merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
+        return merged_vals, merged_idx
+
+    in_specs = [P(), P(axis, None), P(axis), P(axis)]
+    args = [queries, rows_q, row_scales, row_valid]
+    if has_recency:
+        in_specs.append(P(axis))
+        args.append(recency)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(*args)
+
+
 class DistributedCorpus:
     """A row-sharded device-resident corpus with an exact distributed query.
 
@@ -129,10 +193,24 @@ class DistributedCorpus:
         vectors: np.ndarray,
         metric: str = "cosine_similarity",
         axis: str = "data",
+        precision: str = "auto",
     ):
+        """``precision='int8'`` serves the per-row-quantized corpus (int8-pure
+        semantics: ~0.98 recall@10 for cosine/dot, half the per-chip HBM of
+        bf16 — 2x corpus capacity per mesh)."""
+        if precision not in ("auto", "int8"):
+            raise ValueError("precision must be 'auto' or 'int8'.")
+        if precision == "int8" and metric not in (
+            "cosine_similarity", "dot_product"
+        ):
+            raise ValueError(
+                "int8 distributed serving supports cosine_similarity and "
+                f"dot_product only (got '{metric}')."
+            )
         self.mesh = mesh
         self.metric = metric
         self.axis = axis
+        self.precision = precision
         n, d = vectors.shape
         n_shards = mesh.shape[axis]
         # pad rows so every shard holds the same count, mask the tail
@@ -149,7 +227,18 @@ class DistributedCorpus:
         mask_sharding = NamedSharding(mesh, P(axis))
         self.n = n
         self.n_pad = n_pad
-        self.rows = jax.device_put(host, row_sharding)
+        if precision == "int8":
+            from hyperdb_tpu.ops.quantized import quantize_rows
+
+            h32 = host.astype(np.float32)
+            if metric == "cosine_similarity":
+                norms = np.linalg.norm(h32, axis=1, keepdims=True)
+                h32 = h32 / np.where(norms == 0, 1.0, norms)
+            rows_q, scales = quantize_rows(h32)
+            self.rows_q = jax.device_put(rows_q, row_sharding)
+            self.row_scales = jax.device_put(scales, mask_sharding)
+        else:
+            self.rows = jax.device_put(host, row_sharding)
         self.row_valid = jax.device_put(valid, mask_sharding)
         self._query = functools.partial(
             sharded_rank_top_k, mesh, axis=axis, metric=metric
@@ -157,9 +246,18 @@ class DistributedCorpus:
 
     def query(self, queries: np.ndarray, k: int):
         """(B, d) queries -> ((B, k) scores, (B, k) global row ids)."""
-        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        q = np.asarray(queries, dtype=np.float32)
+        if self.precision == "int8":
+            if self.metric == "cosine_similarity":
+                norms = np.linalg.norm(q, axis=1, keepdims=True)
+                q = q / np.where(norms == 0, 1.0, norms)
+            vals, idx = sharded_rank_top_k_int8(
+                self.mesh, jnp.asarray(q), self.rows_q, self.row_scales,
+                self.row_valid, k=k, axis=self.axis,
+            )
+            return np.asarray(vals), np.asarray(idx)
         vals, idx = sharded_rank_top_k(
-            self.mesh, q, self.rows, self.row_valid, k=k,
+            self.mesh, jnp.asarray(q), self.rows, self.row_valid, k=k,
             metric=self.metric, axis=self.axis,
         )
         return np.asarray(vals), np.asarray(idx)

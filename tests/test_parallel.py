@@ -130,3 +130,54 @@ def test_sharded_grouped_topk_matches_oracle(monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(oi))
     np.testing.assert_allclose(np.asarray(gv), np.asarray(ov), rtol=1e-5)
+
+
+def test_sharded_int8_matches_unsharded_int8(mesh):
+    """Merged per-shard int8 top-k == the unsharded int8 scan (same
+    quantization, top-k distributive over row partitions)."""
+    from hyperdb_tpu.ops.quantized import quantize_rows, rank_top_k_int8
+    from hyperdb_tpu.parallel.distributed import sharded_rank_top_k_int8
+
+    rng = np.random.default_rng(21)
+    n, d, b, k = 8 * 256, 32, 4, 9
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v_i8, scales = quantize_rows(v)
+    valid = np.ones(n, dtype=bool)
+    valid[::7] = False
+    rec = (rng.standard_normal(n) * 0.02).astype(np.float32)
+
+    sv, si = sharded_rank_top_k_int8(
+        mesh, jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(scales),
+        jnp.asarray(valid), k=k, recency=jnp.asarray(rec),
+    )
+    ov, oi = rank_top_k_int8(
+        jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(scales), k=k,
+        row_mask=jnp.asarray(valid), recency=jnp.asarray(rec),
+    )
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(oi))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(ov), rtol=1e-5)
+
+
+def test_distributed_corpus_int8_recall(mesh):
+    rng = np.random.default_rng(22)
+    n, d, b, k = 4096, 48, 6, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    corpus = DistributedCorpus(mesh, v, metric="cosine_similarity", precision="int8")
+    vals, idx = corpus.query(q, k=k)
+    ov, oi = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=k, metric="cosine_similarity")
+    oi = np.asarray(oi)
+    recall = np.mean(
+        [len(set(idx[i].tolist()) & set(oi[i].tolist())) / k for i in range(b)]
+    )
+    assert recall >= 0.9, recall
+    # int8 corpus actually stored as int8 (capacity claim)
+    assert corpus.rows_q.dtype == jnp.int8
+
+
+def test_distributed_corpus_int8_rejects_other_metrics(mesh):
+    rng = np.random.default_rng(23)
+    v = rng.standard_normal((256, 16)).astype(np.float32)
+    with pytest.raises(ValueError):
+        DistributedCorpus(mesh, v, metric="euclidean_metric", precision="int8")
