@@ -354,10 +354,24 @@ class HyperDB:
         if self.vectors.shape[0] >= IVF_THRESHOLD:
             from hyperdb_tpu.index.ivf import IVFIndex
 
+            # Reuse the store's device view for the build: queries need that
+            # upload anyway, so sampling/assignment run on the resident rows
+            # instead of re-shipping the corpus (upload dominated 2M+ builds).
+            device_rows = None
+            if self._store.precision != "int8-pure":
+                try:
+                    dv = self._store.device_view(self.source_indices)
+                    device_rows = (
+                        dv["rows_norm"] if self.ann_metric == "cosine"
+                        else dv["rows"]
+                    )
+                except Exception:
+                    device_rows = None
             self.ann_index = IVFIndex.build(
                 self.vectors,
                 metric=self.ann_metric,
                 n_trees=self.n_trees,
+                device_rows=device_rows,
             )
             self._ivf_built_rows = int(self.vectors.shape[0])
         else:

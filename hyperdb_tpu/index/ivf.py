@@ -100,38 +100,65 @@ class IVFIndex:
         nlist: int | None = None,
         n_trees: int = 10,
         seed: int = 0,
+        device_rows=None,
     ) -> "IVFIndex":
+        """``device_rows`` short-circuits the host->device corpus upload:
+        an already-device-resident (N_pad >= N, d) matrix — the store's
+        padded view, pre-normalized for cosine/angular/dot metrics — is
+        sampled and assignment-scanned in place, so building the index adds
+        no transfer beyond the view queries need anyway (a 2M x 384 build
+        was upload-dominated without this)."""
         n, d = vectors.shape
         nlist = nlist or default_nlist(n)
         nlist = min(nlist, n)
 
-        data = np.asarray(vectors, dtype=np.float32)
         normalized = metric in ("cosine", "angular", "dot")
-        if normalized:
-            norms = np.linalg.norm(data, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            data = data / norms
-
         rng = np.random.default_rng(seed)
-        if n > _TRAIN_SAMPLE:
-            train_idx = rng.choice(n, size=_TRAIN_SAMPLE, replace=False)
-            train = data[train_idx]
+
+        if device_rows is not None:
+            # sample + train + assign on device; only centroids/assignments
+            # (small) cross the link
+            if n > _TRAIN_SAMPLE:
+                train_idx = np.sort(rng.choice(n, size=_TRAIN_SAMPLE, replace=False))
+            else:
+                train_idx = np.arange(n)
+            train = device_rows[jnp.asarray(train_idx)].astype(jnp.float32)
+            init_idx = rng.choice(train_idx.size, size=nlist, replace=False)
+            init = train[jnp.asarray(init_idx)]
+            centroids = np.asarray(_kmeans(train, init, nlist, _KMEANS_ITERS))
+            assign = np.empty(n, dtype=np.int64)
+            cj = jnp.asarray(centroids)
+            chunk = 1 << 20
+            for start in range(0, n, chunk):
+                stop = min(start + chunk, n)
+                block = device_rows[start:stop].astype(jnp.float32)
+                assign[start:stop] = np.asarray(_assign(block, cj, nlist))
         else:
-            train = data
-        init_idx = rng.choice(train.shape[0], size=nlist, replace=False)
-        init = train[init_idx]
+            data = np.asarray(vectors, dtype=np.float32)
+            if normalized:
+                norms = np.linalg.norm(data, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                data = data / norms
 
-        centroids = np.asarray(
-            _kmeans(jnp.asarray(train), jnp.asarray(init), nlist, _KMEANS_ITERS)
-        )
+            if n > _TRAIN_SAMPLE:
+                train_idx = rng.choice(n, size=_TRAIN_SAMPLE, replace=False)
+                train = data[train_idx]
+            else:
+                train = data
+            init_idx = rng.choice(train.shape[0], size=nlist, replace=False)
+            init = train[init_idx]
 
-        # full assignment pass, chunked to bound device memory
-        assign = np.empty(n, dtype=np.int64)
-        cj = jnp.asarray(centroids)
-        chunk = 1 << 20
-        for start in range(0, n, chunk):
-            block = jnp.asarray(data[start : start + chunk])
-            assign[start : start + chunk] = np.asarray(_assign(block, cj, nlist))
+            centroids = np.asarray(
+                _kmeans(jnp.asarray(train), jnp.asarray(init), nlist, _KMEANS_ITERS)
+            )
+
+            # full assignment pass, chunked to bound device memory
+            assign = np.empty(n, dtype=np.int64)
+            cj = jnp.asarray(centroids)
+            chunk = 1 << 20
+            for start in range(0, n, chunk):
+                block = jnp.asarray(data[start : start + chunk])
+                assign[start : start + chunk] = np.asarray(_assign(block, cj, nlist))
 
         row_order = np.argsort(assign, kind="stable").astype(np.int32)
         counts = np.bincount(assign, minlength=nlist)

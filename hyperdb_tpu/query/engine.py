@@ -342,6 +342,7 @@ def execute_query_batch(
         and override is None
         and num_docs == db._store.num_rows
         and num_docs >= CONFIG.batch_ivf_min_rows
+        and db._store.precision != "int8-pure"
     ):
         budget = max(top_k * 20, -(-int(base_mask.sum()) * ann_percent // 100))
         doc_ids, scores_out = _rank_block_ivf(
@@ -477,12 +478,16 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
 
     # IVF fast path: gather + score only the candidate rows. Applies to the
     # canonical unchunked corpus (rows == docs) without key-filter overrides;
-    # all other shapes fall back to the masked full scan (still exact).
+    # all other shapes fall back to the masked full scan (still exact —
+    # the doc mask already carries the ANN candidate restriction, Q12).
+    # int8-pure stores keep no float rows to gather from: they fall through
+    # to the masked int8 scan below.
     if (
         cand_rows is not None
         and override is None
         and num_docs == db._store.num_rows
         and cand_rows.size
+        and db._store.precision != "int8-pure"
     ):
         cand = cand_rows[mask[cand_rows]]
         if cand.size:

@@ -250,3 +250,33 @@ def test_query_batch_ivf_recency(monkeypatch):
     # heavy recency bias must drag the newest doc (largest ts) into the top-k
     top_ids = {r[2] for row in res for r in row}
     assert (len(v) - 1) in top_ids
+
+
+def test_build_with_device_rows_matches_host_build_recall():
+    """The device-resident build path (store view reuse — no corpus
+    re-upload) must produce an index of the same quality as the host build;
+    with identical seed/sample the centroids come from the same row ids."""
+    import jax.numpy as jnp
+
+    from hyperdb_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(5)
+    n, d = 4096, 32
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 3
+    v = (centers[rng.integers(0, 32, size=n)]
+         + rng.standard_normal((n, d)).astype(np.float32))
+
+    host_ix = IVFIndex.build(v, metric="cosine", nlist=64)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    dev_rows = jnp.asarray((v / norms).astype(np.float16))  # store-view dtype
+    dev_ix = IVFIndex.build(v, metric="cosine", nlist=64, device_rows=dev_rows)
+
+    q = centers[3] + rng.standard_normal(d).astype(np.float32)
+    budget = 400
+    got_h = set(host_ix.probe(q, budget).tolist())
+    got_d = set(dev_ix.probe(q, budget).tolist())
+    qn = q / np.linalg.norm(q)
+    oracle = set(np.argsort(-((v / norms) @ qn))[:10].tolist())
+    assert len(got_h & oracle) / 10 >= 0.9
+    assert len(got_d & oracle) / 10 >= 0.9
+    assert dev_ix.num_rows == n and dev_ix.normalized
