@@ -30,6 +30,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks._chiplock import claim_chip  # noqa: E402
+
+claim_chip()
+
 import numpy as np
 
 

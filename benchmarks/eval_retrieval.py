@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks._chiplock import claim_chip  # noqa: E402
+
 import numpy as np
 
 
@@ -51,6 +53,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        claim_chip()
 
     from hyperdb_tpu import HyperDB
     from hyperdb_tpu.core.chunker import WordTokenizer

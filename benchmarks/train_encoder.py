@@ -27,6 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks._chiplock import claim_chip  # noqa: E402
+
 import numpy as np
 
 
@@ -54,6 +56,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        claim_chip()
     import jax
     import jax.numpy as jnp
     import optax
