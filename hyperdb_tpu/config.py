@@ -34,9 +34,18 @@ class EngineConfig:
     # Default embedding dimension for the hermetic hash encoder.
     embed_dim: int = _env_int("HYPERDB_EMBED_DIM", 384)
     # Minimum corpus row count before query_batch routes through the batched
-    # IVF path (shared probe frontier). Below it the exact masked full scan
-    # is measured faster on TPU (docs/ROADMAP.md: <=1M rows).
-    batch_ivf_min_rows: int = _env_int("HYPERDB_BATCH_IVF_MIN_ROWS", 2_000_000)
+    # IVF path (shared probe frontier). Disabled by default: measured at 2M
+    # and 4M rows x 384d f16 on v5e (benchmarks/bench_ivf_crossover.py,
+    # results.jsonl ivf_crossover), the exact masked scan wins by 30-200x
+    # (2M b64: 58 ms vs 1.8 s; 4M b64: 61 ms vs 4.6 s per batch). The loss
+    # is structural, not a tuning miss: at the reference's Q12 budget (5% of
+    # N per query) the probed-cluster union across a 64+-query block covers
+    # most of the corpus, so the path pays a scattered gather of ~N rows
+    # plus a (B, union) host-side validity upload, while the exact scan
+    # streams N rows contiguously at full HBM bandwidth. Single-query IVF
+    # (shared-nothing latency path) is unaffected. Set the env var to a row
+    # count to re-enable, 0 to force.
+    batch_ivf_min_rows: int = _env_int("HYPERDB_BATCH_IVF_MIN_ROWS", 1 << 62)
     # Minimum padded row count before dot/cosine scans use the grouped
     # (group-max + rescore) exact top-k instead of native TopK. Measured 3x
     # at (256 queries, 1M rows) on v5e (benchmarks/ab_grouped_topk3.py);
