@@ -60,29 +60,35 @@ def normalize(x: jax.Array, axis: int = -1) -> jax.Array:
     return x / n
 
 
-def _qv_dot(q: jax.Array, v: jax.Array) -> jax.Array:
-    """(B, d) x (N, d) -> (B, N) contraction on the MXU, f32 accumulation.
+def dot_precision(q: jax.Array, v: jax.Array) -> jax.lax.Precision:
+    """MXU precision rule shared by every scoring matmul in the engine.
 
-    Precision is pinned to HIGHEST so f32 corpora score with true f32
-    accuracy (matching the NumPy reference bit-for-bit at ranking level)
-    instead of the backend's default reduced-precision matmul; fp16/bf16
-    corpora still run at native MXU throughput since the inputs themselves
-    are low precision.
+    HIGHEST so f32 corpora score with true f32 accuracy (matching the NumPy
+    reference at ranking level) instead of the backend's reduced-precision
+    default; DEFAULT when both operands are already f16/bf16, which runs at
+    native MXU throughput without changing the math (the inputs themselves
+    carry the reduced precision).
     """
     low_precision_inputs = v.dtype in (jnp.float16, jnp.bfloat16) and q.dtype in (
         jnp.float16,
         jnp.bfloat16,
     )
+    return (
+        jax.lax.Precision.DEFAULT
+        if low_precision_inputs
+        else jax.lax.Precision.HIGHEST
+    )
+
+
+def _qv_dot(q: jax.Array, v: jax.Array) -> jax.Array:
+    """(B, d) x (N, d) -> (B, N) contraction on the MXU, f32 accumulation,
+    precision per :func:`dot_precision`."""
     return jax.lax.dot_general(
         q,
         v,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=(
-            jax.lax.Precision.DEFAULT
-            if low_precision_inputs
-            else jax.lax.Precision.HIGHEST
-        ),
+        precision=dot_precision(q, v),
     )
 
 

@@ -269,11 +269,15 @@ def rank_top_k_int8(
         return vals, cand
 
     sub = rescore_rows[cand]  # (B, k_fetch, d) gather
+    # Precision follows the SOURCE plane's dtype (ops.metrics.dot_precision):
+    # casting to f32 and multiplying at the backend default would silently
+    # score at bf16, breaking the exact-rescore contract for f32 corpora.
     exact = jnp.einsum(
         "bd,bkd->bk",
         q32,
         sub.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=_metrics.dot_precision(q32, sub),
     )
     if recency is not None:
         exact = exact + recency[cand]

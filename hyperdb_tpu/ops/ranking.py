@@ -126,10 +126,14 @@ def rank_top_k_grouped(
     containment argument.
     """
     n, d = vectors.shape
+    # f32 corpora keep true-f32 MXU accuracy here exactly like the exact
+    # path's _qv_dot — otherwise the >=grouped-threshold route would score
+    # at the backend's reduced default and break f32 reference parity.
+    prec = _metrics.dot_precision(queries, vectors)
     if n % group or n <= k * group:
         s = jax.lax.dot_general(
             queries, vectors, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         s = jnp.where(jnp.isnan(s), NEG_INF, s)
         if recency is not None:
@@ -142,7 +146,7 @@ def rank_top_k_grouped(
     r3 = vectors.reshape(g, group, d)
     s3 = jax.lax.dot_general(
         queries, r3, (((1,), (2,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )  # (B, g, group)
     s3 = jnp.where(jnp.isnan(s3), NEG_INF, s3)
     rec3 = mask3 = None
@@ -157,7 +161,8 @@ def rank_top_k_grouped(
 
     cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d)
     cs = jnp.einsum(
-        "bd,bkgd->bkg", queries, cand_rows, preferred_element_type=jnp.float32
+        "bd,bkgd->bkg", queries, cand_rows,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     cs = jnp.where(jnp.isnan(cs), NEG_INF, cs)
     if rec3 is not None:
@@ -236,8 +241,12 @@ def rank_top_k_grouped_metric(
     """
     if metric in ("hamming_distance", "jaccard_similarity"):
         q32 = (queries > 0).astype(jnp.float32)
+        # 0/1 operands are exact in every float dtype and the accumulator is
+        # f32 either way, so the fast DEFAULT precision loses nothing here.
+        prec = jax.lax.Precision.DEFAULT
     else:
         q32 = queries.astype(jnp.float32)
+        prec = _metrics.dot_precision(q32, rows)
     qq = _metrics._match_low_precision(q32, rows)
     n, d = rows.shape
 
@@ -250,7 +259,7 @@ def rank_top_k_grouped_metric(
         s = epilogue(
             jax.lax.dot_general(
                 qq, rows, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             ),
             row_aux[None, :],
         )
@@ -265,7 +274,7 @@ def rank_top_k_grouped_metric(
     aux3 = row_aux.reshape(g, group)
     inter3 = jax.lax.dot_general(
         qq, r3, (((1,), (2,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )  # (B, g, group)
     s3 = epilogue(inter3, aux3[None])
     rec3 = mask3 = None
@@ -280,7 +289,8 @@ def rank_top_k_grouped_metric(
 
     cand_rows = jnp.take(r3, gidx, axis=0)  # (B, k, group, d)
     inter_c = jnp.einsum(
-        "bd,bkgd->bkg", qq, cand_rows, preferred_element_type=jnp.float32
+        "bd,bkgd->bkg", qq, cand_rows,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     cs = epilogue(inter_c, jnp.take(aux3, gidx, axis=0))
     if rec3 is not None:
