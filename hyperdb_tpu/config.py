@@ -24,9 +24,19 @@ def _env_int(name: str, default: int):
 
 @dataclass
 class EngineConfig:
-    # Corpora with at least this many rows build an IVF index; below it the
-    # exact flat scan wins on TPU.
-    ivf_threshold: int = _env_int("HYPERDB_IVF_THRESHOLD", 65536)
+    # Corpora with at least this many rows build an IVF index at ingest and
+    # route eligible queries through it. DISABLED by default: on TPU the
+    # exact scan wins every measured regime — single-query at 1M rows the
+    # engine serves 59 ms exact vs 164 ms IVF (probe + scattered candidate
+    # gather; results.jsonl single_query_ivf_vs_exact), batched it wins
+    # 30-480x (see batch_ivf_min_rows below), and skipping the k-means
+    # build also removes a ~2 min ingest tax at 1M. Both IVF costs are
+    # structural on this hardware: a 5%-of-N scattered gather cannot beat
+    # a contiguous full scan riding HBM bandwidth on the MXU. The full IVF
+    # path (build, probe, budget contract, recall 0.98 at the reference's
+    # 5% budget — BASELINE config 3) remains available: set the env var to
+    # a row count to re-enable.
+    ivf_threshold: int = _env_int("HYPERDB_IVF_THRESHOLD", 1 << 62)
     # IVF cluster count; 0 = sqrt-scaled default (index/ivf.py).
     ivf_nlist: int = _env_int("HYPERDB_IVF_NLIST", 0)
     # Token window for document chunking (reference MAX_LENGTH=510).

@@ -40,8 +40,9 @@ from hyperdb_tpu.utils.trace import Stats
 _ACCEPTED_ANN_METRICS = ("angular", "euclidean", "manhattan", "hamming", "dot", "cosine")
 _FP_PRECISIONS = ("float16", "float32", "float64")
 
-# Corpora with at least this many rows get a real IVF index; below it the
-# exact flat scan is faster than any pre-filter on TPU. Overridable via
+# Corpora with at least this many rows get a real IVF index; the default is
+# disabled because the exact scan beats the IVF gather at every measured
+# scale on TPU (config.py:ivf_threshold cites the runs). Opt in via
 # HYPERDB_IVF_THRESHOLD (hyperdb_tpu/config.py) or by rebinding this name.
 from hyperdb_tpu.config import CONFIG as _CONFIG  # noqa: E402
 
@@ -1261,11 +1262,15 @@ class HyperDB:
             import jax
 
             dv = self._store.device_view(self.source_indices)
-            # touch one device array to force the transfer to complete
-            for key in ("rows", "rows_q"):
-                if key in dv:
-                    jax.block_until_ready(dv[key])
-                    break
+            # Touch the plane queries will serve from, forcing its transfer:
+            # the int8 scan plane when quantized, else the unit-norm plane
+            # for the cosine default / the raw plane otherwise (float planes
+            # are lazy-uploaded on first subscript — store._LazyDeviceView).
+            if "rowsn_q" in dv:
+                key = "rowsn_q" if self.ann_metric == "cosine" else "rows_q"
+            else:
+                key = "rows_norm" if self.ann_metric == "cosine" else "rows"
+            jax.block_until_ready(dv[key])
         except Exception as e:  # pragma: no cover - device-specific failures
             print(f"INFO: preload_ann_into_memory failed, staying lazy: {e}")
 

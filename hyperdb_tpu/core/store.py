@@ -38,6 +38,29 @@ _DEVICE_DTYPES = {
 }
 
 
+class _LazyDeviceView(dict):
+    """Device view whose full-corpus float planes upload on first access.
+
+    ``dv["rows"]`` / ``dv["rows_norm"]`` materialize via ``__missing__`` so
+    every existing subscript site works unchanged; membership tests see only
+    what has actually been uploaded. int8-pure views never hold float planes
+    and keep raising KeyError for them.
+    """
+
+    _LAZY_KEYS = ("rows", "rows_norm")
+
+    def __init__(self, store: "VectorStore"):
+        super().__init__()
+        self._store = store
+
+    def __missing__(self, key):
+        if key in self._LAZY_KEYS:
+            arr = self._store._materialize_plane(key, self["n_pad"])
+            self[key] = arr
+            return arr
+        raise KeyError(key)
+
+
 class VectorStore:
     """Host master arrays + lazily rebuilt padded device views.
 
@@ -110,9 +133,36 @@ class VectorStore:
 
     # ---------------- device views ----------------
 
+    def _padded_planes(self, n_pad: int):
+        """(n_pad, d) f32 host planes: raw rows and unit-norm rows."""
+        n, d = self.vectors.shape
+        host = np.zeros((n_pad, d), dtype=np.float32)
+        host[:n] = self.vectors.astype(np.float32, copy=False)
+        norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        host_norm = np.zeros((n_pad, d), dtype=np.float32)
+        host_norm[:n] = host[:n] / norms
+        return host, host_norm
+
+    def _materialize_plane(self, key: str, n_pad: int):
+        """Upload one lazily requested full-corpus plane ('rows'/'rows_norm')."""
+        if self.precision == "int8-pure":
+            raise KeyError(key)  # int8-pure never holds float planes
+        dev_dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
+        host, host_norm = self._padded_planes(n_pad)
+        src = host if key == "rows" else host_norm
+        return jnp.asarray(src.astype(np.dtype(dev_dtype)))
+
     def device_view(self, source_indices) -> dict:
         """Padded device arrays for the current corpus; cached until the next
-        mutation. ``source_indices`` must have one entry per row."""
+        mutation. ``source_indices`` must have one entry per row.
+
+        The two full-corpus float planes — ``rows`` (raw) and ``rows_norm``
+        (unit-norm) — each cost a whole-corpus host->device transfer, and a
+        cosine-serving DB only ever touches ``rows_norm``. They therefore
+        materialize lazily on first subscript (``_LazyDeviceView``), which
+        halves upload-dominated large-corpus builds; ``binary_view`` already
+        does the same for the hamming/jaccard planes."""
         n = self.num_rows
         if n == 0:
             raise ValueError("Vector store is empty.")
@@ -121,15 +171,17 @@ class VectorStore:
 
         d = self.vectors.shape[1]
         n_pad = bucket_size(n)
-        dev_dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
 
-        host = np.zeros((n_pad, d), dtype=np.float32)
-        host[:n] = self.vectors.astype(np.float32, copy=False)
-
-        norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        host_norm = np.zeros((n_pad, d), dtype=np.float32)
-        host_norm[:n] = host[:n] / norms
+        v32 = self.vectors.astype(np.float32, copy=False)
+        row_sq = np.zeros(n_pad, dtype=np.float32)
+        # np.sum keeps NumPy's pairwise per-row summation (einsum's BLAS
+        # order shifts the cancellation noise of the expanded euclidean
+        # d^2 = |v|^2 - 2qv + |q|^2 near zero distance); chunked so the
+        # squared temp never exceeds ~256 MB.
+        step = max(1, (64 << 20) // max(1, d))
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            row_sq[s:e] = np.sum(v32[s:e] * v32[s:e], axis=1)
 
         row_valid = np.zeros(n_pad, dtype=bool)
         row_valid[:n] = True
@@ -146,33 +198,31 @@ class VectorStore:
         row_docs = np.full(n_pad, pad_doc, dtype=np.int32)
         row_docs[:n] = src
 
-        self._device = {
-            "n": n,
-            "n_pad": n_pad,
-            "dim": d,
-            "row_valid": jnp.asarray(row_valid),
-            "row_docs": jnp.asarray(row_docs),
+        dv = _LazyDeviceView(self)
+        dv.update(
+            n=n,
+            n_pad=n_pad,
+            dim=d,
+            row_valid=jnp.asarray(row_valid),
+            row_docs=jnp.asarray(row_docs),
             # per-row |v|^2 — the euclidean grouped kernel's epilogue
             # constant (ops/ranking.rank_top_k_grouped_metric); (N_pad,) f32
             # is ~d x smaller than the corpus, so always materialized
-            "row_sq": jnp.asarray(np.sum(host * host, axis=1)),
-        }
+            row_sq=jnp.asarray(row_sq),
+        )
         if self.precision in ("int8", "int8-pure"):
             from hyperdb_tpu.ops.quantized import quantize_rows
 
+            host, host_norm = self._padded_planes(n_pad)
             q_raw, s_raw = quantize_rows(host)
             q_norm, s_norm = quantize_rows(host_norm)
-            self._device.update(
+            dv.update(
                 rows_q=jnp.asarray(q_raw),
                 row_scales=jnp.asarray(s_raw),
                 rowsn_q=jnp.asarray(q_norm),
                 rown_scales=jnp.asarray(s_norm),
             )
-        if self.precision != "int8-pure":
-            self._device.update(
-                rows=jnp.asarray(host.astype(np.dtype(dev_dtype))),
-                rows_norm=jnp.asarray(host_norm.astype(np.dtype(dev_dtype))),
-            )
+        self._device = dv
         return self._device
 
     def binary_view(self, source_indices) -> dict:

@@ -153,3 +153,35 @@ class TestVectorStore:
         s.append(np.zeros((1, 2)))
         dv2 = s.device_view([0, 1, 2, 3, 4])
         assert dv2["n"] == 5 and dv1["n"] == 4
+
+    def test_device_view_lazy_planes(self):
+        """The full-corpus float planes upload on first subscript only
+        (store._LazyDeviceView): ingest of a cosine-serving DB must not pay
+        the raw-rows transfer, and int8-pure must keep raising KeyError."""
+        rng = np.random.default_rng(1)
+        s = VectorStore(np.float32)
+        s.set(rng.standard_normal((12, 4)))
+        dv = s.device_view(list(range(12)))
+        assert "rows" not in dv and "rows_norm" not in dv
+        rn = dv["rows_norm"]  # first subscript materializes
+        assert "rows_norm" in dv and "rows" not in dv
+        assert dv["rows_norm"] is rn  # cached, not re-uploaded
+        r = dv["rows"]
+        assert "rows" in dv
+        np.testing.assert_allclose(
+            np.asarray(rn[:12]),
+            np.asarray(r[:12])
+            / np.linalg.norm(np.asarray(r[:12]), axis=1, keepdims=True),
+            rtol=1e-6,
+        )
+        with np.testing.assert_raises(KeyError):
+            dv["nonexistent_plane"]
+
+        sp = VectorStore(np.float16, precision="int8-pure")
+        sp.set(rng.standard_normal((8, 4)))
+        dvp = sp.device_view(list(range(8)))
+        assert "rows_q" in dvp and "rowsn_q" in dvp
+        with np.testing.assert_raises(KeyError):
+            dvp["rows"]
+        with np.testing.assert_raises(KeyError):
+            dvp["rows_norm"]

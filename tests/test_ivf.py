@@ -280,3 +280,22 @@ def test_build_with_device_rows_matches_host_build_recall():
     assert len(got_h & oracle) / 10 >= 0.9
     assert len(got_d & oracle) / 10 >= 0.9
     assert dev_ix.num_rows == n and dev_ix.normalized
+
+
+def test_ivf_is_opt_in_by_default():
+    """The exact scan is the default at every corpus size: on TPU the IVF
+    probe + scattered gather loses to the contiguous full scan in every
+    measured regime (results.jsonl single_query_ivf_vs_exact: 164 ms vs
+    59 ms per query at 1M rows; ivf_crossover: 30-480x batched). The env
+    knob re-enables the build (config.py:ivf_threshold)."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.index.flat import FlatIndex
+
+    assert CONFIG.ivf_threshold == 1 << 62
+    rng = np.random.default_rng(0)
+    db = HyperDB(
+        documents=[{"i": int(i)} for i in range(70_000)],
+        vectors=rng.standard_normal((70_000, 8)).astype(np.float32),
+    )
+    assert isinstance(db.ann_index, FlatIndex)
+    assert not getattr(db.ann_index, "is_ann", False)
