@@ -1,0 +1,36 @@
+"""Multi-process (multi-host analogue) validation of the distributed path.
+
+Runs benchmarks/multihost_dryrun.py: 2 worker processes form one global
+8-device mesh over a localhost jax.distributed coordinator (CPU devices,
+Gloo collectives crossing real process boundaries — the program structure a
+multi-host TPU pod runs over ICI/DCN) and check the sharded f32 and int8
+top-k against NumPy oracles in every process. This is the strongest
+multi-host evidence available on a one-host image; tests/test_parallel.py
+covers the same programs on the single-process 8-device mesh.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "benchmarks", "multihost_dryrun.py")
+
+
+def test_two_process_mesh_matches_oracle():
+    env = dict(os.environ)
+    # the launcher's workers set their own JAX_PLATFORMS/XLA_FLAGS; make
+    # sure this test's hermetic-CPU env doesn't leak a device-count flag
+    env.pop("XLA_FLAGS", None)
+    env["HYPERDB_CHIP_LOCK_BYPASS"] = "1"
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "--port", "9923"],
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:]
+    assert "MULTIHOST DRYRUN: OK" in out.stdout
+    assert out.stdout.count("matches oracle") == 4  # 2 procs x {f32, int8}
