@@ -1,5 +1,7 @@
 import sys, os, time, functools
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from benchmarks._chiplock import claim_chip
+claim_chip()
 import numpy as np, jax, jax.numpy as jnp
 
 rng = np.random.default_rng(0)
