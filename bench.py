@@ -16,8 +16,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+try:  # serialize behind the advisory chip claim like every benchmark
+    from benchmarks._chiplock import claim_chip
+except ImportError:  # pragma: no cover - driver may relocate the script
+    def claim_chip():
+        return None
+
+claim_chip()
 
 import numpy as np
 

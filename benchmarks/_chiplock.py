@@ -27,8 +27,9 @@ _handle = None  # keep the fd alive for the process lifetime
 def claim_chip(timeout_s: float = 3600.0):
     """Block until this process holds the exclusive chip claim.
 
-    Call before the first ``import jax``. No-op when JAX_PLATFORMS
-    explicitly selects cpu (hermetic runs never touch the chip).
+    Call before the first ``import jax``. Always claims unless the caller
+    explicitly sets HYPERDB_CHIP_LOCK_BYPASS=1 (see NOTE below — the env
+    var JAX_PLATFORMS alone does NOT keep a process off the chip here).
     """
     global _handle
     if _handle is not None:

@@ -1,7 +1,8 @@
 """Single-query latency: IVF routing vs the exact scan, same engine.
 
-The engine default (HYPERDB_IVF_THRESHOLD=65536) routes single queries
-through the IVF probe + candidate gather above 65k rows. Round-1 config-3
+With HYPERDB_IVF_THRESHOLD=65536 (the round-1 default; opt-in since
+round 2) the engine routes single queries through the IVF probe +
+candidate gather above 65k rows. Round-1 config-3
 telemetry (results.jsonl 2026-08-16T08:36) recorded probe 2.5 ms +
 gather/rank 80 ms per query at 1M rows — while the exact grouped scan
 measured ~3.2 ms at batch 1 on the same corpus shape. If that holds at the
@@ -28,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks._chiplock import claim_chip  # noqa: E402
 
 claim_chip()
+
+# this benchmark MEASURES the IVF routing, which is opt-in since round 2
+os.environ.setdefault("HYPERDB_IVF_THRESHOLD", "65536")
 
 import numpy as np  # noqa: E402
 

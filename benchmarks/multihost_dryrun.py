@@ -159,7 +159,7 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             p.kill()
             out = "(timeout)"
-        tail = "\n".join(out.strip().splitlines()[-4:])
+        tail = "\n".join(out.strip().splitlines()[-8:])
         print(f"--- process {i} rc={p.returncode}\n{tail}")
         rc |= p.returncode or 0
     print("MULTIHOST DRYRUN:", "OK" if rc == 0 else "FAILED")

@@ -17,6 +17,13 @@ if "--cpu" in sys.argv:  # run off-TPU (e.g. while the chip is busy)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    try:  # serialize behind the advisory chip claim (benchmarks/_chiplock)
+        from benchmarks._chiplock import claim_chip
+
+        claim_chip()
+    except ImportError:  # pragma: no cover
+        pass
 
 from hyperdb_tpu import HyperDB  # noqa: E402
 

@@ -1262,15 +1262,17 @@ class HyperDB:
             import jax
 
             dv = self._store.device_view(self.source_indices)
-            # Touch the plane queries will serve from, forcing its transfer:
-            # the int8 scan plane when quantized, else the unit-norm plane
-            # for the cosine default / the raw plane otherwise (float planes
-            # are lazy-uploaded on first subscript — store._LazyDeviceView).
-            if "rowsn_q" in dv:
-                key = "rowsn_q" if self.ann_metric == "cosine" else "rows_q"
-            else:
-                key = "rows_norm" if self.ann_metric == "cosine" else "rows"
-            jax.block_until_ready(dv[key])
+            # An explicit prefault request warms EVERY plane serving can
+            # touch (queries choose their metric per call, and int8 mode
+            # rescores from the float planes), forcing the lazy uploads
+            # (store._LazyDeviceView) to happen now rather than at first
+            # query. int8-pure holds no float planes.
+            for key in ("rowsn_q", "rows_q"):
+                if key in dv:
+                    jax.block_until_ready(dv[key])
+            if self._store.precision != "int8-pure":
+                jax.block_until_ready(dv["rows_norm"])
+                jax.block_until_ready(dv["rows"])
         except Exception as e:  # pragma: no cover - device-specific failures
             print(f"INFO: preload_ann_into_memory failed, staying lazy: {e}")
 

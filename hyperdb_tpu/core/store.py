@@ -45,17 +45,25 @@ class _LazyDeviceView(dict):
     every existing subscript site works unchanged; membership tests see only
     what has actually been uploaded. int8-pure views never hold float planes
     and keep raising KeyError for them.
+
+    The view snapshots the host master ndarray it was built from (every
+    store mutation REPLACES ``store.vectors`` rather than writing in place),
+    so a view held across a mutation keeps materializing the rows it was
+    created over — the same snapshot semantics the eager dict had.
     """
 
     _LAZY_KEYS = ("rows", "rows_norm")
 
-    def __init__(self, store: "VectorStore"):
+    def __init__(self, store: "VectorStore", vectors):
         super().__init__()
         self._store = store
+        self._vectors = vectors
 
     def __missing__(self, key):
         if key in self._LAZY_KEYS:
-            arr = self._store._materialize_plane(key, self["n_pad"])
+            arr = self._store._materialize_plane(
+                key, self["n_pad"], self._vectors
+            )
             self[key] = arr
             return arr
         raise KeyError(key)
@@ -133,25 +141,45 @@ class VectorStore:
 
     # ---------------- device views ----------------
 
-    def _padded_planes(self, n_pad: int):
-        """(n_pad, d) f32 host planes: raw rows and unit-norm rows."""
-        n, d = self.vectors.shape
+    @staticmethod
+    def _padded_raw(vectors: np.ndarray, n_pad: int) -> np.ndarray:
+        """(n_pad, d) f32 host plane of the raw rows."""
+        n, d = vectors.shape
         host = np.zeros((n_pad, d), dtype=np.float32)
-        host[:n] = self.vectors.astype(np.float32, copy=False)
+        host[:n] = vectors.astype(np.float32, copy=False)
+        return host
+
+    def _padded_planes(self, n_pad: int):
+        """(n_pad, d) f32 host planes: raw rows and unit-norm rows (the int8
+        quantize path needs both at once)."""
+        n = self.vectors.shape[0]
+        host = self._padded_raw(self.vectors, n_pad)
         norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        host_norm = np.zeros((n_pad, d), dtype=np.float32)
+        host_norm = np.zeros_like(host)
         host_norm[:n] = host[:n] / norms
         return host, host_norm
 
-    def _materialize_plane(self, key: str, n_pad: int):
-        """Upload one lazily requested full-corpus plane ('rows'/'rows_norm')."""
+    def _materialize_plane(self, key: str, n_pad: int, vectors=None):
+        """Upload ONE lazily requested full-corpus plane ('rows'/'rows_norm').
+
+        Builds only the requested plane — one (n_pad, d) f32 temp, with the
+        normalization done in place — so the lazy path never doubles peak
+        host memory at 10M-row scale. ``vectors`` is the snapshot the view
+        was created over (defaults to the live master).
+        """
         if self.precision == "int8-pure":
             raise KeyError(key)  # int8-pure never holds float planes
+        if vectors is None:
+            vectors = self.vectors
         dev_dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
-        host, host_norm = self._padded_planes(n_pad)
-        src = host if key == "rows" else host_norm
-        return jnp.asarray(src.astype(np.dtype(dev_dtype)))
+        n = vectors.shape[0]
+        host = self._padded_raw(vectors, n_pad)
+        if key == "rows_norm":
+            norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            host[:n] /= norms
+        return jnp.asarray(host.astype(np.dtype(dev_dtype)))
 
     def device_view(self, source_indices) -> dict:
         """Padded device arrays for the current corpus; cached until the next
@@ -172,16 +200,16 @@ class VectorStore:
         d = self.vectors.shape[1]
         n_pad = bucket_size(n)
 
-        v32 = self.vectors.astype(np.float32, copy=False)
         row_sq = np.zeros(n_pad, dtype=np.float32)
         # np.sum keeps NumPy's pairwise per-row summation (einsum's BLAS
         # order shifts the cancellation noise of the expanded euclidean
-        # d^2 = |v|^2 - 2qv + |q|^2 near zero distance); chunked so the
-        # squared temp never exceeds ~256 MB.
+        # d^2 = |v|^2 - 2qv + |q|^2 near zero distance); cast AND square per
+        # chunk so neither the f32 copy of an f16 master nor the squared
+        # temp ever exceeds ~256 MB.
         step = max(1, (64 << 20) // max(1, d))
         for s in range(0, n, step):
-            e = min(n, s + step)
-            row_sq[s:e] = np.sum(v32[s:e] * v32[s:e], axis=1)
+            chunk = self.vectors[s : s + step].astype(np.float32, copy=False)
+            row_sq[s : s + chunk.shape[0]] = np.sum(chunk * chunk, axis=1)
 
         row_valid = np.zeros(n_pad, dtype=bool)
         row_valid[:n] = True
@@ -198,7 +226,7 @@ class VectorStore:
         row_docs = np.full(n_pad, pad_doc, dtype=np.int32)
         row_docs[:n] = src
 
-        dv = _LazyDeviceView(self)
+        dv = _LazyDeviceView(self, self.vectors)
         dv.update(
             n=n,
             n_pad=n_pad,

@@ -241,13 +241,17 @@ def rank_top_k_grouped_metric(
     """
     if metric in ("hamming_distance", "jaccard_similarity"):
         q32 = (queries > 0).astype(jnp.float32)
+        qq = _metrics._match_low_precision(q32, rows)
         # 0/1 operands are exact in every float dtype and the accumulator is
         # f32 either way, so the fast DEFAULT precision loses nothing here.
         prec = jax.lax.Precision.DEFAULT
     else:
         q32 = queries.astype(jnp.float32)
-        prec = _metrics.dot_precision(q32, rows)
-    qq = _metrics._match_low_precision(q32, rows)
+        qq = _metrics._match_low_precision(q32, rows)
+        # precision follows the ACTUAL matmul operands (qq may have been
+        # cast down to a low-precision corpus dtype, where DEFAULT is native
+        # throughput and lossless)
+        prec = _metrics.dot_precision(qq, rows)
     n, d = rows.shape
 
     def epilogue(inter, aux):

@@ -32,5 +32,7 @@ def test_two_process_mesh_matches_oracle():
         cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-2000:]
+    # rc==0 requires every worker's oracle asserts to have passed; the
+    # launcher prints only a tail of each worker's merged stdout+stderr, so
+    # do not count "matches oracle" lines (shutdown logs can displace them)
     assert "MULTIHOST DRYRUN: OK" in out.stdout
-    assert out.stdout.count("matches oracle") == 4  # 2 procs x {f32, int8}

@@ -69,10 +69,10 @@ def test_preload_ann_into_memory(tmp_path, capsys):
     new_db = HyperDB()
     new_db.load(path, preload_ann_into_memory=True)
     assert new_db._store._device is not None  # device view already built
-    # the serving plane (unit-norm rows for the cosine default) is uploaded;
-    # the raw plane stays lazy until a non-cosine metric asks for it
+    # an explicit prefault warms EVERY float plane serving can touch (the
+    # per-query metric picks either one); without it both stay lazy
     assert "rows_norm" in new_db._store._device
-    assert "rows" not in new_db._store._device
+    assert "rows" in new_db._store._device
 
     lazy_db = HyperDB()
     lazy_db.load(path, preload_ann_into_memory=False)
