@@ -378,9 +378,21 @@ class MiniLMEmbedder:
                 return b
         return buckets[-1]
 
+    # Largest single-dispatch batch: bigger inputs loop over slices so the
+    # jitted program shapes stay within a small reusable set (an unbounded
+    # next-pow2 batch compiled a fresh one-off program per corpus size —
+    # 60-90 s of remote compile for a 10k-doc add on this platform).
+    _MAX_BATCH = 512
+
     def encode(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
+        if len(texts) > self._MAX_BATCH:
+            parts = [
+                self.encode(texts[i : i + self._MAX_BATCH])
+                for i in range(0, len(texts), self._MAX_BATCH)
+            ]
+            return np.concatenate(parts, axis=0)
         encoded = [self._tokenizer.encode(t, self.config.max_positions) for t in texts]
         max_len = max(len(ids) for ids, _ in encoded)
         seq = self._bucket(max_len, SEQ_BUCKETS)

@@ -166,9 +166,22 @@ def gmax_int8(
 
 
 def supported(b: int, n: int, d: int) -> bool:
-    """Shape gate: engine bucket padding guarantees these for big corpora."""
+    """Shape gate: engine bucket padding guarantees these for big corpora.
+
+    Batch is capped at 1024: at b=2048 the kernel's working set exceeds the
+    16 MB scoped-VMEM stack even at the minimum block (measured compile
+    failure at 10M x 768 int8 — the _block_rows model undercounts Mosaic's
+    double buffering at that batch), and the chunked XLA scan serves those
+    shapes correctly.
+    """
     blk = _block_rows(b, d, 1)
-    return b % 8 == 0 and d % 128 == 0 and n % blk == 0 and n // GROUP >= 2
+    return (
+        b % 8 == 0
+        and b <= 1024
+        and d % 128 == 0
+        and n % blk == 0
+        and n // GROUP >= 2
+    )
 
 
 def make_extra(n: int, row_mask=None, recency=None):
