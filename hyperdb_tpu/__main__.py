@@ -120,6 +120,15 @@ def cmd_bench(args):
     }))
 
 
+def cmd_serve(args):
+    from hyperdb_tpu.server import serve
+
+    db = _load_db(args.db, args.metadata_keys.split(",") if args.metadata_keys else None)
+    if args.warmup:
+        db.warmup()
+    return serve(db, host=args.host, port=args.port)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="hyperdb_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -152,6 +161,15 @@ def main(argv=None):
     p = sub.add_parser("stats", help="corpus statistics")
     p.add_argument("--db", required=True)
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("serve", help="HTTP serving endpoint over a corpus")
+    p.add_argument("--db", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8901)
+    p.add_argument("--metadata-keys", default=None)
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile + prefault before accepting traffic")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="batched-query throughput on a corpus")
     p.add_argument("--db", required=True)

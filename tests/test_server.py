@@ -1,0 +1,102 @@
+"""HTTP serving endpoint (hyperdb_tpu/server.py) against a live DB."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from hyperdb_tpu import HyperDB
+from hyperdb_tpu.server import make_server
+
+
+@pytest.fixture(scope="module")
+def served():
+    rng = np.random.default_rng(0)
+    n, d = 64, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    docs = [{"i": int(i), "grp": ["a", "b"][i % 2]} for i in range(n)]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["grp"])
+    httpd = make_server(db, port=0)  # ephemeral port
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield {"db": db, "base": base, "vectors": v}
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz_and_stats(served):
+    status, body = _get(served["base"], "/healthz")
+    assert status == 200 and body == {"ok": True}
+    status, body = _get(served["base"], "/stats")
+    assert status == 200
+    assert body["documents"] == 64 and body["dim"] == 16
+    assert "cache" in body
+
+
+def test_query_matches_library(served):
+    q = served["vectors"][7].tolist()
+    status, body = _post(served["base"], "/query", {"vector": q, "top_k": 5})
+    assert status == 200
+    got = [(r["index"], round(r["score"], 5)) for r in body["results"]]
+    want = [
+        (r[2], round(float(r[1]), 5))
+        for r in served["db"].query(np.asarray(q, dtype=np.float32), top_k=5)
+    ]
+    assert got == want
+    assert got[0][0] == 7  # self-match first
+
+
+def test_query_with_metadata_filter(served):
+    q = served["vectors"][8].tolist()
+    status, body = _post(
+        served["base"],
+        "/query",
+        {"vector": q, "top_k": 4, "filters": [["metadata", {"grp": "a"}]]},
+    )
+    assert status == 200
+    for r in body["results"]:
+        assert r["document"]["grp"] == "a"
+
+
+def test_query_batch(served):
+    qs = served["vectors"][:3].tolist()
+    status, body = _post(
+        served["base"], "/query_batch", {"vectors": qs, "top_k": 3}
+    )
+    assert status == 200
+    assert len(body["results"]) == 3
+    for i, row in enumerate(body["results"]):
+        assert row[0]["index"] == i  # each self-match wins its row
+
+
+def test_error_paths(served):
+    status, body = _post(served["base"], "/query", {"top_k": 3})
+    assert status == 400 and "missing field" in body["error"]
+    status, body = _post(
+        served["base"], "/query", {"vector": [0.0] * 16, "metric": "bogus"}
+    )
+    assert status == 400
+    status, body = _get(served["base"], "/stats")
+    assert status == 200  # server still alive after errors
