@@ -100,3 +100,27 @@ def test_error_paths(served):
     assert status == 400
     status, body = _get(served["base"], "/stats")
     assert status == 200  # server still alive after errors
+
+
+def test_concurrent_queries(served):
+    """8 threads x 4 queries: the engine lock serializes correctly and every
+    response matches the library result for its own query vector."""
+    import concurrent.futures
+
+    v = served["vectors"]
+    want = {
+        i: [r[2] for r in served["db"].query(v[i], top_k=4)] for i in range(8)
+    }
+
+    def one(i):
+        status, body = _post(
+            served["base"], "/query", {"vector": v[i].tolist(), "top_k": 4}
+        )
+        assert status == 200
+        return i, [r["index"] for r in body["results"]]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [pool.submit(one, i % 8) for i in range(32)]
+        for fut in concurrent.futures.as_completed(futures):
+            i, got = fut.result()
+            assert got == want[i]
