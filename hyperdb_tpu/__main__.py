@@ -126,6 +126,15 @@ def cmd_serve(args):
     db = _load_db(args.db, args.metadata_keys.split(",") if args.metadata_keys else None)
     if args.warmup:
         db.warmup()
+    if args.sharded:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from hyperdb_tpu.parallel.sharded_db import ShardedHyperDB
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        db = ShardedHyperDB(db, mesh)
     return serve(db, host=args.host, port=args.port)
 
 
@@ -169,6 +178,9 @@ def main(argv=None):
     p.add_argument("--metadata-keys", default=None)
     p.add_argument("--warmup", action="store_true",
                    help="precompile + prefault before accepting traffic")
+    p.add_argument("--sharded", action="store_true",
+                   help="row-shard the corpus over every attached device "
+                        "(jax.sharding.Mesh) and serve the distributed path")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="batched-query throughput on a corpus")

@@ -46,8 +46,13 @@ def _result_rows(results):
 
 
 def make_server(db, host: str = "127.0.0.1", port: int = 8901):
-    """Build (but do not start) a ThreadingHTTPServer serving ``db``."""
+    """Build (but do not start) a ThreadingHTTPServer serving ``db``.
+
+    ``db`` may be a :class:`~hyperdb_tpu.HyperDB` or a
+    :class:`~hyperdb_tpu.parallel.sharded_db.ShardedHyperDB` (same query
+    surface; corpus statistics come from the wrapped host db)."""
     lock = threading.Lock()
+    host_db = getattr(db, "db", db)  # ShardedHyperDB wraps the host store
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "hyperdb-tpu"
@@ -69,14 +74,15 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901):
             if self.path == "/stats":
                 with lock:
                     info = {
-                        "documents": db.size(),
-                        "chunks": len(db.source_indices),
-                        "dim": db.dim,
-                        "ann_metric": db.ann_metric,
-                        "index": type(db.ann_index).__name__
-                        if db.ann_index
+                        "documents": host_db.size(),
+                        "chunks": len(host_db.source_indices),
+                        "dim": host_db.dim,
+                        "ann_metric": host_db.ann_metric,
+                        "index": type(host_db.ann_index).__name__
+                        if host_db.ann_index
                         else None,
-                        "cache": db.get_cache_size_and_info(),
+                        "sharded": db is not host_db,
+                        "cache": host_db.get_cache_size_and_info(),
                     }
                 return self._send(200, info)
             return self._send(404, {"error": f"unknown path {self.path}"})

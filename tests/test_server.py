@@ -124,3 +124,35 @@ def test_concurrent_queries(served):
         for fut in concurrent.futures.as_completed(futures):
             i, got = fut.result()
             assert got == want[i]
+
+
+def test_sharded_serving_matches_host_db(served):
+    """The server duck-types ShardedHyperDB: same /query results as the
+    single-chip engine over the 8-device test mesh."""
+    import jax
+    import threading as _threading
+    from jax.sharding import Mesh
+
+    from hyperdb_tpu.parallel.sharded_db import ShardedHyperDB
+    from hyperdb_tpu.server import make_server
+
+    sdb = ShardedHyperDB(served["db"], Mesh(np.array(jax.devices()), ("data",)))
+    httpd = make_server(sdb, port=0)
+    thread = _threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, body = _get(base, "/stats")
+        assert status == 200 and body["sharded"] is True
+        q = served["vectors"][11].tolist()
+        status, body = _post(base, "/query", {"vector": q, "top_k": 5})
+        assert status == 200
+        got = [r["index"] for r in body["results"]]
+        want = [
+            r[2]
+            for r in served["db"].query(np.asarray(q, dtype=np.float32), top_k=5)
+        ]
+        assert got == want
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
