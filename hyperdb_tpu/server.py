@@ -101,6 +101,11 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901):
                     filters = req.get("filters")
                     if filters:
                         filters = [tuple(f) for f in filters]
+                    kwargs = {}
+                    if "ann_percent" in req and hasattr(db, "ann_metric"):
+                        # Q12 candidate budget — single-chip engine only
+                        # (the sharded path has no ANN pre-filter)
+                        kwargs["ann_percent"] = int(req["ann_percent"])
                     with lock:
                         results = db.query(
                             query_input,
@@ -109,6 +114,7 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901):
                             filters=filters,
                             recency_bias=req.get("recency_bias", 0) or 0,
                             timestamp_key=req.get("timestamp_key"),
+                            **kwargs,
                         )
                     return self._send(200, {"results": _result_rows(results)})
                 if self.path == "/query_batch":

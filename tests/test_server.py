@@ -102,6 +102,16 @@ def test_error_paths(served):
     assert status == 200  # server still alive after errors
 
 
+def test_query_ann_percent_passthrough(served):
+    q = served["vectors"][5].tolist()
+    status, body = _post(
+        served["base"], "/query",
+        {"vector": q, "top_k": 3, "ann_percent": 20},
+    )
+    assert status == 200
+    assert body["results"][0]["index"] == 5
+
+
 def test_concurrent_queries(served):
     """8 threads x 4 queries: the engine lock serializes correctly and every
     response matches the library result for its own query vector."""
