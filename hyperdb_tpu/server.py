@@ -83,6 +83,7 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901):
                         else None,
                         "sharded": db is not host_db,
                         "cache": host_db.get_cache_size_and_info(),
+                        "timers": host_db.stats.snapshot(),
                     }
                 return self._send(200, info)
             return self._send(404, {"error": f"unknown path {self.path}"})

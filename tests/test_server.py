@@ -52,7 +52,7 @@ def test_healthz_and_stats(served):
     status, body = _get(served["base"], "/stats")
     assert status == 200
     assert body["documents"] == 64 and body["dim"] == 16
-    assert "cache" in body
+    assert "cache" in body and "timers" in body
 
 
 def test_query_matches_library(served):
