@@ -59,10 +59,19 @@ def int8_scores(
     return s.astype(jnp.float32) * (q_scale[:, None] * v_scales[None, :])
 
 
-def _rescore_groups(q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recency):
+def _rescore_groups(
+    q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recency,
+    group_valid=None,
+):
     """Stage 3 of the grouped int8 scan: exactly rescore the winning groups'
     gathered int8 rows and take the final top-k (k = gidx.shape[-1]).
-    Shared by the XLA stage-1 forms and the Pallas gmax path."""
+    Shared by the XLA stage-1 forms and the Pallas gmax path.
+
+    ``group_valid`` (B, k) masks selection slots that never held a real
+    group (the chunked frontier's NEG_INF carry seeds keep their init id, so
+    without the mask a sparse filter could rescore group 0 twice and return
+    duplicate rows).
+    """
     n, d = v_i8.shape
     g = n // group
     k = gidx.shape[-1]
@@ -80,6 +89,8 @@ def _rescore_groups(q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recenc
         cs = jnp.where(
             jnp.take(row_mask.reshape(g, group), gidx, axis=0), cs, NEG_INF
         )
+    if group_valid is not None:
+        cs = jnp.where(group_valid[:, :, None], cs, NEG_INF)
     cs = cs.reshape(q_i8.shape[0], k * group)
     vals, pos = jax.lax.top_k(cs, k)
     winner = jnp.take_along_axis(gidx, pos // group, axis=-1)
@@ -187,9 +198,12 @@ def _int8_grouped_topk_chunked(
     xs = (jnp.arange(n_chunks, dtype=jnp.int32), r4, sc4, rec4, mask4)
     (gvals, gidx), _ = jax.lax.scan(step, init, xs)
 
-    # stage 3: rescore the k winning groups from the full corpus
+    # stage 3: rescore the k winning groups from the full corpus; slots whose
+    # carried max is still NEG_INF never saw a real group — mask them so the
+    # init id (0) cannot surface duplicate rows
     return _rescore_groups(
-        q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recency
+        q_i8, q_scale, v_i8, v_scales, gidx, group, row_mask, recency,
+        group_valid=jnp.isfinite(gvals),
     )
 
 

@@ -59,8 +59,13 @@ def sharded_rank_top_k(
     if n % n_shards:
         raise ValueError(f"rows ({n}) must divide evenly over '{axis}' ({n_shards})")
     n_local = n // n_shards
-    if k > n_local:
-        raise ValueError(f"k ({k}) must be <= rows per shard ({n_local})")
+    if k > n:
+        raise ValueError(f"k ({k}) must be <= total rows ({n})")
+    # Per-shard candidates are capped at the shard's row count; the merge
+    # still returns the global top-k exactly (with k_local = min(k, n_local)
+    # each shard contributes its ENTIRE row set whenever k >= n_local, so
+    # S * k_local >= k candidates always cover the true top-k).
+    k_local = min(k, n_local)
 
     has_recency = recency is not None
     from hyperdb_tpu.config import CONFIG
@@ -78,7 +83,7 @@ def sharded_rank_top_k(
             # per-shard grouped exact top-k: same 3x-at-large-batch win as
             # the single-chip scan (ops/ranking.rank_top_k_grouped)
             vals, idx = rank_top_k_grouped(
-                q, rows_shard, k=k, row_mask=valid_shard,
+                q, rows_shard, k=k_local, row_mask=valid_shard,
                 recency=rest[0] if has_recency else None, group=group,
             )
         else:
@@ -87,13 +92,13 @@ def sharded_rank_top_k(
             if has_recency:
                 s = s + rest[0][None, :]
             s = jnp.where(valid_shard[None, :], s, NEG_INF)
-            vals, idx = jax.lax.top_k(s, k)  # (B, k) local
+            vals, idx = jax.lax.top_k(s, k_local)  # (B, k_local) local
         shard_id = jax.lax.axis_index(axis)
         gidx = idx + shard_id * n_local
 
-        all_vals = jax.lax.all_gather(vals, axis)  # (S, B, k)
+        all_vals = jax.lax.all_gather(vals, axis)  # (S, B, k_local)
         all_idx = jax.lax.all_gather(gidx, axis)
-        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q.shape[0], -1)  # (B, S*k)
+        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q.shape[0], -1)
         all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q.shape[0], -1)
         merged_vals, merged_pos = jax.lax.top_k(all_vals, k)
         merged_idx = jnp.take_along_axis(all_idx, merged_pos, axis=1)
@@ -144,13 +149,14 @@ def sharded_rank_top_k_int8(
     if n % n_shards:
         raise ValueError(f"rows ({n}) must divide evenly over '{axis}' ({n_shards})")
     n_local = n // n_shards
-    if k > n_local:
-        raise ValueError(f"k ({k}) must be <= rows per shard ({n_local})")
+    if k > n:
+        raise ValueError(f"k ({k}) must be <= total rows ({n})")
+    k_local = min(k, n_local)  # same exactness argument as sharded_rank_top_k
     has_recency = recency is not None
 
     def local_fn(q, rq, rs, valid, *rest):
         vals, idx = rank_top_k_int8(
-            q, rq, rs, k=k, row_mask=valid,
+            q, rq, rs, k=k_local, row_mask=valid,
             recency=rest[0] if has_recency else None,
         )
         shard_id = jax.lax.axis_index(axis)

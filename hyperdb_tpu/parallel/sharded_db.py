@@ -66,6 +66,7 @@ class ShardedHyperDB:
                 raise ValueError("num_rows is required with device_rows.")
             self.n = int(num_rows)
             self.n_pad = int(device_rows.shape[0])
+            self.d = int(device_rows.shape[1])
             # shard-local row normalization on device (zero pad rows stay 0)
             f32 = device_rows.astype(jnp.float32)
             norms = jnp.linalg.norm(f32, axis=1, keepdims=True)
@@ -79,6 +80,7 @@ class ShardedHyperDB:
             if db.vectors is None or len(db.vectors) == 0:
                 raise ValueError("Cannot shard an empty database.")
             n, d = db.vectors.shape
+            self.d = int(d)
             n_shards = mesh.shape[axis]
             per_shard = -(-n // n_shards)
             per_shard = -(-per_shard // 128) * 128  # grouped-topk tile alignment
@@ -89,7 +91,7 @@ class ShardedHyperDB:
             host[:n] = db.vectors.astype(np.float32, copy=False)
             norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            host_norm = host.copy()
+            host_norm = np.zeros_like(host)
             host_norm[:n] = host[:n] / norms
 
             sharding = NamedSharding(mesh, P(axis, None))
@@ -119,6 +121,10 @@ class ShardedHyperDB:
         self._mask_sharding = NamedSharding(mesh, P(axis))
         self._base_valid = np.zeros(self.n_pad, dtype=bool)
         self._base_valid[: self.n] = True
+        # Device shards snapshot the corpus at construction; a mutation of
+        # the wrapped db would silently desynchronize row ids, so queries
+        # check this fingerprint and demand a rebuild instead.
+        self._built_state = (len(db.documents), len(db.source_indices))
 
     def _quantize_device_shards(self, f32, f32_norm):
         """Quantize already-sharded device rows shard-locally (per-row
@@ -173,6 +179,7 @@ class ShardedHyperDB:
                     raise ValueError(f"Invalid filter name {name}")
                 if name == "skip_doc":
                     mask &= _filters.skip_doc_mask(num_docs, params)
+                    break  # reference applies only the FIRST skip_doc (Q18)
             doc_mask, override = _filters.apply_filters(db, filters, mask)
             if override is not None:
                 raise ValueError(
@@ -226,6 +233,12 @@ class ShardedHyperDB:
         timestamp_key=None,
     ):
         db = self.db
+        if (len(db.documents), len(db.source_indices)) != self._built_state:
+            raise RuntimeError(
+                "The wrapped HyperDB was mutated after sharding; the device "
+                "shards hold the construction-time corpus. Build a fresh "
+                "ShardedHyperDB to serve the new state."
+            )
         if isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
             q = query_inputs.astype(np.float32)
         else:
@@ -235,8 +248,19 @@ class ShardedHyperDB:
                     for qi in query_inputs
                 ]
             ).astype(np.float32)
+        if q.shape[1] != self.d:
+            raise ValueError(
+                f"The dimension of the query vectors ({q.shape[1]}) must "
+                f"match the dimension of the vectors in the database "
+                f"({self.d})."
+            )
 
         row_mask = self._row_mask(filters)
+        if not row_mask[: self.n].any():
+            # filters emptied the corpus: the single-chip engine returns
+            # empty result lists (Q13/Q20) — and the recency term below
+            # would reduce over zero surviving timestamps
+            return [[] for _ in range(q.shape[0])]
         num_docs = len(db.documents)
         chunked = num_docs != self.n
 
@@ -256,12 +280,14 @@ class ShardedHyperDB:
             rec[: self.n] = dense[self.row_docs[: self.n]]
             recency_rows = jax.device_put(rec, self._mask_sharding)
 
-        n_local = self.n_pad // self.mesh.shape[self.axis]
         if chunked:
             k_fetch = 1 << max(0, (top_k * self.chunk_slack - 1)).bit_length()
         else:
             k_fetch = top_k
-        k_fetch = min(k_fetch, n_local)
+        # the distributed kernels clamp per-shard candidates internally and
+        # merge exactly for any k up to the total row count, so the fetch
+        # depth is bounded by the whole corpus, not one shard
+        k_fetch = min(k_fetch, self.n_pad)
 
         prenorm = metric == "cosine_similarity"
         use_int8 = self.precision == "int8-pure"
@@ -282,7 +308,8 @@ class ShardedHyperDB:
         # doc = its best chunk = segment-max semantics) is exact as long as
         # enough rows were fetched. A document with > chunk_slack
         # high-scoring chunks just triggers a deeper (doubled-k) refetch;
-        # k_fetch == n_local fetches every row and is exact by construction.
+        # k_fetch == n_pad merges every row of every shard and is exact by
+        # construction.
         while True:
             if use_int8:
                 # rows were normalized before quantization for cosine, so a
@@ -362,10 +389,10 @@ class ShardedHyperDB:
                 if (
                     len(row) < top_k
                     and finite == k_fetch  # candidates not exhausted
-                    and k_fetch < n_local
+                    and k_fetch < self.n_pad
                 ):
                     need_refill = True
                 results.append(row)
             if not need_refill:
                 return results
-            k_fetch = min(k_fetch * 2, n_local)
+            k_fetch = min(k_fetch * 2, self.n_pad)

@@ -154,3 +154,35 @@ def test_pick_chunks_budget_and_divisibility():
     assert 256 * (g // c) * 128 * 4 <= _EPILOGUE_BUDGET_BYTES
     # small configs stay unchunked
     assert _pick_chunks(8, 65536, 128) == 1
+
+
+def test_chunked_scan_sparse_mask_no_duplicate_rows():
+    """The chunked frontier's NEG_INF carry seeds keep group id 0; when a
+    filter confines every surviving row to group 0, the invalid selection
+    slots must be masked (group_valid) or stage-3 rescores group 0 twice
+    and the final top-k returns the SAME row multiple times."""
+    from hyperdb_tpu.ops.quantized import (
+        _int8_grouped_topk_chunked,
+        quantize_rows,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d, b, k, group = 1024, 16, 2, 4, 128
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v_i8, v_scales = quantize_rows(v)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q_i8, q_scale = quantize_rows(q)
+    mask = np.zeros(n, dtype=bool)
+    mask[:8] = True  # survivors all in global group 0
+
+    vals, idx = _int8_grouped_topk_chunked(
+        jnp.asarray(q_i8), jnp.asarray(q_scale),
+        jnp.asarray(v_i8), jnp.asarray(v_scales),
+        k, group, jnp.asarray(mask), None, n_chunks=4,
+    )
+    idx = np.asarray(idx)
+    vals = np.asarray(vals)
+    for row_idx, row_vals in zip(idx, vals):
+        finite = row_idx[np.isfinite(row_vals)]
+        assert len(set(finite.tolist())) == len(finite), row_idx
+        assert all(mask[i] for i in finite)

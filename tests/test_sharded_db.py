@@ -240,3 +240,72 @@ def test_int8_pure_recency_and_metric_guard(mesh):
     ) or True  # rankings may coincide on tiny corpora; shape is the contract
     with pytest.raises(ValueError):
         sdb.query_batch(q, top_k=5, metric="euclidean_metric")
+
+
+def test_top_k_beyond_shard_capacity_is_exact(mesh):
+    """top_k greater than one shard's rows: the kernels clamp per-shard
+    candidates and the merge stays exact (a silent per-shard truncation
+    returned at most n_local results before round 2's fix)."""
+    rng = np.random.default_rng(41)
+    n, d, k = 256, 16, 100  # 8 shards -> 32 rows/shard << k
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    base = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v)
+    sdb = ShardedHyperDB(base, mesh)
+    q = rng.standard_normal(d).astype(np.float32)
+    got = sdb.query(q, top_k=k)
+    want = base.query(q, top_k=k)
+    assert len(got) == k == len(want)
+    assert [r[2] for r in got] == [r[2] for r in want]
+    for (_, gs, _), (_, ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-4)
+
+
+def test_empty_filter_with_recency_returns_empty(mesh):
+    rng = np.random.default_rng(42)
+    v = rng.standard_normal((128, 8)).astype(np.float32)
+    docs = [{"i": int(i), "grp": "x", "ts": float(i)} for i in range(128)]
+    base = HyperDB(documents=docs, vectors=v, metadata_keys=["grp", "ts"])
+    sdb = ShardedHyperDB(base, mesh)
+    q = rng.standard_normal(8).astype(np.float32)
+    out = sdb.query_batch(
+        q[None],
+        top_k=3,
+        filters=[("metadata", {"grp": "nomatch"})],
+        recency_bias=0.5,
+        timestamp_key="ts",
+    )
+    assert out == [[]]
+
+
+def test_multiple_skip_doc_filters_match_engine(mesh):
+    """Reference Q18: only the FIRST skip_doc applies (hyperdb.py:1481
+    breaks); the sharded mask must agree with the single-chip engine."""
+    rng = np.random.default_rng(43)
+    v = rng.standard_normal((128, 8)).astype(np.float32)
+    base = HyperDB(documents=[{"i": int(i)} for i in range(128)], vectors=v)
+    sdb = ShardedHyperDB(base, mesh)
+    q = rng.standard_normal(8).astype(np.float32)
+    filters = [("skip_doc", 2), ("skip_doc", -3)]
+    got = [r[2] for r in sdb.query(q, top_k=6, filters=filters)]
+    want = [r[2] for r in base.query(q, top_k=6, filters=filters)]
+    assert got == want
+
+
+def test_mutation_after_sharding_raises(mesh):
+    rng = np.random.default_rng(44)
+    v = rng.standard_normal((64, 8)).astype(np.float32)
+    base = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v)
+    sdb = ShardedHyperDB(base, mesh)
+    base.add_document({"i": 64}, vectors=rng.standard_normal((1, 8)).astype(np.float32))
+    base.commit_pending()
+    with pytest.raises(RuntimeError, match="mutated after sharding"):
+        sdb.query_batch(rng.standard_normal((1, 8)).astype(np.float32), top_k=3)
+
+
+def test_query_dim_mismatch_raises(mesh):
+    rng = np.random.default_rng(45)
+    v = rng.standard_normal((64, 8)).astype(np.float32)
+    base = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v)
+    sdb = ShardedHyperDB(base, mesh)
+    with pytest.raises(ValueError, match="dimension of the query vectors"):
+        sdb.query_batch(rng.standard_normal((2, 12)).astype(np.float32), top_k=3)
