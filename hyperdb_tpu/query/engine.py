@@ -57,16 +57,22 @@ def _pad_pow2(k: int) -> int:
     return 1 << max(0, (k - 1)).bit_length() if k > 1 else 1
 
 
-def _grouped_ok(n_pad: int, batch: int) -> bool:
-    """Corpus large enough (and group-divisible) for the grouped kernels."""
+def _grouped_group(n_pad: int, batch: int) -> int:
+    """Resolved group size for the grouped kernels, or 0 when the corpus is
+    too small / not group-divisible (one halving rule for every caller)."""
     from hyperdb_tpu.config import CONFIG
 
     if CONFIG.grouped_topk_min_rows <= 0 or n_pad < CONFIG.grouped_topk_min_rows:
-        return False
+        return 0
     group = _ranking._auto_group(batch)
     while group >= 32 and n_pad % group:
         group //= 2
-    return group >= 32 and n_pad % group == 0
+    return group if group >= 32 and n_pad % group == 0 else 0
+
+
+def _grouped_ok(n_pad: int, batch: int) -> bool:
+    """Corpus large enough (and group-divisible) for the grouped kernels."""
+    return _grouped_group(n_pad, batch) > 0
 
 
 def is_numeric_array(array: np.ndarray) -> bool:
@@ -596,9 +602,7 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             else:
                 bv = db._store.binary_view(db.source_indices)
                 g_rows, g_aux = bv["rows_bin"], bv["row_bin_sum"]
-            group = _ranking._auto_group(int(q_block.shape[0]))
-            while group >= 32 and dv["n_pad"] % group:
-                group //= 2
+            group = _grouped_group(dv["n_pad"], int(q_block.shape[0]))
             vals, idx = _ranking.rank_top_k_grouped_metric(
                 q,
                 g_rows,
