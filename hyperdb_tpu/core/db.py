@@ -324,9 +324,13 @@ class HyperDB:
         for key in self.metadata_keys:
             if key == "timestamp":
                 existing = self._metadata_index.get(unique_index, {}).get("timestamp")
+                if existing is None and isinstance(document.get("metadata"), dict):
+                    # per-call add_timestamp stamps the document itself
+                    # (reference Q16); index that value
+                    existing = document["metadata"].get("timestamp")
                 if existing is None and self.add_timestamp is True:
                     metadata[key] = float(datetime.datetime.now().timestamp())
-                else:
+                elif existing is not None:
                     metadata[key] = existing
             else:
                 # Select-key-filtered documents store flattened literal keys
@@ -346,6 +350,11 @@ class HyperDB:
 
     def _build_ann_index(self) -> None:
         if self.vectors is None or self.vectors.shape[0] == 0:
+            # a stale index over deleted rows must not survive: a later bulk
+            # add could satisfy the incremental add_rows condition and graft
+            # fresh rows onto clusters of vanished vectors
+            self.ann_index = None
+            self._ivf_built_rows = 0
             return
         if self.ann_dim is None:
             self.ann_dim = int(self.vectors.shape[1])
@@ -362,8 +371,13 @@ class HyperDB:
             if self._store.precision != "int8-pure":
                 try:
                     dv = self._store.device_view(self.source_indices)
+                    # IVFIndex normalizes for cosine/angular/dot (ivf.py),
+                    # so the device plane must match that set — raw rows for
+                    # a 'dot' index would cluster on magnitudes the probe
+                    # then ignores
                     device_rows = (
-                        dv["rows_norm"] if self.ann_metric == "cosine"
+                        dv["rows_norm"]
+                        if self.ann_metric in ("cosine", "angular", "dot")
                         else dv["rows"]
                     )
                 except Exception:
@@ -425,7 +439,6 @@ class HyperDB:
             self.commit_pending()
             self._update_ann_index()
         self.clear_cache()
-        self._on_mutation()
 
     def add_document(
         self, document, vectors=None, count: int = 1, add_timestamp: bool = False
@@ -457,7 +470,6 @@ class HyperDB:
             self.pending_vectors.append(rows)
             self._pending_splits.append((chunk_count, record_split))
             self.pending_source_indices.extend([doc_index] * chunk_count)
-            self._store_metadata(document, doc_index)
 
     def add_documents(
         self, documents, vectors=None, add_timestamp: bool = False
@@ -475,16 +487,19 @@ class HyperDB:
             list(self.pending_documents),
             list(self.pending_source_indices),
             list(self._pending_splits),
+            dict(self._metadata_index),
         )
         try:
             if isinstance(documents, dict):
                 documents = [documents]
+            if add_timestamp:
+                # both arms: the reference stamps documents regardless of
+                # whether vectors were precomputed (hyperdb.py:664)
+                now = float(datetime.datetime.now().timestamp())
+                for doc in documents if not isinstance(documents, dict) else [documents]:
+                    if isinstance(doc, dict):
+                        doc.setdefault("metadata", {})["timestamp"] = now
             if vectors is None:
-                if add_timestamp:
-                    now = float(datetime.datetime.now().timestamp())
-                    for doc in documents:
-                        if isinstance(doc, dict):
-                            doc.setdefault("metadata", {})["timestamp"] = now
                 embeddings, _, split_info = self.embedding_function(documents)
                 rows_all = np.asarray(embeddings, dtype=self.fp_precision)
                 record_split = True
@@ -506,7 +521,6 @@ class HyperDB:
                 self.pending_vectors.append(rows)
                 self._pending_splits.append((chunk_count, record_split))
                 self.pending_source_indices.extend([doc_index] * chunk_count)
-                self._store_metadata(document, doc_index)
 
             total_rows = sum(v.shape[0] for v in self.pending_vectors)
             if total_rows != len(self.pending_source_indices) or cursor != int(
@@ -523,6 +537,7 @@ class HyperDB:
                     self.pending_documents,
                     self.pending_source_indices,
                     self._pending_splits,
+                    self._metadata_index,
                 ) = saved_state
                 return
 
@@ -537,6 +552,7 @@ class HyperDB:
                 self.pending_documents,
                 self.pending_source_indices,
                 self._pending_splits,
+                self._metadata_index,
             ) = saved_state
         except Exception:
             # Anything else is an engine bug, not bad input: roll back the
@@ -547,6 +563,7 @@ class HyperDB:
                 self.pending_documents,
                 self.pending_source_indices,
                 self._pending_splits,
+                self._metadata_index,
             ) = saved_state
             raise
 
@@ -640,7 +657,6 @@ class HyperDB:
                     self.pending_vectors.append(rows)
                     self._pending_splits.append((chunk_count, True))
                     self.pending_source_indices.extend([doc_index] * chunk_count)
-                    self._store_metadata(document, doc_index)
                 self.commit_pending()
                 if not defer_index:
                     self._update_ann_index()
@@ -648,10 +664,10 @@ class HyperDB:
         finally:
             worker.join(timeout=5.0)
             if added:
+                self._on_mutation()
                 if defer_index:
                     self._update_ann_index()
                 self.clear_cache()
-                self._on_mutation()
         return added
 
     def commit_pending(self) -> None:
@@ -659,8 +675,8 @@ class HyperDB:
         consistency check + rollback (reference hyperdb.py:496-545)."""
         if not self.pending_vectors:
             return
-        concatenated = np.concatenate(self.pending_vectors, axis=0)
         try:
+            concatenated = np.concatenate(self.pending_vectors, axis=0)
             if concatenated.shape[0] != len(self.pending_source_indices):
                 raise ValueError("Inconsistency detected in new source indices.")
             start = len(self.documents)
@@ -670,6 +686,11 @@ class HyperDB:
                 if record_split:
                     self.split_info[start + offset] = chunk_count
             self.documents.extend(self.pending_documents)
+            # metadata indexes at COMMIT, not staging: a failed or
+            # rolled-back transaction must leave no ghost entries at
+            # future document indices
+            for offset, document in enumerate(self.pending_documents):
+                self._store_metadata(document, start + offset)
         except Exception as e:
             print(f"Error occurred during commit: {e}. Rolling back transaction.")
             return
@@ -677,6 +698,11 @@ class HyperDB:
         self.pending_documents.clear()
         self.pending_source_indices.clear()
         self._pending_splits.clear()
+        # Invalidate derived caches HERE, before any index rebuild: callers
+        # run _update_ann_index right after commit, and the IVF build warms
+        # the padded device view — invalidating afterwards would discard
+        # that whole-corpus upload and force a second one at first query.
+        self._on_mutation()
 
     # ------------------------------------------------------------------
     # delete (C9)
@@ -721,10 +747,11 @@ class HyperDB:
             if idx not in removed_set
         }
 
-        # removals renumber row ids -> the index must be rebuilt, not patched
+        # removals renumber row ids -> the index must be rebuilt, not
+        # patched; invalidate first so the rebuild's device view survives
+        self._on_mutation()
         self._build_ann_index()
         self.clear_cache()
-        self._on_mutation()
 
     # ------------------------------------------------------------------
     # introspection (C24)
@@ -1214,6 +1241,10 @@ class HyperDB:
         self.clear_cache()
         if load_ann_index and self.ann_dim is not None:
             self._load_ann_index(storage_file, preload_ann_into_memory)
+        else:
+            # a previous corpus's index must not survive into the new state
+            self.ann_index = None
+            self._ivf_built_rows = 0
 
     def _load_ann_index(self, storage_file, preload_ann_into_memory: bool = True):
         import os
@@ -1243,6 +1274,10 @@ class HyperDB:
                     from hyperdb_tpu.index.ivf import IVFIndex
 
                     self.ann_index = IVFIndex.from_state(state)
+                    # record the restored build size so the next add takes
+                    # the incremental add_rows path instead of a full
+                    # k-means rebuild (the whole point of persisting it)
+                    self._ivf_built_rows = int(self.ann_index.num_rows)
                 else:
                     self.ann_index = FlatIndex.from_state(state)
         except Exception as e:

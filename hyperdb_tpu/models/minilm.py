@@ -369,6 +369,12 @@ class MiniLMEmbedder:
             tok = _HFTok()
         except Exception:
             tok = None
+        if tok is None:
+            # Pretrained WordPiece weights paired with the CRC32 hashing
+            # tokenizer would index the embedding table at unrelated
+            # positions — meaningless embeddings with no warning. A partial
+            # HF cache (weights without tokenizer files) falls back whole.
+            return None
         return cls(params=params, tokenizer=tok)
 
     @staticmethod

@@ -90,13 +90,15 @@ def save_checkpoint(
     }
     with open(os.path.join(directory, "state.json"), "w") as f:
         json.dump(state, f)
+    index_path = os.path.join(directory, "index.npz")
     if save_ann_index and db.ann_index is not None:
         from hyperdb_tpu.core.db import _flatten_state
 
-        np.savez_compressed(
-            os.path.join(directory, "index.npz"),
-            **_flatten_state(db.ann_index.state()),
-        )
+        np.savez_compressed(index_path, **_flatten_state(db.ann_index.state()))
+    elif os.path.exists(index_path):
+        # overwriting a checkpoint without an index must not leave the
+        # previous corpus's index behind for load() to pair with new vectors
+        os.remove(index_path)
 
 
 def read_manifest(directory: str) -> dict:
@@ -165,10 +167,16 @@ def load_checkpoint(
                 from hyperdb_tpu.index.ivf import IVFIndex
 
                 db.ann_index = IVFIndex.from_state(istate)
+                db._ivf_built_rows = int(db.ann_index.num_rows)
             else:
                 db.ann_index = FlatIndex.from_state(istate)
         else:
             db._build_ann_index()
+    else:
+        # the caller declined the index (or the vectors): a previous
+        # corpus's index on this db instance must not survive the load
+        db.ann_index = None
+        db._ivf_built_rows = 0
 
 
 def load_sharded_vectors(directory: str, mesh, axis: str = "data"):
