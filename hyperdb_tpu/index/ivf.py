@@ -64,8 +64,8 @@ def _kmeans(train: jax.Array, init: jax.Array, nlist: int, iters: int):
     return centroids
 
 
-@functools.partial(jax.jit, static_argnames=("nlist",))
-def _assign(rows: jax.Array, centroids: jax.Array, nlist: int):
+@jax.jit
+def _assign(rows: jax.Array, centroids: jax.Array):
     logits = rows @ centroids.T - 0.5 * jnp.sum(centroids * centroids, axis=1)
     return jnp.argmax(logits, axis=1)
 
@@ -132,7 +132,7 @@ class IVFIndex:
             for start in range(0, n, chunk):
                 stop = min(start + chunk, n)
                 block = device_rows[start:stop].astype(jnp.float32)
-                assign[start:stop] = np.asarray(_assign(block, cj, nlist))
+                assign[start:stop] = np.asarray(_assign(block, cj))
         else:
             data = np.asarray(vectors, dtype=np.float32)
             if normalized:
@@ -158,7 +158,7 @@ class IVFIndex:
             chunk = 1 << 20
             for start in range(0, n, chunk):
                 block = jnp.asarray(data[start : start + chunk])
-                assign[start : start + chunk] = np.asarray(_assign(block, cj, nlist))
+                assign[start : start + chunk] = np.asarray(_assign(block, cj))
 
         row_order = np.argsort(assign, kind="stable").astype(np.int32)
         counts = np.bincount(assign, minlength=nlist)
@@ -183,7 +183,7 @@ class IVFIndex:
             norms[norms == 0] = 1.0
             data = data / norms
         assign = np.asarray(
-            _assign(jnp.asarray(data), jnp.asarray(self.centroids), self.nlist)
+            _assign(jnp.asarray(data), jnp.asarray(self.centroids))
         )
         new_ids = np.arange(
             first_row_id, first_row_id + data.shape[0], dtype=np.int32

@@ -102,10 +102,10 @@ def default_embedder(dim: int = 384) -> Embedder:
     reference's check-then-set is racy under threads, SURVEY.md §5)."""
     import os
 
-    global _DEFAULT_EMBEDDER
     with _EMBEDDER_LOCK:
-        if _DEFAULT_EMBEDDER is not None and _DEFAULT_EMBEDDER.dim == dim:
-            return _DEFAULT_EMBEDDER
+        cached = _DEFAULT_EMBEDDERS.get(dim)
+        if cached is not None:
+            return cached
         mode = os.environ.get("HYPERDB_DEFAULT_EMBEDDER", "auto")
         embedder: Embedder | None = None
         if mode in ("auto", "hf"):
@@ -124,14 +124,17 @@ def default_embedder(dim: int = 384) -> Embedder:
                 embedder = None
         if embedder is None:
             embedder = HashEmbedder(dim=dim)
-        _DEFAULT_EMBEDDER = embedder
+        _DEFAULT_EMBEDDERS[dim] = embedder
         return embedder
 
 
 import threading as _threading  # noqa: E402
 
 _EMBEDDER_LOCK = _threading.Lock()
-_DEFAULT_EMBEDDER: Embedder | None = None
+# one cached embedder per requested dim: alternating dims must not thrash
+# the (expensively jitted) MiniLM rebuild — reference parity is a single
+# module-global model, but the reference also supports exactly one dim
+_DEFAULT_EMBEDDERS: dict[int, Embedder] = {}
 
 
 def make_embedding_function(

@@ -39,7 +39,7 @@ def _tokenize_batch(texts, tokenizer, seq_len: int):
         ids[i, : len(tok_ids)] = tok_ids
         mask[i, : len(tok_ids)] = tok_mask[: len(tok_ids)]
     empty = mask.sum(axis=1) == 0
-    ids[empty, 0] = 101
+    ids[empty, 0] = getattr(tokenizer, "cls_id", 101)
     mask[empty, 0] = 1
     return ids, mask
 
@@ -70,6 +70,16 @@ def finetune(
         raise ValueError("Need at least 2 pairs for in-batch negatives.")
     seq_len = min(seq_len, MAX_POSITIONS)
     batch_size = min(batch_size, len(pairs))
+    if mesh is not None:
+        # the train step pins the batch to P('data', None); round down to a
+        # multiple of the data axis so the sharding divides evenly
+        data_size = int(mesh.shape.get("data", 1))
+        batch_size = max(data_size, (batch_size // data_size) * data_size)
+        if batch_size > len(pairs):
+            raise ValueError(
+                f"Need at least {batch_size} pairs (one batch divisible by "
+                f"the mesh's {data_size}-way 'data' axis); got {len(pairs)}."
+            )
     tokenizer = tokenizer or HashingTokenizer()
 
     model = MiniLM()
@@ -116,7 +126,6 @@ def finetune(
                 print(f"epoch {epoch} step {start // batch_size}: "
                       f"loss {losses[-1]:.4f}")
 
-    embedder = MiniLMEmbedder(params=params, tokenizer=None)
-    embedder._tokenizer = tokenizer
+    embedder = MiniLMEmbedder(params=params, tokenizer=tokenizer)
     embedder.losses = losses
     return embedder

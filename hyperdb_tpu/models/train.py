@@ -86,11 +86,8 @@ def make_train_step(mesh: Mesh, model: MiniLM, opt, params_example, donate: bool
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    opt_sh = jax.tree_util.tree_map(
-        lambda _: repl, jax.eval_shape(lambda p: opt.init(p), params_example),
-        is_leaf=lambda x: hasattr(x, "shape"),
-    )
-    # Let the compiler lay out optimizer state to match the params it mirrors.
+    # opt_state shardings stay None: the compiler lays optimizer state out
+    # to mirror the (sharded) params it tracks.
     return jax.jit(
         step,
         in_shardings=(param_sh, None, {k: batch_sh for k in

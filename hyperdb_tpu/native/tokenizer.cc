@@ -95,10 +95,13 @@ char* hdb_tokenize_filter(const char* text, size_t len, size_t* out_len) {
 // into out_scores/out_ids (descending). Exact, stable on ties by lower id.
 void hdb_merge_topk(const float* scores, const int64_t* ids, size_t total,
                     size_t k, float* out_scores, int64_t* out_ids) {
-  // selection into a small heap-free insertion buffer (k is small)
+  // selection into a small heap-free insertion buffer (k is small).
+  // Empty slots carry id INT64_MAX so a real entry — even one scoring
+  // -inf (masked rows) — wins the tie against them and is inserted;
+  // slots never filled are rewritten to the -1 sentinel afterwards.
   for (size_t j = 0; j < k; ++j) {
     out_scores[j] = -__builtin_inff();
-    out_ids[j] = -1;
+    out_ids[j] = INT64_MAX;
   }
   for (size_t i = 0; i < total; ++i) {
     float sc = scores[i];
@@ -117,6 +120,9 @@ void hdb_merge_topk(const float* scores, const int64_t* ids, size_t total,
       out_scores[pos] = sc;
       out_ids[pos] = id;
     }
+  }
+  for (size_t j = 0; j < k; ++j) {
+    if (out_ids[j] == INT64_MAX) out_ids[j] = -1;
   }
 }
 

@@ -124,6 +124,12 @@ class NativeWordTokenizer:
         return cls(lib) if lib is not None else None
 
     def encode(self, text: str) -> list[str]:
+        if not text.isascii():
+            # byte-level splitting cannot see Unicode whitespace (NBSP etc.);
+            # keep exact parity with the Python WordTokenizer's \S+ split
+            from hyperdb_tpu.core.chunker import _WORD_RE
+
+            return _WORD_RE.findall(text)
         return _call_tokenize(self._lib, "hdb_tokenize_words", text)
 
     def decode(self, tokens: list[str]) -> str:

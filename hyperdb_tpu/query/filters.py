@@ -153,6 +153,12 @@ def metadata_doc_mask(db, filter_params) -> np.ndarray:
     mask = np.ones(num_docs, dtype=bool)
     for key, value in params.items():
         col = db._metadata_codes.column(key, db._metadata_index, num_docs)
+        if value is None:
+            # reference parity: metadata.get(key) == None matches every
+            # document MISSING the key (hyperdb.py:1246) — the index never
+            # stores None values, so missing-code rows are exactly that set
+            mask &= col.codes == -1
+            continue
         code = col.value_map.get(_canon(value))
         if code is None:
             mask[:] = False
@@ -232,10 +238,18 @@ def key_filter(db, keys, base_mask: np.ndarray):
             if vec is None:
                 emb = db.embedding_function([str(sub_text)])[0]
                 emb = np.asarray(emb, dtype=np.float32)
-                # Long sub-texts may chunk into several rows; average them
-                # (the reference's .flatten() on a multi-row result is a
-                # latent bug, hyperdb.py:1087).
-                vec = emb.mean(axis=0) if emb.ndim == 2 else emb.reshape(-1)
+                if emb.size == 0:
+                    # empty sub-text chunks to zero rows; mean(axis=0) over a
+                    # (0, d) matrix would poison the cache with NaNs — treat
+                    # it like the missing-key case (zero vector)
+                    vec = np.zeros(dim, dtype=np.float32)
+                elif emb.ndim == 2:
+                    # Long sub-texts may chunk into several rows; average
+                    # them (the reference's .flatten() on a multi-row result
+                    # is a latent bug, hyperdb.py:1087).
+                    vec = emb.mean(axis=0)
+                else:
+                    vec = emb.reshape(-1)
                 if vec.shape[0] != dim:
                     raise ValueError(
                         f"Key filter embeddings have dimension {vec.shape[0]} "

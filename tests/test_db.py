@@ -760,3 +760,32 @@ def test_compute_and_save_word_frequencies(setup_db, tmp_path):
     setup_db.compute_and_save_word_frequencies(path)
     assert path.exists()
     assert "abra" in path.read_text().lower()
+
+
+def test_metadata_filter_none_matches_missing_key():
+    """Reference parity (hyperdb.py:1246): metadata.get(key) == None is True
+    for every document MISSING the key, so a None filter value selects
+    exactly those documents."""
+    rng = np.random.default_rng(50)
+    docs = [{"i": 0, "author": "ada"}, {"i": 1}, {"i": 2, "author": "bob"},
+            {"i": 3}]
+    db = HyperDB(documents=docs,
+                 vectors=rng.standard_normal((4, 8)).astype(np.float32),
+                 metadata_keys=["author"])
+    res = db.query(rng.standard_normal(8).astype(np.float32), top_k=4,
+                   filters=[("metadata", {"author": None})])
+    assert sorted(r[0]["i"] for r in res) == [1, 3]
+
+
+def test_key_filter_empty_subtext_is_zero_vector_not_nan():
+    rng = np.random.default_rng(51)
+    docs = [{"i": 0, "title": "a real title"}, {"i": 1, "title": ""}]
+    db = HyperDB(documents=docs,
+                 vectors=rng.standard_normal((2, 384)).astype(np.float32))
+    res = db.query(rng.standard_normal(384).astype(np.float32), top_k=2,
+                   filters=[("key", "title")])
+    assert len(res) == 2
+    assert all(np.isfinite(r[1]) or r[1] == float("-inf") for r in res)
+    # the empty-title doc's override vector is zeros -> finite score 0-ish,
+    # never NaN
+    assert not any(np.isnan(r[1]) for r in res)

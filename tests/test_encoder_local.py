@@ -206,7 +206,7 @@ class TestEncoderAssets:
         import hyperdb_tpu.models.embedder as embmod
 
         monkeypatch.setenv("HYPERDB_DEFAULT_EMBEDDER", "hash")
-        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDER", None)
+        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDERS", {})
         emb = embmod.default_embedder()
         assert isinstance(emb, embmod.HashEmbedder)
 
@@ -259,7 +259,7 @@ class TestShippedAssets:
         from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
         monkeypatch.setenv("HYPERDB_DEFAULT_EMBEDDER", "auto")
-        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDER", None)
+        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDERS", {})
         emb = embmod.default_embedder()
         if not isinstance(emb, MiniLMEmbedder):
             pytest.skip("no trained assets")

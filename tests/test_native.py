@@ -79,3 +79,36 @@ def test_native_merge_topk_tie_break(lib_built):
     out_scores, out_ids = native.native_merge_topk(scores, ids, k=3)
     # ties broken by lower id: 3 before 9
     np.testing.assert_array_equal(out_ids, [3, 9, 7])
+
+
+def test_native_word_tokenizer_unicode_whitespace_parity(lib_built):
+    """NBSP and other Unicode whitespace must split identically to the
+    Python WordTokenizer's \\S+ (the C++ path only sees ASCII bytes, so
+    non-ASCII input routes to the Python regex)."""
+    from hyperdb_tpu.core.chunker import WordTokenizer
+    from hyperdb_tpu.native.tokenizer import NativeWordTokenizer
+
+    nat = NativeWordTokenizer.maybe_load()
+    if nat is None:
+        pytest.skip("native lib unavailable")
+    py = WordTokenizer()
+    for text in ["cafe au lait", "plain ascii words",
+                 "tabs\tand\nnewlines", "ünïcode wörds"]:
+        assert nat.encode(text) == py.encode(text), text
+
+
+def test_native_merge_accepts_neg_inf_entries(lib_built):
+    """Masked rows arrive as (-inf, id); they must fill otherwise-empty
+    slots instead of leaving -1 sentinels that callers would index with."""
+    from hyperdb_tpu.native.tokenizer import native_merge_topk
+
+    scores = np.array([-np.inf, -np.inf, 1.5], dtype=np.float32)
+    ids = np.array([7, 3, 9], dtype=np.int64)
+    out = native_merge_topk(scores, ids, k=3)
+    if out is None:
+        pytest.skip("native lib unavailable")
+    out_scores, out_ids = out
+    assert out_ids[0] == 9
+    # both -inf entries retained, lower id first on the tie
+    assert list(out_ids[1:]) == [3, 7]
+    assert -1 not in out_ids
