@@ -6,10 +6,8 @@ brute-force ranking path (ranking_algorithm.py:149-204) measured on this
 host. The reference publishes no numbers (BASELINE.md), so the NumPy path
 re-timed here *is* the baseline; ``vs_baseline`` is the QPS ratio.
 
-Usage: python bench.py [--n N] [--d D] [--batch B] [--iters I] [--full]
-``--full`` additionally prints the whole BASELINE.md config sweep as extra
-JSON lines on stderr-style prefixed lines (the LAST stdout line remains the
-single driver metric).
+Usage: python bench.py [--n N] [--d D] [--batch B] [--iters I]
+(The full BASELINE.md config sweep lives in benchmarks/run_baselines.py.)
 """
 
 from __future__ import annotations

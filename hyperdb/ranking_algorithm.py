@@ -19,10 +19,13 @@ from hyperdb_tpu.ops.ranking import ranking_algorithm_sort
 
 def get_norm_vector(vector):
     """L2-normalize rows; zero norms treated as 1 (reference
-    ranking_algorithm.py:8-21)."""
+    ranking_algorithm.py:8-21), including the reference's NaN warning."""
     vector = np.asarray(vector, dtype=np.float64)
     norms = np.linalg.norm(vector, axis=-1, keepdims=True)
     norms[norms == 0] = 1
+    nan_indices = np.where(np.isnan(vector))
+    if nan_indices[0].size > 0:
+        print(f"Warning: Vectors at indices {nan_indices} contain NaN values.")
     return vector / norms
 
 

@@ -84,11 +84,21 @@ def host_top_k(s: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """
     b, n = s.shape
     k = min(k, n)
+    rows = np.arange(b)[:, None]
     if k < n:
         part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+        # argpartition picks an ARBITRARY subset of the scores tied at the
+        # k-th boundary; lax.top_k keeps the lowest indices. Repair each row
+        # whose boundary value also occurs outside the partition by
+        # re-selecting over all candidates >= the boundary value.
+        kth = s[rows, part].min(axis=1)
+        ties_total = (s >= kth[:, None]).sum(axis=1)
+        for i in np.flatnonzero(ties_total > k):
+            cand = np.flatnonzero(s[i] >= kth[i])
+            cand = cand[np.lexsort((cand, -s[i][cand]))][:k]
+            part[i] = cand
     else:
         part = np.tile(np.arange(n), (b, 1))
-    rows = np.arange(b)[:, None]
     part_vals = s[rows, part]
     order = np.lexsort((part, -part_vals), axis=1)
     idx = part[rows, order]

@@ -68,6 +68,9 @@ def _gmax_kernel_f(q_ref, v_ref, extra_ref, out_ref):
         preferred_element_type=jnp.float32,
     )
     s = s + extra_ref[:]
+    # NaN scrub mirrors the XLA path: inf scores on masked rows (extra=-inf)
+    # would otherwise poison the group max and steal a winner slot
+    s = jnp.where(jnp.isnan(s), -jnp.inf, s)
     b, blk = s.shape
     out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
 
@@ -81,6 +84,7 @@ def _gmax_kernel_int8(q_ref, qs_ref, v_ref, vs_ref, extra_ref, out_ref):
         preferred_element_type=jnp.int32,
     )
     s = s.astype(jnp.float32) * (qs_ref[:] * vs_ref[:]) + extra_ref[:]
+    s = jnp.where(jnp.isnan(s), -jnp.inf, s)
     b, blk = s.shape
     out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
 
@@ -211,8 +215,27 @@ def rank_top_k_grouped_pallas(
     rows in XLA. Index-identical to the XLA formulation (same containment
     argument; ties at the k-th value resolve by the same lax.top_k order).
     """
+    from hyperdb_tpu.ops import metrics as _metrics
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
     n, d = vectors.shape
     b = queries.shape[0]
+    blk = _block_rows(b, d, vectors.dtype.itemsize)
+    out_of_contract = (
+        not supported(b, n, d)
+        or n % blk
+        or n // GROUP < k
+        or vectors.dtype == jnp.float16  # Mosaic has no f16
+        # f32 exactness needs HIGHEST-precision matmuls, which the kernel
+        # does not request — the Pallas path serves low-precision scans
+        # (its only measured win is int8 anyway)
+        or _metrics.dot_precision(queries, vectors) != jax.lax.Precision.DEFAULT
+    )
+    if out_of_contract:
+        return rank_top_k_grouped(
+            queries, vectors, k=k, row_mask=row_mask, recency=recency,
+            group=GROUP,
+        )
     extra = make_extra(n, row_mask, recency)
     gm = gmax_f(queries, vectors, extra, interpret=interpret)  # (B, g)
     _, gidx = jax.lax.top_k(gm, k)  # (B, k)
@@ -245,30 +268,28 @@ def rank_top_k_int8_pallas(
     """Int8 grouped top-k with the Pallas stage-1 kernel (int8-pure mode:
     quantized scores, no full-precision rescore rows). Mirrors
     ops/quantized.rank_top_k_int8 without ``rescore_rows``."""
-    from hyperdb_tpu.ops.quantized import _quantize_device
+    from hyperdb_tpu.ops.quantized import (
+        _quantize_device,
+        _rescore_groups,
+        rank_top_k_int8,
+    )
 
     n, d = v_i8.shape
     b = queries.shape[0]
+    blk = _block_rows(b, d, 1)
+    if not supported(b, n, d) or n % blk or n // GROUP < k:
+        # out-of-contract shapes degrade to the XLA scan (whose internal
+        # pallas routing re-checks supported(), so this cannot recurse)
+        return rank_top_k_int8(
+            queries, v_i8, v_scales, k=k, row_mask=row_mask, recency=recency
+        )
     q32 = queries.astype(jnp.float32)
     q_i8, q_scale = _quantize_device(q32)
     extra = make_extra(n, row_mask, recency)
     gm = gmax_int8(q_i8, q_scale, v_i8, v_scales, extra, interpret=interpret)
     _, gidx = jax.lax.top_k(gm, k)
-
-    g = n // GROUP
-    r3 = v_i8.reshape(g, GROUP, d)
-    sc3 = v_scales.reshape(g, GROUP)
-    e3 = extra.reshape(g, GROUP)
-    cand = jnp.take(r3, gidx, axis=0)
-    inter_c = jnp.einsum(
-        "bd,bkgd->bkg",
-        q_i8.astype(jnp.float32),
-        cand.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+    # stage 3 is the SAME exact group rescore the engine pairs with
+    # gmax_int8 — shared so masking/recency/precision fixes reach both
+    return _rescore_groups(
+        q_i8, q_scale, v_i8, v_scales, gidx, GROUP, row_mask, recency
     )
-    cs = inter_c * (q_scale[:, None, None] * jnp.take(sc3, gidx, axis=0))
-    cs = cs + jnp.take(e3, gidx, axis=0)
-    cs = cs.reshape(b, k * GROUP)
-    vals, pos = jax.lax.top_k(cs, k)
-    winner = jnp.take_along_axis(gidx, pos // GROUP, axis=-1)
-    return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)

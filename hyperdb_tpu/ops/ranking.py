@@ -526,7 +526,9 @@ def ranking_algorithm_sort(
 
     n = vectors.shape[0]
     if n == 1:
-        # Single-document short-circuit (ranking_algorithm.py:189-191).
+        # Single-document short-circuit with the reference's stdout INFO
+        # and (1, 1) score shape (ranking_algorithm.py:189-191 returns
+        # np.array([scores]) around the 1-element score row).
         vals, _ = rank_top_k(
             jnp.asarray(q, dtype=jnp.float32),
             jnp.asarray(vectors, dtype=jnp.float32),
@@ -534,7 +536,8 @@ def ranking_algorithm_sort(
             metric=metric,
             recency=recency,
         )
-        return np.array([0]), np.asarray(vals[0])
+        print("Info: Only one document left.")
+        return np.array([0]), np.array([np.asarray(vals[0])])
 
     k = max(0, min(int(top_k), n))
     if k == 0:

@@ -127,3 +127,21 @@ def test_host_path_engages_by_cells(monkeypatch):
     db.clear_cache()
     db.query(v[3], top_k=3)
     assert db._store._device is not None  # now the device path ran
+
+
+def test_host_top_k_boundary_tie_order_matches_lax():
+    """argpartition's arbitrary boundary subset must be repaired: lax.top_k
+    keeps the LOWEST indices among scores tied at the k-th value."""
+    import jax.numpy as jnp
+    import jax
+
+    from hyperdb_tpu.ops.host_ranking import host_top_k
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        s = rng.integers(0, 5, size=(3, 151)).astype(np.float32)
+        k = 10
+        hv, hi = host_top_k(s, k)
+        lv, li = jax.lax.top_k(jnp.asarray(s), k)
+        np.testing.assert_array_equal(hi, np.asarray(li))
+        np.testing.assert_allclose(hv, np.asarray(lv))

@@ -117,3 +117,37 @@ def test_pipeline_int8_index_identical():
     )
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
     np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-5)
+
+
+def test_wrappers_fall_back_on_out_of_contract_shapes():
+    """Shapes outside the kernel contract (few groups vs k, f32 precision,
+    odd row counts) must degrade to the exact XLA path, not crash."""
+    import jax.numpy as jnp
+
+    from hyperdb_tpu.ops.pallas_gmax import (
+        rank_top_k_grouped_pallas,
+        rank_top_k_int8_pallas,
+    )
+    from hyperdb_tpu.ops.quantized import quantize_rows
+
+    rng = np.random.default_rng(0)
+    # n//128 < k: selection would be impossible in the kernel form
+    n, d, k = 1024, 128, 64
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    vals, idx = rank_top_k_grouped_pallas(jnp.asarray(q), jnp.asarray(v), k=k)
+    s = v @ q.T
+    want = np.argsort(-s, axis=0, kind="stable")[:k].T
+    assert (np.asarray(idx) == want).all()
+
+    v_i8, sc = quantize_rows(v)
+    vals8, idx8 = rank_top_k_int8_pallas(
+        jnp.asarray(q), jnp.asarray(v_i8), jnp.asarray(sc), k=k
+    )
+    s8 = (v_i8.astype(np.float32) * sc[:, None]) @ np.asarray(
+        np.clip(np.rint(q / (np.abs(q).max(axis=1, keepdims=True) / 127.0)),
+                -127, 127)
+    ).T
+    # score-level agreement is enough (quantized ties); shape must be full k
+    assert np.asarray(idx8).shape == (8, k)
+    assert np.isfinite(np.asarray(vals8)).all()

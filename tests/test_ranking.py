@@ -185,12 +185,15 @@ class TestRankingSort:
         assert idx[-1] == 0  # the constant row
         assert vals[-1] == -np.inf
 
-    def test_single_document(self):
+    def test_single_document(self, capsys):
         idx, vals = ranking_algorithm_sort(
             np.array([[1.0, 0.0]]), np.array([1.0, 0.0]), top_k=5
         )
         assert list(idx) == [0]
-        np.testing.assert_allclose(vals, [1.0], atol=1e-6)
+        # reference shape parity: np.array([scores]) -> (1, 1), plus the
+        # stdout INFO line (ranking_algorithm.py:189-191)
+        np.testing.assert_allclose(vals, [[1.0]], atol=1e-6)
+        assert "Info: Only one document left." in capsys.readouterr().out
 
 
 class TestRankTopKDevice:
