@@ -135,7 +135,8 @@ def cmd_serve(args):
 
         mesh = Mesh(np.array(jax.devices()), ("data",))
         db = ShardedHyperDB(db, mesh)
-    return serve(db, host=args.host, port=args.port)
+    return serve(db, host=args.host, port=args.port,
+                 dynamic_batch_ms=args.dynamic_batch_ms)
 
 
 def main(argv=None):
@@ -181,6 +182,9 @@ def main(argv=None):
     p.add_argument("--sharded", action="store_true",
                    help="row-shard the corpus over every attached device "
                         "(jax.sharding.Mesh) and serve the distributed path")
+    p.add_argument("--dynamic-batch-ms", type=float, default=0.0,
+                   help="coalesce concurrent identical vector queries for "
+                        "this many ms into one device batch (0 = off)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="batched-query throughput on a corpus")

@@ -45,14 +45,130 @@ def _result_rows(results):
     return rows
 
 
-def make_server(db, host: str = "127.0.0.1", port: int = 8901):
+class _DynamicBatcher:
+    """Aggregate concurrent single-vector queries into one device batch.
+
+    Production serving with many clients issues lots of small /query calls;
+    the engine's batched scan amortizes the corpus read across the batch
+    (BASELINE.md: per-batch time is near-flat up to ~1024 queries), so
+    grouping concurrent requests is nearly free throughput. Requests are
+    grouped by an exact compatibility key — (top_k, metric, filters,
+    recency, timestamp_key) — and each group flushes when either
+    ``max_batch`` requests are waiting or ``window_ms`` elapsed since the
+    group opened. Per-request results are distributed back through events;
+    an engine error fails every request of its group with the message.
+    """
+
+    def __init__(self, db, lock, max_batch: int = 64, window_ms: float = 4.0):
+        self._db = db
+        self._lock = lock
+        self.max_batch = max_batch
+        self.window_ms = window_ms
+        self._mutex = threading.Lock()
+        self._groups: dict = {}  # key -> list of pending dicts
+        self._wake = threading.Condition(self._mutex)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._stop = False
+        self._thread.start()
+
+    def close(self):
+        with self._mutex:
+            self._stop = True
+            self._wake.notify_all()
+        self._thread.join(timeout=5.0)
+
+    def submit(self, vector, top_k, metric, filters, recency_bias,
+               timestamp_key):
+        import numpy as np
+
+        fkey = json.dumps(filters, sort_keys=True) if filters else None
+        key = (int(top_k), metric, fkey, float(recency_bias), timestamp_key)
+        entry = {
+            "vector": np.asarray(vector, dtype=np.float32),
+            "event": threading.Event(),
+            "result": None,
+            "error": None,
+            "params": (top_k, metric, filters, recency_bias, timestamp_key),
+        }
+        with self._mutex:
+            group = self._groups.setdefault(key, [])
+            group.append(entry)
+            flush_now = len(group) >= self.max_batch
+            self._wake.notify_all()
+        if flush_now:
+            self._flush(key)
+        entry["event"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        return entry["result"]
+
+    def _run(self):
+        import time
+
+        while True:
+            with self._mutex:
+                while not self._groups and not self._stop:
+                    self._wake.wait()
+                if self._stop:
+                    keys = list(self._groups)
+            if self._stop:
+                for key in keys:
+                    self._flush(key)
+                return
+            # let the window elapse so concurrent arrivals coalesce, then
+            # flush whatever accumulated (max_batch flushes happen inline
+            # in submit and simply leave nothing for this pass to pop)
+            time.sleep(self.window_ms / 1000.0)
+            with self._mutex:
+                keys = [k for k, g in self._groups.items() if g]
+            for key in keys:
+                self._flush(key)
+
+    def _flush(self, key):
+        import numpy as np
+
+        with self._mutex:
+            group = self._groups.pop(key, None)
+        if not group:
+            return
+        top_k, metric, filters, recency_bias, timestamp_key = group[0]["params"]
+        try:
+            block = np.stack([e["vector"] for e in group])
+            with self._lock:
+                rows = self._db.query_batch(
+                    block, top_k=top_k, metric=metric, filters=filters,
+                    recency_bias=recency_bias, timestamp_key=timestamp_key,
+                )
+            for entry, result in zip(group, rows):
+                entry["result"] = result
+        except Exception as e:  # noqa: BLE001 - delivered per request
+            for entry in group:
+                entry["error"] = e
+        finally:
+            for entry in group:
+                entry["event"].set()
+
+
+def make_server(db, host: str = "127.0.0.1", port: int = 8901,
+                dynamic_batch_ms: float = 0.0, max_batch: int = 64):
     """Build (but do not start) a ThreadingHTTPServer serving ``db``.
 
     ``db`` may be a :class:`~hyperdb_tpu.HyperDB` or a
     :class:`~hyperdb_tpu.parallel.sharded_db.ShardedHyperDB` (same query
-    surface; corpus statistics come from the wrapped host db)."""
+    surface; corpus statistics come from the wrapped host db).
+
+    ``dynamic_batch_ms`` > 0 enables dynamic batching: concurrent VECTOR
+    /query requests with identical parameters coalesce for up to that many
+    milliseconds (or ``max_batch`` requests) into one ``query_batch`` device
+    call. Text queries and 0 keep the direct per-request path."""
     lock = threading.Lock()
     host_db = getattr(db, "db", db)  # ShardedHyperDB wraps the host store
+    batcher = (
+        _DynamicBatcher(db, lock, max_batch=max_batch,
+                        window_ms=dynamic_batch_ms)
+        if dynamic_batch_ms > 0
+        else None
+    )
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "hyperdb-tpu"
@@ -102,6 +218,18 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901):
                     filters = req.get("filters")
                     if filters:
                         filters = [tuple(f) for f in filters]
+                    if batcher is not None and "text" not in req:
+                        result = batcher.submit(
+                            req["vector"],
+                            int(req.get("top_k", 5)),
+                            req.get("metric", "cosine_similarity"),
+                            filters,
+                            req.get("recency_bias", 0) or 0,
+                            req.get("timestamp_key"),
+                        )
+                        return self._send(
+                            200, {"results": _result_rows(result)}
+                        )
                     kwargs = {}
                     if "ann_percent" in req and hasattr(db, "ann_metric"):
                         # Q12 candidate budget — single-chip engine only
@@ -138,17 +266,22 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901):
                 return self._send(400, {"error": str(e)})
             return self._send(404, {"error": f"unknown path {self.path}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.batcher = batcher  # for clean shutdown / tests
+    return httpd
 
 
-def serve(db, host: str = "127.0.0.1", port: int = 8901):
+def serve(db, host: str = "127.0.0.1", port: int = 8901,
+          dynamic_batch_ms: float = 0.0):
     """Serve ``db`` until interrupted (the CLI `serve` entrypoint)."""
-    httpd = make_server(db, host, port)
+    httpd = make_server(db, host, port, dynamic_batch_ms=dynamic_batch_ms)
     print(f"serving on http://{host}:{httpd.server_address[1]}", flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if httpd.batcher is not None:
+            httpd.batcher.close()
         httpd.server_close()
     return 0

@@ -166,3 +166,68 @@ def test_sharded_serving_matches_host_db(served):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+@pytest.fixture()
+def batched_server(served):
+    from hyperdb_tpu.server import make_server
+
+    httpd = make_server(served["db"], port=0, dynamic_batch_ms=15.0,
+                        max_batch=16)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield {"httpd": httpd,
+           "base": f"http://127.0.0.1:{httpd.server_address[1]}"}
+    httpd.batcher.close()
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def test_dynamic_batching_coalesces_and_is_correct(served, batched_server,
+                                                   monkeypatch):
+    """Concurrent identical-parameter vector queries must coalesce into
+    fewer query_batch device calls AND return each request's own exact
+    results."""
+    import concurrent.futures
+
+    db = served["db"]
+    calls = []
+    real = db.query_batch
+
+    def counting(q, **kw):
+        calls.append(np.asarray(q).shape[0])
+        return real(q, **kw)
+
+    monkeypatch.setattr(db, "query_batch", counting)
+
+    v = served["vectors"]
+    want = {i: [r[2] for r in db.query(v[i], top_k=4)] for i in range(12)}
+    base = batched_server["base"]
+
+    def one(i):
+        status, body = _post(base, "/query",
+                             {"vector": v[i].tolist(), "top_k": 4})
+        assert status == 200
+        return i, [r["index"] for r in body["results"]]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=12) as pool:
+        futures = [pool.submit(one, i) for i in range(12)]
+        for fut in concurrent.futures.as_completed(futures):
+            i, got = fut.result()
+            assert got == want[i], i
+
+    # 12 concurrent requests in far fewer device calls than 12
+    assert sum(calls) >= 12
+    assert len(calls) < 12, calls
+    # a parameter-mismatched request must not share a batch
+    status, body = _post(base, "/query", {"vector": v[0].tolist(), "top_k": 2})
+    assert status == 200 and len(body["results"]) == 2
+
+
+def test_dynamic_batching_error_propagates(batched_server, served):
+    status, body = _post(batched_server["base"], "/query",
+                         {"vector": [0.0] * 99, "top_k": 2})
+    assert status == 400
+    # server still healthy
+    status, _ = _get(batched_server["base"], "/healthz")
+    assert status == 200
