@@ -489,6 +489,7 @@ class HyperDB:
             list(self._pending_splits),
             dict(self._metadata_index),
         )
+        committed = False
         try:
             if isinstance(documents, dict):
                 documents = [documents]
@@ -496,7 +497,7 @@ class HyperDB:
                 # both arms: the reference stamps documents regardless of
                 # whether vectors were precomputed (hyperdb.py:664)
                 now = float(datetime.datetime.now().timestamp())
-                for doc in documents if not isinstance(documents, dict) else [documents]:
+                for doc in documents:
                     if isinstance(doc, dict):
                         doc.setdefault("metadata", {})["timestamp"] = now
             if vectors is None:
@@ -542,29 +543,35 @@ class HyperDB:
                 return
 
             self.commit_pending()
+            committed = True
             self._update_ann_index()
         except (ValueError, TypeError) as e:
             # Input-validation failures print and roll back (reference Q20
-            # soft-failure contract, hyperdb.py:681-689).
+            # soft-failure contract, hyperdb.py:681-689). A failure AFTER a
+            # successful commit (index rebuild) must NOT restore the
+            # snapshot: that would strip the committed documents' metadata
+            # and re-stage already-committed rows.
             print(f"An exception occurred: {e}")
-            (
-                self.pending_vectors,
-                self.pending_documents,
-                self.pending_source_indices,
-                self._pending_splits,
-                self._metadata_index,
-            ) = saved_state
+            if not committed:
+                (
+                    self.pending_vectors,
+                    self.pending_documents,
+                    self.pending_source_indices,
+                    self._pending_splits,
+                    self._metadata_index,
+                ) = saved_state
         except Exception:
             # Anything else is an engine bug, not bad input: roll back the
             # staging state but RE-RAISE instead of masking it as a print
             # (the reference's blanket except swallows these too).
-            (
-                self.pending_vectors,
-                self.pending_documents,
-                self.pending_source_indices,
-                self._pending_splits,
-                self._metadata_index,
-            ) = saved_state
+            if not committed:
+                (
+                    self.pending_vectors,
+                    self.pending_documents,
+                    self.pending_source_indices,
+                    self._pending_splits,
+                    self._metadata_index,
+                ) = saved_state
             raise
 
     def add_stream(
@@ -664,7 +671,10 @@ class HyperDB:
         finally:
             worker.join(timeout=5.0)
             if added:
-                self._on_mutation()
+                # commit_pending already invalidated per batch; invalidating
+                # again here would discard the device view the per-batch
+                # index builds warmed (the double-upload commit_pending's
+                # ordering comment exists to avoid)
                 if defer_index:
                     self._update_ann_index()
                 self.clear_cache()

@@ -94,9 +94,18 @@ def host_top_k(s: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         kth = s[rows, part].min(axis=1)
         ties_total = (s >= kth[:, None]).sum(axis=1)
         for i in np.flatnonzero(ties_total > k):
-            cand = np.flatnonzero(s[i] >= kth[i])
-            cand = cand[np.lexsort((cand, -s[i][cand]))][:k]
-            part[i] = cand
+            # rows strictly above the boundary all survive (< k of them);
+            # the boundary value's ties fill the rest in INDEX order —
+            # exactly lax.top_k's resolution — without ever sorting more
+            # than k candidates (widely-shared boundary values, e.g. the
+            # integer-scored hamming/jaccard metrics, would otherwise
+            # degenerate to a full-row sort)
+            row = s[i]
+            above = np.flatnonzero(row > kth[i])
+            at = np.flatnonzero(row == kth[i])[: k - above.size]
+            cand = np.concatenate([above, at])
+            part[i] = cand[np.lexsort((cand, -row[cand]))]
+
     else:
         part = np.tile(np.arange(n), (b, 1))
     part_vals = s[rows, part]

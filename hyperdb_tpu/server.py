@@ -109,9 +109,9 @@ class _DynamicBatcher:
             with self._mutex:
                 while not self._groups and not self._stop:
                     self._wake.wait()
-                if self._stop:
-                    keys = list(self._groups)
-            if self._stop:
+                stopping = self._stop
+                keys = list(self._groups) if stopping else None
+            if stopping:
                 for key in keys:
                     self._flush(key)
                 return
@@ -218,9 +218,26 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                     filters = req.get("filters")
                     if filters:
                         filters = [tuple(f) for f in filters]
-                    if batcher is not None and "text" not in req:
+                    if (
+                        batcher is not None
+                        and "text" not in req
+                        and "ann_percent" not in req  # not in the batch key
+                    ):
+                        import numpy as np
+
+                        vec = np.asarray(req["vector"], dtype=np.float32)
+                        dim = getattr(host_db, "dim", None)
+                        if vec.ndim != 1 or (dim and vec.shape[0] != dim):
+                            # reject BEFORE coalescing: one malformed vector
+                            # must not 400 a whole group of valid requests
+                            return self._send(400, {
+                                "error": (
+                                    f"query vector shape {vec.shape} does "
+                                    f"not match corpus dimension {dim}"
+                                )
+                            })
                         result = batcher.submit(
-                            req["vector"],
+                            vec,
                             int(req.get("top_k", 5)),
                             req.get("metric", "cosine_similarity"),
                             filters,
