@@ -52,8 +52,9 @@ class _DynamicBatcher:
     the engine's batched scan amortizes the corpus read across the batch
     (BASELINE.md: per-batch time is near-flat up to ~1024 queries), so
     grouping concurrent requests is nearly free throughput. Requests are
-    grouped by an exact compatibility key — (top_k, metric, filters,
-    recency, timestamp_key) — and each group flushes when either
+    grouped by an exact compatibility key — (metric, filters, recency,
+    timestamp_key); mixed top_k values share a batch (queried at the max,
+    sliced per request) — and each group flushes when either
     ``max_batch`` requests are waiting or ``window_ms`` elapsed since the
     group opened. Per-request results are distributed back through events;
     an engine error fails every request of its group with the message.
@@ -81,14 +82,18 @@ class _DynamicBatcher:
                timestamp_key):
         import numpy as np
 
+        # top_k is NOT part of the grouping key: the flush queries at the
+        # group's max top_k and slices each request's prefix — identical
+        # results, wider coalescing under mixed-k workloads
         fkey = json.dumps(filters, sort_keys=True) if filters else None
-        key = (int(top_k), metric, fkey, float(recency_bias), timestamp_key)
+        key = (metric, fkey, float(recency_bias), timestamp_key)
         entry = {
             "vector": np.asarray(vector, dtype=np.float32),
+            "top_k": int(top_k),
             "event": threading.Event(),
             "result": None,
             "error": None,
-            "params": (top_k, metric, filters, recency_bias, timestamp_key),
+            "params": (metric, filters, recency_bias, timestamp_key),
         }
         with self._mutex:
             group = self._groups.setdefault(key, [])
@@ -131,16 +136,17 @@ class _DynamicBatcher:
             group = self._groups.pop(key, None)
         if not group:
             return
-        top_k, metric, filters, recency_bias, timestamp_key = group[0]["params"]
+        metric, filters, recency_bias, timestamp_key = group[0]["params"]
         try:
             block = np.stack([e["vector"] for e in group])
+            k_max = max(e["top_k"] for e in group)
             with self._lock:
                 rows = self._db.query_batch(
-                    block, top_k=top_k, metric=metric, filters=filters,
+                    block, top_k=k_max, metric=metric, filters=filters,
                     recency_bias=recency_bias, timestamp_key=timestamp_key,
                 )
             for entry, result in zip(group, rows):
-                entry["result"] = result
+                entry["result"] = result[: entry["top_k"]]
         except Exception as e:  # noqa: BLE001 - delivered per request
             for entry in group:
                 entry["error"] = e

@@ -219,9 +219,35 @@ def test_dynamic_batching_coalesces_and_is_correct(served, batched_server,
     # 12 concurrent requests in far fewer device calls than 12
     assert sum(calls) >= 12
     assert len(calls) < 12, calls
-    # a parameter-mismatched request must not share a batch
+    # mixed top_k values share a batch: queried at the max, sliced exactly
     status, body = _post(base, "/query", {"vector": v[0].tolist(), "top_k": 2})
     assert status == 200 and len(body["results"]) == 2
+    assert [r["index"] for r in body["results"]] == want[0][:2]
+
+
+def test_dynamic_batching_mixed_top_k(served, batched_server):
+    """Requests differing only in top_k coalesce and each gets its own
+    exact prefix."""
+    import concurrent.futures
+
+    db = served["db"]
+    v = served["vectors"]
+    ks = [2, 4, 6, 3, 5, 4, 2, 6]
+    want = {i: [r[2] for r in db.query(v[i], top_k=ks[i])] for i in range(8)}
+    base = batched_server["base"]
+
+    def one(i):
+        status, body = _post(base, "/query",
+                             {"vector": v[i].tolist(), "top_k": ks[i]})
+        assert status == 200
+        return i, [r["index"] for r in body["results"]]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        for fut in concurrent.futures.as_completed(
+            [pool.submit(one, i) for i in range(8)]
+        ):
+            i, got = fut.result()
+            assert got == want[i], (i, ks[i])
 
 
 def test_dynamic_batching_error_propagates(batched_server, served):
