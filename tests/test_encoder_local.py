@@ -296,3 +296,25 @@ class TestDBWithLocalEncoder:
         )
         res = db.query(queries[0], top_k=3)
         assert len(res) == 3  # untrained weights: just a working pipeline
+
+
+def test_shipped_encoder_sits_at_the_eval_ceiling():
+    """The benchmark's two-concept queries tie ~11 docs exactly, so a
+    PERFECT concept retriever's expected recall@10 under random tie order
+    is ~0.86 (localdata.retrieval_eval_ceiling). The shipped checkpoint's
+    manifest eval must sit within a whisker of that ceiling — 'data-bound'
+    here means the benchmark is saturated, not that the encoder is weak."""
+    import json
+    import os
+
+    from hyperdb_tpu.models import localdata
+    from hyperdb_tpu.models.minilm import ASSETS_DIR
+
+    manifest = os.path.join(ASSETS_DIR, "manifest.json")
+    if not os.path.exists(manifest):
+        pytest.skip("no shipped encoder assets")
+    with open(manifest) as f:
+        measured = json.load(f)["eval"]["local"]["recall@10"]
+    ceiling = localdata.retrieval_eval_ceiling()["recall@10"]
+    assert 0.80 <= ceiling <= 0.92  # the eval's structural tie ceiling
+    assert measured >= ceiling - 0.05, (measured, ceiling)
