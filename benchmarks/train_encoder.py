@@ -44,6 +44,12 @@ def main():
     parser.add_argument("--stdlib-pairs", type=int, default=6000)
     parser.add_argument("--eval-every", type=int, default=500)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--pool", choices=["base", "hard", "mixed"], default="base",
+        help="concept pool: 'hard' is the 56-concept benchmark whose "
+             "perfect-retriever recall@10 ceiling is ~1.0 "
+             "(localdata.CONCEPTS_HARD)",
+    )
     parser.add_argument("--out", default=None)
     parser.add_argument("--layers", type=int, default=4)
     parser.add_argument(
@@ -80,7 +86,19 @@ def main():
 
     # ---------------- data + vocab ----------------
     t0 = time.time()
-    pairs = localdata.training_pairs(args.pairs, seed=args.seed + 1)
+    pool = localdata.CONCEPTS_HARD if args.pool in ("hard", "mixed") else None
+    if args.pool == "mixed":
+        # half the budget on the 24-concept base pool (keeps the base
+        # benchmark's concept density), half on the full 56-concept pool
+        pairs = localdata.training_pairs(
+            args.pairs // 2, seed=args.seed + 1
+        ) + localdata.training_pairs(
+            args.pairs // 2, seed=args.seed + 2, pool=localdata.CONCEPTS_HARD
+        )
+    else:
+        pairs = localdata.training_pairs(
+            args.pairs, seed=args.seed + 1, pool=pool
+        )
     stdlib_pairs = localdata.stdlib_span_pairs(args.stdlib_pairs)
     pairs += stdlib_pairs
     if args.init_from:
@@ -135,7 +153,7 @@ def main():
             mask[i, : len(tok_mask)] = tok_mask
         return ids, mask
 
-    eval_set = localdata.retrieval_eval_set()
+    eval_set = localdata.retrieval_eval_set(pool=pool)
     eval_embedder = MiniLMEmbedder(
         params=params, tokenizer=tokenizer, config=config
     )

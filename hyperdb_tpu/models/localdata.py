@@ -209,6 +209,242 @@ CONCEPTS: dict[str, list[str]] = {
     ],
 }
 
+# Extension pool for the HARD benchmark (localdata v2): with only 24
+# concepts, 1000 3-concept docs share each concept PAIR ~11 ways, capping a
+# perfect retriever's expected recall@10 at ~0.86 (retrieval_eval_ceiling).
+# 56 concepts push pair collisions to ~2, raising the ceiling toward 1.0 so
+# encoder progress stays measurable after the base benchmark saturates.
+CONCEPTS_EXTRA: dict[str, list[str]] = {
+    "burrow": [
+        "digs winding tunnels under the meadow",
+        "excavates deep warrens in soft soil",
+        "vanishes into holes of its own making",
+        "hollows out dens beneath tree roots",
+        "carves burrows into the hillside",
+    ],
+    "sing": [
+        "sings long melodies at first light",
+        "fills the valley with warbling song",
+        "performs trilling choruses at dawn",
+        "hums layered tunes to its kin",
+        "whistles intricate refrains all morning",
+    ],
+    "hoard": [
+        "hoards shiny pebbles in its nest",
+        "collects trinkets and hides them away",
+        "stockpiles seeds for the lean season",
+        "gathers glittering objects obsessively",
+        "squirrels away anything it can carry",
+    ],
+    "freeze": [
+        "withstands bitter cold without shelter",
+        "thrives in frost and deep snow",
+        "sleeps comfortably on bare ice",
+        "endures blizzards that fell larger beasts",
+        "is unbothered by the harshest winters",
+    ],
+    "heal": [
+        "mends the wounds of injured companions",
+        "tends to the hurt of its herd",
+        "nurses sick creatures back to health",
+        "soothes injuries with practiced care",
+        "is sought out by the wounded",
+    ],
+    "venom": [
+        "carries a paralyzing venom in its fangs",
+        "delivers a toxin that numbs its prey",
+        "secretes poison along its spines",
+        "strikes with venom-laced barbs",
+        "defends itself with a potent sting",
+    ],
+    "glow": [
+        "glows faintly in the dark",
+        "emits a soft light from its markings",
+        "shines with an inner luminescence",
+        "lights caverns with its pale radiance",
+        "flickers like a lantern at night",
+    ],
+    "swim_deep": [
+        "dives to the lightless ocean floor",
+        "hunts in the crushing deep",
+        "descends far below the waves",
+        "prowls abyssal trenches",
+        "surfaces only rarely from the depths",
+    ],
+    "climb": [
+        "scales sheer cliffs without effort",
+        "clambers up vertical rock faces",
+        "ascends the tallest trees in moments",
+        "grips stone walls like a spider",
+        "is happiest high on a crag",
+    ],
+    "trick": [
+        "misleads travelers with false trails",
+        "plays elaborate pranks on intruders",
+        "lures the curious into harmless traps",
+        "deceives predators with cunning ruses",
+        "outwits anything that hunts it",
+    ],
+    "guard": [
+        "stands watch over its territory all night",
+        "patrols the borders of its home",
+        "defends its grove against all comers",
+        "keeps vigilant sentry on the ridge",
+        "protects its clutch with fierce devotion",
+    ],
+    "storm_call": [
+        "summons sudden squalls when threatened",
+        "stirs the clouds into thunder",
+        "brings rain wherever it lingers",
+        "is followed by rolling storms",
+        "crackles with gathering lightning",
+    ],
+    "mirror": [
+        "reflects its surroundings like polished glass",
+        "blends in by mirroring nearby colors",
+        "shimmers with a mirrored hide",
+        "is nearly invisible against any backdrop",
+        "camouflages perfectly in plain sight",
+    ],
+    "feast": [
+        "devours twice its weight daily",
+        "eats without pause from dawn to dusk",
+        "strips whole orchards bare",
+        "has an appetite that alarms farmers",
+        "forages relentlessly for anything edible",
+    ],
+    "dream": [
+        "walks in circles while fast asleep",
+        "acts out its dreams with twitching paws",
+        "murmurs strange sounds while dreaming",
+        "wanders at night without waking",
+        "is famous for its restless sleepwalking",
+    ],
+    "stone_skin": [
+        "has hide as hard as granite",
+        "shrugs off blows with its rocky shell",
+        "is armored in mineral plates",
+        "turns aside claws with stone-like scales",
+        "wears a carapace of living rock",
+    ],
+    "swift": [
+        "outruns every creature on the plain",
+        "sprints faster than the eye can follow",
+        "covers miles in a few heartbeats",
+        "is a blur when it chooses to run",
+        "leaves pursuers far behind",
+    ],
+    "scent": [
+        "tracks prey by scent across whole valleys",
+        "smells water from miles away",
+        "follows week-old trails by nose alone",
+        "detects intruders by their faintest odor",
+        "navigates entirely by smell",
+    ],
+    "night_eyes": [
+        "sees clearly in total darkness",
+        "hunts by starlight alone",
+        "has eyes that gather the faintest glow",
+        "watches the night as if it were day",
+        "is blind at noon but sharp-eyed at midnight",
+    ],
+    "root": [
+        "draws nourishment from buried roots",
+        "feeds on sap and deep taproots",
+        "unearths tubers with practiced ease",
+        "lives on what it digs from the ground",
+        "grubs for roots beneath old stumps",
+    ],
+    "echo": [
+        "navigates by bouncing sharp clicks",
+        "maps caves with reflected sound",
+        "finds its way by echoes alone",
+        "chirps to sound out hidden passages",
+        "hears the shape of the world around it",
+    ],
+    "molt": [
+        "sheds its skin with every season",
+        "leaves papery husks where it rested",
+        "outgrows and discards its shell yearly",
+        "renews its plumage in a single night",
+        "emerges brighter after each molt",
+    ],
+    "magnet": [
+        "always faces magnetic north at rest",
+        "senses the pull of distant lodestone",
+        "orients itself by the planet's field",
+        "is drawn toward buried iron",
+        "navigates by an inner compass",
+    ],
+    "song_mimic": [
+        "borrows the melodies of other songbirds",
+        "weaves stolen tunes into its own calls",
+        "answers every song with a copy",
+        "learns new melodies after one hearing",
+        "trades songs with passing flocks",
+    ],
+    "tide_pull": [
+        "appears only at the lowest tide",
+        "follows the ebb and flow of the sea",
+        "times its hunts to the tide tables",
+        "beaches itself at every neap tide",
+        "rides the tidal bore upriver",
+    ],
+    "ember_breath": [
+        "exhales thin wisps of smoke",
+        "breathes sparks when startled",
+        "warms its den with heated breath",
+        "singes the grass where it sighs",
+        "puffs cinders while it sleeps",
+    ],
+    "puzzle": [
+        "opens latches and knotted cords with ease",
+        "solves mazes on the first attempt",
+        "dismantles traps set for it",
+        "figures out locks that stump its keepers",
+        "studies mechanisms until they yield",
+    ],
+    "herd_mind": [
+        "moves in flocks that turn as one",
+        "thinks with the whole of its swarm",
+        "coordinates wordlessly with its kin",
+        "acts in perfect unison with its group",
+        "shares alarm across the herd instantly",
+    ],
+    "still": [
+        "stands motionless for hours on end",
+        "freezes so completely it seems carved",
+        "waits unmoving until prey forgets it",
+        "can hold one pose from dawn to dusk",
+        "is often mistaken for a statue",
+    ],
+    "rain_dance": [
+        "celebrates every downpour with leaping",
+        "dances in circles when rain begins",
+        "drums puddles with delighted stomps",
+        "greets wet weather with wild capering",
+        "only plays during a storm's first drops",
+    ],
+    "salt": [
+        "licks mineral deposits from canyon walls",
+        "travels far to reach salt flats",
+        "craves brine and salted pools",
+        "gnaws salty crusts off sea rocks",
+        "gathers where the earth tastes of salt",
+    ],
+    "twin": [
+        "is never seen without its twin",
+        "hunts in mirrored pairs",
+        "shares every meal with its double",
+        "moves in tandem with a lifelong partner",
+        "is one half of an inseparable pair",
+    ],
+}
+
+# The hard pool: 56 concepts -> C(56,2)=1540 pairs, ~2 docs per pair at
+# 1000 3-concept docs — near-unique targets, ceiling ~1.0.
+CONCEPTS_HARD: dict[str, list[str]] = {**CONCEPTS, **CONCEPTS_EXTRA}
+
 TYPES = ["ember", "tide", "vine", "storm", "stone", "gale", "frost",
          "shadow", "light", "iron"]
 
@@ -250,6 +486,7 @@ def concept_corpus(
     num_docs: int = 4000,
     seed: int = 0,
     concepts_per_doc: int = 3,
+    pool: dict | None = None,
 ):
     """Entity-profile documents with latent concept assignments.
 
@@ -257,21 +494,22 @@ def concept_corpus(
     documents; ``doc_concepts[i]`` the concept keys rendered into doc i;
     ``doc_surface_ids[i]`` which surface index each concept used.
     """
+    pool = CONCEPTS if pool is None else pool
     rng = np.random.default_rng(seed)
-    keys = sorted(CONCEPTS)
+    keys = sorted(pool)
     docs, doc_concepts, doc_surfaces, doc_types = [], [], [], []
     for i in range(num_docs):
         chosen = rng.choice(len(keys), size=concepts_per_doc, replace=False)
         ckeys = [keys[c] for c in chosen]
-        sids = [int(rng.integers(0, len(CONCEPTS[k]))) for k in ckeys]
+        sids = [int(rng.integers(0, len(pool[k]))) for k in ckeys]
         name = _entity_name(rng)
         typ = TYPES[int(rng.integers(0, len(TYPES)))]
         tmpl = _DOC_TEMPLATES[int(rng.integers(0, len(_DOC_TEMPLATES)))]
         text = tmpl.format(
             name=name, t=typ,
-            c0=CONCEPTS[ckeys[0]][sids[0]],
-            c1=CONCEPTS[ckeys[1]][sids[1]],
-            c2=CONCEPTS[ckeys[2]][sids[2]],
+            c0=pool[ckeys[0]][sids[0]],
+            c1=pool[ckeys[1]][sids[1]],
+            c2=pool[ckeys[2]][sids[2]],
         )
         docs.append(text)
         doc_concepts.append(ckeys)
@@ -285,6 +523,7 @@ def paraphrase_query(
     doc_surface_id: int,
     rng: np.random.Generator,
     doc_type: str | None = None,
+    pool: dict | None = None,
 ) -> str:
     """A query about ``concept_key`` using a surface DIFFERENT from the one
     rendered in the document (the paraphrase gap the encoder must learn).
@@ -292,7 +531,7 @@ def paraphrase_query(
     type — a weak lexical anchor every encoder (including the hash baseline)
     can exploit, keeping the benchmark fair rather than purely adversarial
     to lexical methods."""
-    surfaces = CONCEPTS[concept_key]
+    surfaces = (CONCEPTS if pool is None else pool)[concept_key]
     choices = [j for j in range(len(surfaces)) if j != doc_surface_id]
     sid = choices[int(rng.integers(0, len(choices)))]
     tmpl = _QUERY_TEMPLATES[int(rng.integers(0, len(_QUERY_TEMPLATES)))]
@@ -300,8 +539,9 @@ def paraphrase_query(
     return tmpl.format(c=surfaces[sid], t=typ)
 
 
-def _other_surface(concept_key: str, doc_surface_id: int, rng) -> str:
-    surfaces = CONCEPTS[concept_key]
+def _other_surface(concept_key: str, doc_surface_id: int, rng,
+                   pool: dict | None = None) -> str:
+    surfaces = (CONCEPTS if pool is None else pool)[concept_key]
     choices = [j for j in range(len(surfaces)) if j != doc_surface_id]
     return surfaces[choices[int(rng.integers(0, len(choices)))]]
 
@@ -311,20 +551,22 @@ def paraphrase_query2(
     doc_surfaces: list[int],
     rng: np.random.Generator,
     doc_type: str,
+    pool: dict | None = None,
 ) -> str:
     """A query mentioning TWO of the document's concepts, each with a
     surface different from the document's rendering."""
     picks = rng.choice(len(doc_concepts), size=2, replace=False)
-    c0 = _other_surface(doc_concepts[picks[0]], doc_surfaces[picks[0]], rng)
-    c1 = _other_surface(doc_concepts[picks[1]], doc_surfaces[picks[1]], rng)
+    c0 = _other_surface(doc_concepts[picks[0]], doc_surfaces[picks[0]], rng, pool)
+    c1 = _other_surface(doc_concepts[picks[1]], doc_surfaces[picks[1]], rng, pool)
     tmpl = _QUERY2_TEMPLATES[int(rng.integers(0, len(_QUERY2_TEMPLATES)))]
     return tmpl.format(c0=c0, c1=c1, t=doc_type)
 
 
-def training_pairs(num_pairs: int = 20000, seed: int = 1):
+def training_pairs(num_pairs: int = 20000, seed: int = 1,
+                   pool: dict | None = None):
     """(query, positive document) pairs over a fresh training corpus."""
     docs, doc_concepts, doc_surfaces, doc_types = concept_corpus(
-        num_docs=max(1000, num_pairs // 4), seed=seed
+        num_docs=max(1000, num_pairs // 4), seed=seed, pool=pool
     )
     rng = np.random.default_rng(seed + 1)
     pairs = []
@@ -333,18 +575,20 @@ def training_pairs(num_pairs: int = 20000, seed: int = 1):
         if n % 2 == 0:  # mix single- and two-concept query styles
             ci = int(rng.integers(0, len(doc_concepts[di])))
             q = paraphrase_query(
-                doc_concepts[di][ci], doc_surfaces[di][ci], rng, doc_types[di]
+                doc_concepts[di][ci], doc_surfaces[di][ci], rng,
+                doc_types[di], pool,
             )
         else:
             q = paraphrase_query2(
-                doc_concepts[di], doc_surfaces[di], rng, doc_types[di]
+                doc_concepts[di], doc_surfaces[di], rng, doc_types[di], pool
             )
         pairs.append((q, docs[di]))
     return pairs
 
 
 def retrieval_eval_set(
-    num_docs: int = 1000, num_queries: int = 200, seed: int = 777
+    num_docs: int = 1000, num_queries: int = 200, seed: int = 777,
+    pool: dict | None = None,
 ):
     """Held-out corpus + paraphrase queries with known target documents.
 
@@ -353,7 +597,7 @@ def retrieval_eval_set(
     a high recall requires surface->concept generalization.
     """
     docs, doc_concepts, doc_surfaces, doc_types = concept_corpus(
-        num_docs=num_docs, seed=seed
+        num_docs=num_docs, seed=seed, pool=pool
     )
     rng = np.random.default_rng(seed + 1)
     queries, targets = [], []
@@ -361,7 +605,7 @@ def retrieval_eval_set(
         di = int(rng.integers(0, len(docs)))
         queries.append(
             paraphrase_query2(
-                doc_concepts[di], doc_surfaces[di], rng, doc_types[di]
+                doc_concepts[di], doc_surfaces[di], rng, doc_types[di], pool
             )
         )
         targets.append(di)
@@ -444,7 +688,8 @@ def stdlib_span_pairs(max_pairs: int = 8000) -> list[tuple[str, str]]:
 
 
 def retrieval_eval_ceiling(
-    num_docs: int = 1000, num_queries: int = 200, seed: int = 777
+    num_docs: int = 1000, num_queries: int = 200, seed: int = 777,
+    pool: dict | None = None,
 ) -> dict:
     """Expected recall ceiling of the eval for a PERFECT concept retriever.
 
@@ -455,20 +700,21 @@ def retrieval_eval_ceiling(
     — the honest ceiling against which encoder evals should be read (the
     shipped encoder's 0.85 sits at this ceiling, not below it).
     """
+    pool = CONCEPTS if pool is None else pool
     docs, doc_concepts, doc_surfaces, doc_types = concept_corpus(
-        num_docs=num_docs, seed=seed
+        num_docs=num_docs, seed=seed, pool=pool
     )
     rng = np.random.default_rng(seed + 1)
     exp = {1: 0.0, 10: 0.0}
     for _ in range(num_queries):
         di = int(rng.integers(0, len(docs)))
         q = paraphrase_query2(
-            doc_concepts[di], doc_surfaces[di], rng, doc_types[di]
+            doc_concepts[di], doc_surfaces[di], rng, doc_types[di], pool
         )
         ql = q.lower()
         mentioned = [
             key
-            for key, surfaces in CONCEPTS.items()
+            for key, surfaces in pool.items()
             if any(s.lower() in ql for s in surfaces)
         ]
         has_type = doc_types[di] in q
