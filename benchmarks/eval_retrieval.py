@@ -48,6 +48,7 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--docs", type=int, default=1000)
     parser.add_argument("--queries", type=int, default=200)
+    parser.add_argument("--pool", choices=["base", "hard"], default="base")
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -62,8 +63,9 @@ def main():
     from hyperdb_tpu.models.embedder import HashEmbedder, make_embedding_function
     from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
+    pool = localdata.CONCEPTS_HARD if args.pool == "hard" else None
     docs, queries, targets = localdata.retrieval_eval_set(
-        num_docs=args.docs, num_queries=args.queries
+        num_docs=args.docs, num_queries=args.queries, pool=pool
     )
     doc_dicts = [{"text": d} for d in docs]
 
