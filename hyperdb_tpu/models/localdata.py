@@ -222,14 +222,14 @@ CONCEPTS_EXTRA: dict[str, list[str]] = {
         "hollows out dens beneath tree roots",
         "carves burrows into the hillside",
     ],
-    "sing": [
+    "dawn_chorus": [
         "sings long melodies at first light",
         "fills the valley with warbling song",
         "performs trilling choruses at dawn",
         "hums layered tunes to its kin",
         "whistles intricate refrains all morning",
     ],
-    "hoard": [
+    "trinket_hoard": [
         "hoards shiny pebbles in its nest",
         "collects trinkets and hides them away",
         "stockpiles seeds for the lean season",
@@ -243,21 +243,21 @@ CONCEPTS_EXTRA: dict[str, list[str]] = {
         "endures blizzards that fell larger beasts",
         "is unbothered by the harshest winters",
     ],
-    "heal": [
+    "field_medic": [
         "mends the wounds of injured companions",
         "tends to the hurt of its herd",
         "nurses sick creatures back to health",
         "soothes injuries with practiced care",
         "is sought out by the wounded",
     ],
-    "venom": [
+    "venom_fang": [
         "carries a paralyzing venom in its fangs",
         "delivers a toxin that numbs its prey",
         "secretes poison along its spines",
         "strikes with venom-laced barbs",
         "defends itself with a potent sting",
     ],
-    "glow": [
+    "night_glow": [
         "glows faintly in the dark",
         "emits a soft light from its markings",
         "shines with an inner luminescence",
@@ -442,7 +442,12 @@ CONCEPTS_EXTRA: dict[str, list[str]] = {
 }
 
 # The hard pool: 56 concepts -> C(56,2)=1540 pairs, ~2 docs per pair at
-# 1000 3-concept docs — near-unique targets, ceiling ~1.0.
+# 1000 3-concept docs — near-unique targets, ceiling ~1.0. The extra keys
+# are DISJOINT from the base pool (asserted) so base surfaces are never
+# overridden and the two benchmarks stay independent.
+assert not set(CONCEPTS) & set(CONCEPTS_EXTRA), sorted(
+    set(CONCEPTS) & set(CONCEPTS_EXTRA)
+)
 CONCEPTS_HARD: dict[str, list[str]] = {**CONCEPTS, **CONCEPTS_EXTRA}
 
 TYPES = ["ember", "tide", "vine", "storm", "stone", "gale", "frost",
@@ -490,10 +495,16 @@ def concept_corpus(
 ):
     """Entity-profile documents with latent concept assignments.
 
-    Returns (docs, doc_concepts, doc_surface_ids): ``docs`` are text
-    documents; ``doc_concepts[i]`` the concept keys rendered into doc i;
-    ``doc_surface_ids[i]`` which surface index each concept used.
+    Returns (docs, doc_concepts, doc_surface_ids, doc_types): ``docs`` are
+    text documents; ``doc_concepts[i]`` the concept keys rendered into doc
+    i; ``doc_surface_ids[i]`` which surface index each concept used;
+    ``doc_types[i]`` the creature type word rendered into the text.
     """
+    if concepts_per_doc != 3:
+        raise ValueError(
+            "concept_corpus renders exactly 3 concepts per document (the "
+            "doc templates have 3 slots)."
+        )
     pool = CONCEPTS if pool is None else pool
     rng = np.random.default_rng(seed)
     keys = sorted(pool)
@@ -531,12 +542,10 @@ def paraphrase_query(
     type — a weak lexical anchor every encoder (including the hash baseline)
     can exploit, keeping the benchmark fair rather than purely adversarial
     to lexical methods."""
-    surfaces = (CONCEPTS if pool is None else pool)[concept_key]
-    choices = [j for j in range(len(surfaces)) if j != doc_surface_id]
-    sid = choices[int(rng.integers(0, len(choices)))]
+    surface = _other_surface(concept_key, doc_surface_id, rng, pool)
     tmpl = _QUERY_TEMPLATES[int(rng.integers(0, len(_QUERY_TEMPLATES)))]
     typ = doc_type or TYPES[int(rng.integers(0, len(TYPES)))]
-    return tmpl.format(c=surfaces[sid], t=typ)
+    return tmpl.format(c=surface, t=typ)
 
 
 def _other_surface(concept_key: str, doc_surface_id: int, rng,
@@ -717,7 +726,9 @@ def retrieval_eval_ceiling(
             for key, surfaces in pool.items()
             if any(s.lower() in ql for s in surfaces)
         ]
-        has_type = doc_types[di] in q
+        # word-boundary match: substrings inside concept surfaces (e.g.
+        # 'light' in 'lightning') must not count as a type mention
+        has_type = re.search(rf"\b{doc_types[di]}\b", q) is not None
         scores = np.zeros(len(docs))
         for j in range(len(docs)):
             scores[j] = sum(c in doc_concepts[j] for c in mentioned)

@@ -203,8 +203,13 @@ class WordPieceTokenizer:
             self._word_cache[word] = ids
         return ids
 
+    # ASCII control chars Python's Unicode \s treats as whitespace but the
+    # C++ is_space does not — texts containing them take the Python path so
+    # both produce identical ids (parity contract, tests/test_native.py).
+    _CTRL_WS = "\x1c\x1d\x1e\x1f"
+
     def text_ids(self, text: str) -> list[int]:
-        if text.isascii():
+        if text.isascii() and not any(c in self._CTRL_WS for c in text):
             native = self._native_encoder()
             if native is not None:
                 ids = native.encode_ids(text)
@@ -220,7 +225,7 @@ class WordPieceTokenizer:
         chunker protocol (plain token-id list, no specials) otherwise."""
         if max_len is None:
             return self.text_ids(text)
-        body = self.text_ids(text)[: max_len - 2]
+        body = self.text_ids(text)[: max(0, max_len - 2)]
         ids = [self.cls_id] + body + [self.sep_id]
         return ids, [1] * len(ids)
 

@@ -24,9 +24,19 @@ def deep_sizeof(obj, _seen: set | None = None) -> int:
         size = 0
 
     # numpy arrays: count the buffer (getsizeof already includes it for
-    # owning arrays, but views report only the header).
+    # owning arrays, but views report only the header). object-dtype arrays
+    # hold POINTERS in their buffer — recurse into the elements instead of
+    # reporting 8 bytes per entry.
     nbytes = getattr(obj, "nbytes", None)
     if nbytes is not None and isinstance(nbytes, int):
+        dtype = getattr(obj, "dtype", None)
+        if dtype is not None and getattr(dtype, "kind", "") == "O":
+            try:
+                return size + sum(
+                    deep_sizeof(item, _seen) for item in obj.flat
+                )
+            except Exception:
+                return size
         size = max(size, int(nbytes))
         return size
 
