@@ -112,3 +112,15 @@ def test_native_merge_accepts_neg_inf_entries(lib_built):
     # both -inf entries retained, lower id first on the tie
     assert list(out_ids[1:]) == [3, 7]
     assert -1 not in out_ids
+
+
+def test_wordpiece_control_char_whitespace_parity(lib_built):
+    """\\x1c-\\x1f are whitespace to Python's Unicode \\s but not to the C++
+    is_space; such text must take the Python path so ids are identical
+    whether or not the native lib compiled."""
+    from hyperdb_tpu.models.wordpiece import WordPieceTokenizer, train_wordpiece
+
+    tok = WordPieceTokenizer(train_wordpiece(["alpha beta gamma"] * 4, vocab_size=200))
+    with_ctrl = tok.text_ids("alpha\x1cbeta")
+    plain = tok.text_ids("alpha beta")
+    assert with_ctrl == plain  # \x1c splits words exactly like a space

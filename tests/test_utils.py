@@ -69,3 +69,14 @@ def test_engine_config_env(monkeypatch):
     monkeypatch.setenv("HYPERDB_IVF_THRESHOLD", "1234")
     cfg = EngineConfig()
     assert cfg.ivf_threshold == 1234
+
+
+def test_deep_sizeof_object_arrays_count_elements():
+    import numpy as np
+
+    from hyperdb_tpu.utils.sizeof import deep_sizeof
+
+    big = ["x" * 10000, "y" * 10000]
+    arr = np.empty(2, dtype=object)
+    arr[0], arr[1] = big
+    assert deep_sizeof(arr) > 20000  # elements, not 16 pointer bytes
