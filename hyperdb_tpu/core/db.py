@@ -58,6 +58,14 @@ class HyperDB:
     ``n_trees`` is kept for API parity and seeds the IVF sizing heuristic.
     """
 
+    # The reference's precomputed-vectors constructor branch never populates
+    # the metadata index (hyperdb.py:127-135), so its metadata filters on
+    # such corpora match nothing. hyperdb_tpu fixes that (True); the compat
+    # ``hyperdb`` package overrides to False for bug-for-bug reference
+    # behavior (its own suite depends on the vacuous-empty results — see
+    # benchmarks/reference_groundtruth.py).
+    _index_constructor_metadata = True
+
     def __init__(
         self,
         documents=None,
@@ -169,9 +177,13 @@ class HyperDB:
             self.source_indices = list(range(len(self.documents)))
             # Conscious fix over the reference: the precomputed-vectors branch
             # also indexes metadata (the reference skips _store_metadata here,
-            # hyperdb.py:127-135, leaving metadata filters vacuously empty).
-            for i, doc in enumerate(self.documents):
-                self._store_metadata(doc, i)
+            # hyperdb.py:127-135, leaving metadata filters vacuously empty —
+            # ground-truthed by benchmarks/reference_groundtruth.py). The
+            # compat package sets _index_constructor_metadata = False to be
+            # bug-for-bug with the reference's own test suite.
+            if self._index_constructor_metadata:
+                for i, doc in enumerate(self.documents):
+                    self._store_metadata(doc, i)
             self._build_ann_index()
         elif documents:
             self.add(documents, vectors=None, add_timestamp=self.add_timestamp)
@@ -317,8 +329,18 @@ class HyperDB:
     def _store_metadata(self, document, unique_index: int) -> None:
         """Index declared metadata keys for one document
         (reference hyperdb.py:373-392)."""
+        metadata = self._compute_metadata(document, unique_index)
+        if metadata:
+            self._metadata_index[unique_index] = metadata
+
+    def _compute_metadata(self, document, unique_index: int) -> dict:
+        """Pure half of :meth:`_store_metadata`: build (without storing) the
+        metadata entry for ``document`` at ``unique_index``. commit_pending
+        uses this to stage every entry BEFORE mutating any state, so a
+        failure during metadata extraction cannot leave rows/docs committed
+        while the 'Rolling back' message claims otherwise."""
         if not isinstance(document, dict):
-            return
+            return {}
         filtered = self.filter_document(document)
         metadata = {}
         for key in self.metadata_keys:
@@ -341,8 +363,7 @@ class HyperDB:
                     value = _nested.get_nested_value(filtered, [key])
                 if value is not None:
                     metadata[key] = value
-        if metadata:
-            self._metadata_index[unique_index] = metadata
+        return metadata
 
     # ------------------------------------------------------------------
     # ANN index (C10)
@@ -690,17 +711,25 @@ class HyperDB:
             if concatenated.shape[0] != len(self.pending_source_indices):
                 raise ValueError("Inconsistency detected in new source indices.")
             start = len(self.documents)
+            # metadata is computed at COMMIT, not staging (a rolled-back
+            # transaction must leave no ghost entries) — but BEFORE any
+            # mutation: metadata extraction is the only commit step that can
+            # fail after the first append, and failing there would commit
+            # rows/docs while "Rolling back" prints and the pending buffers
+            # stay populated for a double-commit on the next call.
+            staged_metadata = [
+                (start + offset, self._compute_metadata(document, start + offset))
+                for offset, document in enumerate(self.pending_documents)
+            ]
             self._store.append(concatenated)
             self.source_indices.extend(self.pending_source_indices)
             for offset, (chunk_count, record_split) in enumerate(self._pending_splits):
                 if record_split:
                     self.split_info[start + offset] = chunk_count
             self.documents.extend(self.pending_documents)
-            # metadata indexes at COMMIT, not staging: a failed or
-            # rolled-back transaction must leave no ghost entries at
-            # future document indices
-            for offset, document in enumerate(self.pending_documents):
-                self._store_metadata(document, start + offset)
+            for unique_index, metadata in staged_metadata:
+                if metadata:
+                    self._metadata_index[unique_index] = metadata
         except Exception as e:
             print(f"Error occurred during commit: {e}. Rolling back transaction.")
             return
@@ -1278,8 +1307,26 @@ class HyperDB:
                             "machine has enough available memory or set "
                             "preload_ann_into_memory to False."
                         )
-                with np.load(ann_index_file, allow_pickle=False) as f:
-                    state = _unflatten_state(dict(f.items()))
+                try:
+                    with np.load(ann_index_file, allow_pickle=False) as f:
+                        state = _unflatten_state(dict(f.items()))
+                except Exception as e:
+                    # Foreign/unparseable sidecar — most importantly a
+                    # reference-produced Annoy binary forest (the reference
+                    # writes one next to every save by default,
+                    # hyperdb.py:769,796-801). Migration must not crash on
+                    # it: warn and rebuild from the loaded vectors, which is
+                    # strictly better than the reference's mmap'd forest
+                    # (the exact scan needs no index at all).
+                    print(
+                        "Warning: could not parse ANN index sidecar "
+                        f"'{ann_index_file}' ({e}); rebuilding the index "
+                        "from the loaded vectors instead."
+                    )
+                    self._build_ann_index()
+                    if preload_ann_into_memory:
+                        self._preload_into_memory(str(storage_file))
+                    return
                 if state.get("kind") == "ivf":
                     from hyperdb_tpu.index.ivf import IVFIndex
 

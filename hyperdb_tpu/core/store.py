@@ -133,7 +133,14 @@ class VectorStore:
         (ops/host_ranking): raw rows and unit-norm rows. Re-normalizing the
         corpus on every query was the dominant per-call cost at demo scale."""
         if getattr(self, "_host", None) is None:
-            rows = np.ascontiguousarray(self.vectors, dtype=np.float32)
+            # f64 masters keep their dtype: the NumPy reference scores f64
+            # corpora in f64, and a f32 downcast here would lose low-order
+            # score bits relative to it. f16/f32 masters rank in f32 as
+            # before (f32 is a superset of both).
+            host_dtype = (
+                np.float64 if self.fp_dtype == np.float64 else np.float32
+            )
+            rows = np.ascontiguousarray(self.vectors, dtype=host_dtype)
             norms = np.linalg.norm(rows, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             self._host = {"rows": rows, "rows_norm": rows / norms}

@@ -26,15 +26,24 @@ NEG_INF = float("-inf")
 
 
 def _normalize(x: np.ndarray) -> np.ndarray:
-    n = np.sqrt(np.sum(np.square(x, dtype=np.float32), axis=-1, keepdims=True))
+    n = np.sqrt(np.sum(np.square(x, dtype=x.dtype), axis=-1, keepdims=True))
     n[n == 0] = 1.0
     return x / n
 
 
 def host_scores(q: np.ndarray, v: np.ndarray, metric: str) -> np.ndarray:
-    """(B, d) x (N, d) -> (B, N) f32 similarities; parity with ops.metrics."""
-    q = np.asarray(q, dtype=np.float32)
-    v = np.asarray(v, dtype=np.float32)
+    """(B, d) x (N, d) -> (B, N) similarities; parity with ops.metrics.
+
+    Computes in f32 except when either side is f64 (store.host_view keeps
+    f64 masters at full precision so f64 corpora match the NumPy
+    reference's low-order score bits — ADVICE r2)."""
+    dtype = (
+        np.float64
+        if np.float64 in (np.asarray(q).dtype, np.asarray(v).dtype)
+        else np.float32
+    )
+    q = np.asarray(q, dtype=dtype)
+    v = np.asarray(v, dtype=dtype)
     if metric == "dot_product":
         return q @ v.T
     if metric == "cosine_similarity":
@@ -135,20 +144,23 @@ def rank_block_host(
     corpus) skips the per-call corpus normalization for cosine.
     """
     if metric == "cosine_similarity" and rows_norm is not None:
+        # rows_norm carries the master dtype (f64 masters stay f64 —
+        # ADVICE r2); the f32 query is promoted by the matmul
         q32 = np.asarray(q_block, dtype=np.float32)
         s = _normalize(q32) @ rows_norm.T
     else:
         s = host_scores(np.asarray(q_block, dtype=np.float32), rows, metric)
-    s = np.where(np.isnan(s), NEG_INF, s).astype(np.float32)
+    score_dtype = s.dtype if s.dtype == np.float64 else np.float32
+    s = np.where(np.isnan(s), NEG_INF, s).astype(score_dtype)
 
     if row_docs is not None:
         nd = int(num_docs)
-        doc_s = np.full((s.shape[0], nd), NEG_INF, dtype=np.float32)
+        doc_s = np.full((s.shape[0], nd), NEG_INF, dtype=score_dtype)
         bidx = np.arange(s.shape[0])[:, None]
         np.maximum.at(doc_s, (bidx, np.asarray(row_docs)[None, :]), s)
         s = doc_s
     if recency is not None:
-        s = s + np.asarray(recency, dtype=np.float32)[None, :]
+        s = s + np.asarray(recency, dtype=score_dtype)[None, :]
     if doc_mask is not None:
         s = np.where(np.asarray(doc_mask, dtype=bool)[None, :], s, NEG_INF)
     return host_top_k(s, k)

@@ -96,10 +96,24 @@ class _DynamicBatcher:
             "params": (metric, filters, recency_bias, timestamp_key),
         }
         with self._mutex:
-            group = self._groups.setdefault(key, [])
-            group.append(entry)
-            flush_now = len(group) >= self.max_batch
-            self._wake.notify_all()
+            stopping = self._stop
+            if not stopping:
+                group = self._groups.setdefault(key, [])
+                group.append(entry)
+                flush_now = len(group) >= self.max_batch
+                self._wake.notify_all()
+        if stopping:
+            # close() may already have run its final flush pass; an entry
+            # appended now would never be flushed and this handler thread
+            # would wait forever. Serve it directly instead.
+            metric, filters, recency_bias, timestamp_key = entry["params"]
+            with self._lock:
+                rows = self._db.query_batch(
+                    entry["vector"][None, :], top_k=entry["top_k"],
+                    metric=metric, filters=filters,
+                    recency_bias=recency_bias, timestamp_key=timestamp_key,
+                )
+            return rows[0][: entry["top_k"]]
         if flush_now:
             self._flush(key)
         entry["event"].wait()
@@ -284,8 +298,11 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                     )
             except KeyError as e:
                 return self._send(400, {"error": f"missing field {e}"})
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
                 # engine validation errors (bad metric, dim mismatch, ...)
+                # plus malformed-but-JSON-valid payloads like
+                # {"top_k": null} (int(None) raises TypeError) — the client
+                # should get a 400, not a dropped connection
                 return self._send(400, {"error": str(e)})
             return self._send(404, {"error": f"unknown path {self.path}"})
 

@@ -145,3 +145,31 @@ def test_host_top_k_boundary_tie_order_matches_lax():
         lv, li = jax.lax.top_k(jnp.asarray(s), k)
         np.testing.assert_array_equal(hi, np.asarray(li))
         np.testing.assert_allclose(hv, np.asarray(lv))
+
+
+def test_f64_host_path_keeps_master_precision(monkeypatch):
+    """f64 corpora rank on the host at FULL f64 precision (ADVICE r2): the
+    NumPy reference scores f64 masters in f64, and a f32 downcast loses
+    low-order score bits. Compare against an independent f64 computation."""
+    monkeypatch.setattr(CONFIG, "host_path_max_cells", 1 << 30)
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(32).astype(np.float64)
+    # corpus rows whose scores differ only below f32 resolution: a f32
+    # master downcast would collapse them to identical scores
+    v = np.stack([base, base * (1.0 + 1e-12) + 1e-13, -base])
+    docs = [{"i": i} for i in range(3)]
+    db = HyperDB(documents=docs, vectors=v, fp_precision="float64")
+    hv = db._store.host_view()
+    assert hv["rows"].dtype == np.float64
+    assert hv["rows_norm"].dtype == np.float64
+
+    res = db.query(base, top_k=3, metric="dot_product")
+    scores = np.array([r[1] for r in res])
+    # queries are canonicalized to f32 at the engine boundary (cache keys,
+    # device-path parity) — the contract here is that the CORPUS keeps its
+    # f64 bits: scores must match a f64 reference computed with the same
+    # f32-rounded query, bit-tight, and preserve the sub-f32 row ordering.
+    q32 = base.astype(np.float32).astype(np.float64)
+    expected = np.sort(v @ q32)[::-1]
+    np.testing.assert_allclose(scores, expected, rtol=1e-12)
+    assert [r[2] for r in res] == [1, 0, 2]  # row 1 wins only in f64

@@ -257,3 +257,29 @@ def test_dynamic_batching_error_propagates(batched_server, served):
     # server still healthy
     status, _ = _get(batched_server["base"], "/healthz")
     assert status == 200
+
+
+def test_null_top_k_returns_400(served):
+    """JSON-valid but mistyped payloads ({"top_k": null} -> int(None)
+    TypeError) must produce a 400, not a dropped connection (ADVICE r2)."""
+    status, body = _post(
+        served["base"], "/query", {"vector": [0.0] * 16, "top_k": None}
+    )
+    assert status == 400
+    status, _ = _get(served["base"], "/stats")
+    assert status == 200  # handler thread survived
+
+
+def test_batcher_submit_after_close_serves_directly(served):
+    """A submit() racing past close() must not hang forever on an event
+    nobody will set (ADVICE r2): it falls back to a direct query."""
+    from hyperdb_tpu.server import _DynamicBatcher
+
+    db = served["db"]
+    lock = threading.Lock()
+    batcher = _DynamicBatcher(db, lock, max_batch=64, window_ms=2.0)
+    batcher.close()
+    v = served["vectors"][3]
+    result = batcher.submit(v, 4, "cosine_similarity", None, 0, None)
+    expected = db.query_batch(v[None, :], top_k=4, metric="cosine_similarity")[0]
+    assert [r[2] for r in result] == [r[2] for r in expected]
