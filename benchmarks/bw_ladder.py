@@ -1,0 +1,306 @@
+"""Bandwidth/FLOP probe ladder: find (or bound) the missing 4x (VERDICT r3 #1).
+
+Round 2 declared the 1M x 384 bf16 scan "bandwidth-bound at the floor" using
+a corpus-read probe that itself measured 226 GB/s on a chip whose spec HBM
+bandwidth is ~819 GB/s, with the scan at ~27% MFU. Either the platform
+genuinely caps streaming ~4x below spec, or the probe was VPU/layout-bound
+and real headroom exists. This ladder isolates the axes:
+
+  peak_matmul   8k-cube bf16 matmul — MXU ceiling sanity (is the CHIP slow,
+                or just our memory path?). v5e spec: 197 bf16 TFLOP/s.
+  reduce_*      XLA reductions over the 0.81 GB corpus at varying compute
+                intensity: scalar sum of squares (round-2 probe), column
+                sum (pure read + VPU add), 64-row-block max.
+  matmul_read   the actual scoring shapes: (B,384)x(384,N) for B in
+                {8, 256} — at B=8 the matmul is pure memory (0.8 GB read,
+                6.4 GFLOP); any gap vs B=256 is compute, not bytes.
+  pallas_stream pl.pallas_call grid-pipelined tile reduce (auto double
+                buffering) at several tile heights — Mosaic's DMA streaming
+                vs XLA's fusion-driven access.
+  pallas_dma    manual async_copy double-buffer loop, compute-free
+                (has_side_effects) — the purest DMA bandwidth statement
+                this platform lets us make.
+  dtype ladder  the same byte count as int8 / bf16 / f32 — GB/s should be
+                dtype-flat if DMA-bound.
+
+Each probe prints its own line immediately and appends to results.jsonl, so
+a wedged Pallas compile (known platform failure mode) loses only the
+remaining probes. Select probes by name: python benchmarks/bw_ladder.py
+[peak_matmul reduce ...]; default runs everything.
+
+Timing: chained-dependency loop (block_until_ready does not block over the
+axon tunnel — BASELINE.md measurement notes), best-of-3 trials.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks._chiplock import claim_chip  # noqa: E402
+
+claim_chip()
+
+import numpy as np  # noqa: E402
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
+
+N_PAD, D = 1 << 20, 384  # the headline padded corpus: 0.81 GB in bf16
+CORPUS_BYTES = N_PAD * D * 2
+
+
+def emit(record: dict) -> None:
+    record["bench"] = "bw_ladder"
+    record["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    print(json.dumps(record), flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def timed(fn, q, rows, iters=20, trials=3):
+    """Chained-dependency wall time per call (see decompose_grouped.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = fn(q, rows)
+    jax.tree_util.tree_map(np.asarray, out)  # compile + settle
+    best = float("inf")
+    for _ in range(trials):
+        acc = jnp.zeros((), jnp.bfloat16)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(q + acc * 0, rows)
+            leaf = out[0] if isinstance(out, (tuple, list)) else out
+            acc = leaf.reshape(-1)[0].astype(jnp.bfloat16)
+        float(acc)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def probe_peak_matmul():
+    import jax
+    import jax.numpy as jnp
+
+    m = 8192
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, m), dtype=np.float32), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((m, m), dtype=np.float32), jnp.bfloat16)
+
+    @jax.jit
+    def mm(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    sec = timed(mm, a, b, iters=10)
+    tflops = 2 * m**3 / sec / 1e12
+    emit({"probe": "peak_matmul_bf16_8192", "ms": round(sec * 1e3, 3),
+          "tflops": round(tflops, 1)})
+
+
+def _corpus(dtype: str):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if dtype == "int8":
+        # same BYTE count as the bf16 corpus: (N_PAD, 2*D) int8
+        host = rng.integers(-127, 128, size=(N_PAD, 2 * D), dtype=np.int8)
+        return jnp.asarray(host)
+    if dtype == "float32":
+        host = rng.standard_normal((N_PAD // 2, D), dtype=np.float32)
+        return jnp.asarray(host)
+    host = rng.standard_normal((N_PAD, D), dtype=np.float32)
+    return jnp.asarray(host, dtype=jnp.bfloat16)
+
+
+def probe_reduce(dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    rows = _corpus(dtype)
+    q = jnp.zeros((8, 128), jnp.bfloat16)
+
+    @jax.jit
+    def sq_sum(qq, rr):  # round-2 "touch" probe shape
+        r32 = rr.astype(jnp.float32)
+        return (jnp.sum(r32 * r32) + qq[0, 0].astype(jnp.float32))[None]
+
+    @jax.jit
+    def col_sum(qq, rr):  # pure read + per-lane VPU add, tiny output
+        return jnp.sum(rr.astype(jnp.float32), axis=0) + qq[0, 0].astype(jnp.float32)
+
+    @jax.jit
+    def block_max(qq, rr):  # read + 64-row block max (no multiply at all)
+        r3 = rr.reshape(rr.shape[0] // 64, 64, rr.shape[1])
+        return jnp.max(r3, axis=1).max(axis=0) + qq[0, 0].astype(rr.dtype)
+
+    nbytes = rows.size * rows.dtype.itemsize
+    for name, fn in [("sq_sum", sq_sum), ("col_sum", col_sum),
+                     ("block_max", block_max)]:
+        sec = timed(fn, q, rows)
+        emit({"probe": f"reduce_{name}_{dtype}", "ms": round(sec * 1e3, 3),
+              "gbps": round(nbytes / sec / 1e9, 1)})
+
+
+def probe_matmul_read():
+    import jax
+    import jax.numpy as jnp
+
+    rows = _corpus("bfloat16")
+    rng = np.random.default_rng(1)
+    for b in (8, 256):
+        q = jnp.asarray(rng.standard_normal((b, D), dtype=np.float32),
+                        jnp.bfloat16)
+
+        @jax.jit
+        def score_max(qq, rr):
+            s = jax.lax.dot_general(
+                qq, rr, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (b, N)
+            return jnp.max(s, axis=-1)
+
+        sec = timed(score_max, q, rows)
+        emit({"probe": f"matmul_read_b{b}", "ms": round(sec * 1e3, 3),
+              "gbps": round(CORPUS_BYTES / sec / 1e9, 1),
+              "tflops": round(2 * b * D * N_PAD / sec / 1e12, 1)})
+
+
+def probe_pallas_stream():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = _corpus("bfloat16")
+
+    for blk in (2048, 4096, 8192):
+        grid = N_PAD // blk
+
+        def kernel(r_ref, o_ref):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                o_ref[:] = jnp.zeros_like(o_ref)
+
+            # cheapest possible consumption of the tile: running max over
+            # an 8-row stripe (VPU, no relayout, no multiply)
+            t = r_ref[:].reshape(blk // 8, 8, D)
+            o_ref[:] = jnp.maximum(o_ref[:], jnp.max(t, axis=0))
+
+        @jax.jit
+        def stream(qq, rr):
+            out = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=[pl.BlockSpec((blk, D), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((8, D), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((8, D), jnp.bfloat16),
+            )(rr)
+            return out[0, :1] + qq[0, :1]
+
+        q = jnp.zeros((8, 128), jnp.bfloat16)
+        try:
+            sec = timed(stream, q, rows)
+        except Exception as e:  # noqa: BLE001 — record and continue the ladder
+            emit({"probe": f"pallas_stream_blk{blk}", "error": str(e)[:200]})
+            continue
+        emit({"probe": f"pallas_stream_blk{blk}", "ms": round(sec * 1e3, 3),
+              "gbps": round(CORPUS_BYTES / sec / 1e9, 1)})
+
+
+def probe_pallas_dma():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = _corpus("bfloat16")
+
+    for blk in (4096, 8192):
+        n_chunks = N_PAD // blk
+
+        def kernel(r_hbm, o_ref):
+            def body(scratch, sems):
+                def get_dma(slot, idx):
+                    return pltpu.make_async_copy(
+                        r_hbm.at[pl.ds(idx * blk, blk), :],
+                        scratch.at[slot],
+                        sems.at[slot],
+                    )
+
+                get_dma(0, 0).start()
+
+                def loop(state):
+                    idx, _tok = state
+
+                    @pl.when(idx + 1 < n_chunks)
+                    def _():
+                        get_dma((idx + 1) % 2, idx + 1).start()
+
+                    get_dma(idx % 2, idx).wait()
+                    return idx + 1, _tok
+
+                def cond(state):
+                    return state[0] < n_chunks
+
+                jax.lax.while_loop(cond, loop, (0, 0))
+                # touch the last tile so the loop cannot be elided
+                o_ref[:] = scratch[(n_chunks - 1) % 2, :8, :]
+
+            pl.run_scoped(
+                body,
+                scratch=pltpu.VMEM((2, blk, D), jnp.bfloat16),
+                sems=pltpu.SemaphoreType.DMA((2,)),
+            )
+
+        @jax.jit
+        def dma_only(qq, rr):
+            out = pl.pallas_call(
+                kernel,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((8, D), jnp.bfloat16),
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            )(rr)
+            return out[0, :1] + qq[0, :1]
+
+        q = jnp.zeros((8, 128), jnp.bfloat16)
+        try:
+            sec = timed(dma_only, q, rows)
+        except Exception as e:  # noqa: BLE001
+            emit({"probe": f"pallas_dma_blk{blk}", "error": str(e)[:200]})
+            continue
+        emit({"probe": f"pallas_dma_blk{blk}", "ms": round(sec * 1e3, 3),
+              "gbps": round(CORPUS_BYTES / sec / 1e9, 1)})
+
+
+PROBES = {
+    "peak_matmul": probe_peak_matmul,
+    "reduce": lambda: probe_reduce("bfloat16"),
+    "reduce_int8": lambda: probe_reduce("int8"),
+    "reduce_f32": lambda: probe_reduce("float32"),
+    "matmul_read": probe_matmul_read,
+    "pallas_stream": probe_pallas_stream,
+    "pallas_dma": probe_pallas_dma,
+}
+
+
+def main(argv):
+    names = argv or list(PROBES)
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    for name in names:
+        print(f"--- {name}", flush=True)
+        PROBES[name]()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,163 @@
+"""On-TPU exactness + throughput regression gate (VERDICT r3 #4).
+
+The hermetic suite pins kernel exactness on CPU (interpret-mode Pallas,
+XLA CPU lowering); real-TPU equality evidence previously lived only in
+manually run benchmark scripts. This gate is the scripted version: one
+chip-lock-aware run that
+
+1. builds a 1M x 384 bf16 corpus on device,
+2. runs the production grouped exact top-k (ops/ranking.rank_top_k_grouped)
+   AND the Pallas gmax pipeline (ops/pallas_gmax.rank_top_k_grouped_pallas)
+   against XLA's native lax.top_k over the full (B, N) scores — asserting
+   INDEX EQUALITY row for row (the exactness contract, SURVEY §4.4),
+3. does the same for the int8-pure grouped scan vs a flat int8 reference
+   (same quantized scores, so equality is exact, not recall),
+4. records q/s for the production paths alongside the pass/fail verdict in
+   benchmarks/results.jsonl — giving on-device regressions a place to show
+   up between rounds.
+
+Exit code 0 = all gates passed. Run: python benchmarks/tpu_gate.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benchmarks._chiplock import claim_chip  # noqa: E402
+
+claim_chip()
+
+import numpy as np  # noqa: E402
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
+
+
+def emit(record: dict):
+    record["bench"] = "tpu_gate"
+    record["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    line = json.dumps(record)
+    print(line, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(line + "\n")
+
+
+def timed(fn, *args, iters=15, trials=3):
+    import jax
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    jax.tree_util.tree_map(np.asarray, out)
+    best = float("inf")
+    for _ in range(trials):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(args[0] + acc * 0, *args[1:])
+            leaf = out[0] if isinstance(out, (tuple, list)) else out
+            acc = leaf.reshape(-1)[0].astype(jnp.float32)
+        float(acc)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best, out
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_pallas
+    from hyperdb_tpu.ops.quantized import (
+        _quantize_device,
+        int8_scores,
+        quantize_rows,
+        rank_top_k_int8,
+    )
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+    print("devices:", jax.devices(), flush=True)
+    n, d, b, k = 1 << 20, 384, 256, 10
+    rng = np.random.default_rng(42)
+    host = rng.standard_normal((n, d), dtype=np.float32)
+    rows = jnp.asarray(host, dtype=jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32), jnp.bfloat16)
+    failures = []
+
+    # ---- native TopK reference (the oracle on this exact device math) ----
+    @jax.jit
+    def native(qq, rr):
+        s = jax.lax.dot_general(
+            qq, rr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.top_k(s, k)
+
+    print("compiling native reference...", flush=True)
+    _, (ref_vals, ref_idx) = timed(native, q, rows, iters=5, trials=1)
+    ref_idx = np.asarray(ref_idx)
+
+    # ---- production grouped exact top-k ----
+    @jax.jit
+    def grouped(qq, rr):
+        return rank_top_k_grouped(qq, rr, k=k, group=128)
+
+    print("compiling grouped...", flush=True)
+    sec, (g_vals, g_idx) = timed(grouped, q, rows)
+    eq = bool((np.asarray(g_idx) == ref_idx).all())
+    if not eq:
+        failures.append("grouped_vs_native")
+    emit({"gate": "grouped_bf16_1m_b256", "index_equal": eq,
+          "qps": round(b / sec), "ms": round(sec * 1e3, 2)})
+
+    # ---- Pallas gmax pipeline (forced past the routing heuristic) ----
+    @jax.jit
+    def pallas_path(qq, rr):
+        return rank_top_k_grouped_pallas(qq, rr, k=k)
+
+    print("compiling pallas gmax...", flush=True)
+    try:
+        sec, (p_vals, p_idx) = timed(pallas_path, q, rows)
+        eq = bool((np.asarray(p_idx) == ref_idx).all())
+        if not eq:
+            failures.append("pallas_vs_native")
+        emit({"gate": "pallas_gmax_bf16_1m_b256", "index_equal": eq,
+              "qps": round(b / sec), "ms": round(sec * 1e3, 2)})
+    except Exception as e:  # noqa: BLE001 — the gate must report, not die
+        failures.append("pallas_compile")
+        emit({"gate": "pallas_gmax_bf16_1m_b256", "error": str(e)[:200]})
+
+    # ---- int8-pure grouped scan vs flat int8 reference ----
+    v_i8_host, v_sc_host = quantize_rows(host)
+    v_i8 = jnp.asarray(v_i8_host)
+    v_sc = jnp.asarray(v_sc_host)
+    qf = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+
+    @jax.jit
+    def int8_flat(qq, vv, ss):
+        qi, qs = _quantize_device(qq.astype(jnp.float32))
+        s = int8_scores(qi, qs, vv, ss)
+        return jax.lax.top_k(s, k)
+
+    @jax.jit
+    def int8_grouped(qq, vv, ss):
+        return rank_top_k_int8(qq, vv, ss, k=k)
+
+    print("compiling int8 flat reference...", flush=True)
+    _, (fi_vals, fi_idx) = timed(int8_flat, qf, v_i8, v_sc, iters=5, trials=1)
+    print("compiling int8 grouped...", flush=True)
+    sec, (gi_vals, gi_idx) = timed(int8_grouped, qf, v_i8, v_sc)
+    eq = bool((np.asarray(gi_idx) == np.asarray(fi_idx)).all())
+    if not eq:
+        failures.append("int8_grouped_vs_flat")
+    emit({"gate": "int8_grouped_1m_b256", "index_equal": eq,
+          "qps": round(b / sec), "ms": round(sec * 1e3, 2)})
+
+    emit({"gate": "verdict", "failures": failures, "ok": not failures})
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

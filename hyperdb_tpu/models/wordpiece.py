@@ -177,10 +177,20 @@ class WordPieceTokenizer:
 
     def word_ids(self, word: str) -> list[int]:
         """Greedy longest-match-first split of one word into piece ids."""
+        return self.word_pieces(word)[0]
+
+    def word_pieces(self, word: str) -> tuple[list[int], list[tuple[int, int]]]:
+        """(piece ids, per-piece char spans within ``word``).
+
+        Spans let the subword chunker slice ORIGINAL text at exact token
+        boundaries (core/chunker.WordPieceChunkTokenizer) instead of
+        round-tripping through the lossy decode. An unsplittable word is a
+        single [UNK] spanning the whole word (BERT semantics)."""
         cached = self._word_cache.get(word)
         if cached is not None:
             return cached
         ids: list[int] = []
+        spans: list[tuple[int, int]] = []
         start = 0
         n = len(word)
         while start < n:
@@ -195,13 +205,16 @@ class WordPieceTokenizer:
                     break
                 end -= 1
             if piece_id is None:
-                ids = [self.unk_id]  # BERT: unsplittable word -> single [UNK]
+                # BERT: unsplittable word -> single [UNK]
+                ids, spans = [self.unk_id], [(0, n)]
                 break
             ids.append(piece_id)
+            spans.append((start, end))
             start = end
+        result = (ids, spans)
         if len(self._word_cache) < 1_000_000:
-            self._word_cache[word] = ids
-        return ids
+            self._word_cache[word] = result
+        return result
 
     # ASCII control chars Python's Unicode \s treats as whitespace but the
     # C++ is_space does not — texts containing them take the Python path so

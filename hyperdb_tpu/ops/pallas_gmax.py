@@ -45,13 +45,25 @@ GROUP = 128  # one VPU lane tile per group; stage-3 rescore depends on it
 
 _BLK_N_DEFAULT = 4096  # corpus rows per grid step (VMEM-sized, /128)
 
+# Query-tile height: batches above this split over a second grid dimension
+# (innermost, so each corpus block is fetched ONCE and query tiles revisit
+# it in VMEM — corpus HBM traffic stays one read regardless of batch).
+# Removes round 2's b<=1024 cap, where b=2048 at 10M x 768 int8 regressed
+# to the chunked XLA scan (BASELINE.md row 5, VERDICT r3 #3).
+_QBLK_MAX = 1024
+
+
+def _q_tile(b: int) -> int:
+    return b if b <= _QBLK_MAX else _QBLK_MAX
+
 
 def _block_rows(b: int, d: int, itemsize: int) -> int:
     """Largest corpus block (rows) keeping VMEM under ~12 MB: the corpus
-    tile is double-buffered by the pipeline and the (B, blk) f32 score tile
-    lives alongside it."""
+    tile is double-buffered by the pipeline and the (qblk, blk) f32 score
+    tile lives alongside it. ``b`` is the per-tile query height."""
+    qblk = _q_tile(b)
     blk = _BLK_N_DEFAULT
-    while blk > GROUP and (2 * blk * d * itemsize + 4 * b * blk) > 12 * (1 << 20):
+    while blk > GROUP and (2 * blk * d * itemsize + 4 * qblk * blk) > 12 * (1 << 20):
         blk //= 2
     return blk
 
@@ -110,17 +122,21 @@ def gmax_f(
 
     b, d = queries.shape
     n = vectors.shape[0]
+    qblk = _q_tile(b)
     blk = _block_rows(b, d, vectors.dtype.itemsize)
     grid = n // blk
+    # 2-D grid (corpus blocks, query tiles) with query tiles INNERMOST:
+    # the corpus block's index map ignores j, so Pallas keeps the fetched
+    # block resident across the j sweep — one corpus read total.
     out = pl.pallas_call(
         _gmax_kernel_f,
-        grid=(grid,),
+        grid=(grid, b // qblk),
         in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
-            pl.BlockSpec((blk, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, b, blk // GROUP), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, qblk, blk // GROUP), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
         interpret=interpret,
     )(queries, vectors, extra.reshape(1, n))
@@ -144,19 +160,21 @@ def gmax_int8(
 
     b, d = q_i8.shape
     n = v_i8.shape[0]
+    qblk = _q_tile(b)
     blk = _block_rows(b, d, 1)
     grid = n // blk
+    # query tiles innermost — corpus block fetched once (see gmax_f)
     out = pl.pallas_call(
         _gmax_kernel_int8,
-        grid=(grid,),
+        grid=(grid, b // qblk),
         in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0)),
-            pl.BlockSpec((b, 1), lambda i: (0, 0)),
-            pl.BlockSpec((blk, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, blk), lambda i: (0, i)),
-            pl.BlockSpec((1, blk), lambda i: (0, i)),
+            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((qblk, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
+            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, b, blk // GROUP), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, qblk, blk // GROUP), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
         interpret=interpret,
     )(
@@ -172,16 +190,15 @@ def gmax_int8(
 def supported(b: int, n: int, d: int) -> bool:
     """Shape gate: engine bucket padding guarantees these for big corpora.
 
-    Batch is capped at 1024: at b=2048 the kernel's working set exceeds the
-    16 MB scoped-VMEM stack even at the minimum block (measured compile
-    failure at 10M x 768 int8 — the _block_rows model undercounts Mosaic's
-    double buffering at that batch), and the chunked XLA scan serves those
-    shapes correctly.
+    Batches above ``_QBLK_MAX`` ride the query-tile grid dimension (each
+    tile's VMEM working set equals the b=1024 case that always compiled),
+    so the round-2 b<=1024 cap is gone; they only need to divide evenly
+    into tiles. Sub-tile batches must be sublane-aligned (b % 8).
     """
     blk = _block_rows(b, d, 1)
+    tiles_ok = (b % 8 == 0) if b <= _QBLK_MAX else (b % _QBLK_MAX == 0)
     return (
-        b % 8 == 0
-        and b <= 1024
+        tiles_ok
         and d % 128 == 0
         and n % blk == 0
         and n // GROUP >= 2

@@ -13,8 +13,18 @@ hit per doc in exact score order == the single-chip segment-max), and the
 fetch depth doubles until every query holds top_k unique documents or the
 whole corpus has been fetched (``chunk_slack`` only sets the initial
 overfetch). Recency (Q16/Q17) and the shared query LRU (C21) match the
-single-chip engine; key filters are the one unsupported feature (they
-replace document vectors per query — use HyperDB.query).
+single-chip engine. Key filters score a per-document override block built
+host-side exactly like the single-chip engine's, row-sharded over the same
+mesh (one override row per document, identity row->doc map).
+
+Serving lifecycle (round 3): the device shards are CAPACITY-PADDED and
+carry a live-row validity mask, so the serving plane absorbs mutations
+without a re-shard: ``add``/``add_documents`` write new rows into reserved
+capacity in place (donated dynamic_update_slice — no second corpus copy),
+``remove_document`` tombstones the victim's rows in the validity mask and
+renumbers the host-side row->doc map (device rows never move). Direct
+mutation of the wrapped db (bypassing these methods) still demands a
+rebuild — the fingerprint check guards row-id desynchronization.
 
 ``precision='int8-pure'`` serves per-row-quantized int8 shards (cosine/dot,
 ~0.98 recall@10): half the per-chip HBM of bf16, so twice the corpus per
@@ -34,6 +44,25 @@ from hyperdb_tpu.query import engine as _engine
 from hyperdb_tpu.query import filters as _filters
 
 
+def _dus_rows_impl(buf, block, offset):
+    """In-place row-block write into a sharded (n_pad, d) buffer."""
+    return jax.lax.dynamic_update_slice(
+        buf, jnp.asarray(block, dtype=buf.dtype), (offset, jnp.int32(0))
+    )
+
+
+def _dus_vec_impl(buf, block, offset):
+    return jax.lax.dynamic_update_slice(
+        buf, jnp.asarray(block, dtype=buf.dtype), (offset,)
+    )
+
+
+# donation frees the old corpus buffer as the update lands — mutation never
+# holds two copies of a multi-GB shard set
+_dus_rows = jax.jit(_dus_rows_impl, donate_argnums=(0,))
+_dus_vec = jax.jit(_dus_vec_impl, donate_argnums=(0,))
+
+
 class ShardedHyperDB:
     def __init__(
         self,
@@ -44,6 +73,7 @@ class ShardedHyperDB:
         device_rows: jax.Array | None = None,
         num_rows: int | None = None,
         precision: str = "auto",
+        capacity_rows: int | None = None,
     ):
         """``device_rows`` injects an already-sharded (n_pad, d) matrix (the
         from_checkpoint path, where the corpus never exists host-side);
@@ -52,7 +82,10 @@ class ShardedHyperDB:
 
         ``precision='int8-pure'`` serves per-row-quantized int8 shards
         (cosine/dot only, ~0.98 recall@10 — ops/quantized semantics): half
-        the per-chip HBM of bf16, i.e. 2x corpus capacity per mesh."""
+        the per-chip HBM of bf16, i.e. 2x corpus capacity per mesh.
+
+        ``capacity_rows`` reserves device capacity beyond the current corpus
+        so later :meth:`add` calls write in place instead of re-sharding."""
         if precision not in ("auto", "int8-pure"):
             raise ValueError("precision must be 'auto' or 'int8-pure'.")
         self.db = db
@@ -82,7 +115,8 @@ class ShardedHyperDB:
             n, d = db.vectors.shape
             self.d = int(d)
             n_shards = mesh.shape[axis]
-            per_shard = -(-n // n_shards)
+            target = max(n, int(capacity_rows or 0))
+            per_shard = -(-target // n_shards)
             per_shard = -(-per_shard // 128) * 128  # grouped-topk tile alignment
             self.n = n
             self.n_pad = per_shard * n_shards
@@ -119,12 +153,18 @@ class ShardedHyperDB:
             db.source_indices, dtype=np.int64
         )
         self._mask_sharding = NamedSharding(mesh, P(axis))
+        self._rows_sharding = NamedSharding(mesh, P(axis, None))
+        # Live-row validity (row_valid): tombstoned and not-yet-filled
+        # capacity rows are False — every query masks through it.
         self._base_valid = np.zeros(self.n_pad, dtype=bool)
         self._base_valid[: self.n] = True
-        # Device shards snapshot the corpus at construction; a mutation of
-        # the wrapped db would silently desynchronize row ids, so queries
-        # check this fingerprint and demand a rebuild instead.
+        # Device shards snapshot the corpus at construction; a DIRECT
+        # mutation of the wrapped db (bypassing this class's add/remove)
+        # would silently desynchronize row ids, so queries check this
+        # fingerprint and demand a rebuild instead.
         self._built_state = (len(db.documents), len(db.source_indices))
+        # per-override-shape cache of sharded key-filter programs' padding
+        self._override_pad_cache: dict = {}
 
     def _quantize_device_shards(self, f32, f32_norm):
         """Quantize already-sharded device rows shard-locally (per-row
@@ -168,11 +208,116 @@ class ShardedHyperDB:
             device_rows=rows, num_rows=n, precision=precision,
         )
 
-    def _row_mask(self, filters) -> np.ndarray:
-        """Host-side filter evaluation -> sharded row validity mask."""
+    # ------------------------------------------------------------------
+    # incremental serving lifecycle (VERDICT r3 #7)
+    # ------------------------------------------------------------------
+
+    def _check_fingerprint(self):
+        if (
+            len(self.db.documents),
+            len(self.db.source_indices),
+        ) != self._built_state:
+            raise RuntimeError(
+                "The wrapped HyperDB was mutated after sharding; the device "
+                "shards hold the construction-time corpus. Mutate through "
+                "ShardedHyperDB.add/remove_document (in-place), or build a "
+                "fresh ShardedHyperDB to serve the new state."
+            )
+
+    def _write_rows(self, new_f32: np.ndarray, offset: int) -> None:
+        """Write (m, d) f32 host rows into the device shards at ``offset``,
+        in place (donated buffers — no second corpus allocation). Blocks are
+        zero-padded up to a 128-row bucket to bound program shapes; the pad
+        rows land in not-yet-valid capacity and stay masked."""
+        m, d = new_f32.shape
+        m_pad = min(-(-m // 128) * 128, self.n_pad - offset)
+        block = np.zeros((m_pad, d), dtype=np.float32)
+        block[:m] = new_f32
+        norms = np.linalg.norm(block[:m], axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        block_norm = np.zeros_like(block)
+        block_norm[:m] = block[:m] / norms
+        off = jnp.asarray(offset, dtype=jnp.int32)
+        if self.precision == "int8-pure":
+            from hyperdb_tpu.ops.quantized import quantize_rows
+
+            q_raw, s_raw = quantize_rows(block)
+            q_norm, s_norm = quantize_rows(block_norm)
+            self.rows_q = _dus_rows(self.rows_q, q_raw, off)
+            self.row_scales = _dus_vec(self.row_scales, s_raw, off)
+            self.rowsn_q = _dus_rows(self.rowsn_q, q_norm, off)
+            self.rown_scales = _dus_vec(self.rown_scales, s_norm, off)
+        else:
+            self.rows = _dus_rows(self.rows, block, off)
+            self.rows_norm = _dus_rows(self.rows_norm, block_norm, off)
+
+    @property
+    def capacity_remaining(self) -> int:
+        return self.n_pad - self.n
+
+    def add(self, documents, vectors=None, add_timestamp=False) -> None:
+        """Append documents to the wrapped db AND the device shards in
+        place. Raises before mutating anything when the reserved capacity
+        (``capacity_rows``) cannot hold the new chunk rows."""
+        self._check_fingerprint()
+        db = self.db
+        prev_rows = len(db.source_indices)
+        db.add(documents, vectors=vectors, add_timestamp=add_timestamp)
+        new_rows = np.asarray(
+            db.vectors[prev_rows:], dtype=np.float32
+        )
+        m = new_rows.shape[0]
+        if m:
+            if self.n + m > self.n_pad:
+                # roll the host db back so host and device stay in sync
+                db.remove_document(
+                    list(range(self._built_state[0], len(db.documents)))
+                )
+                raise RuntimeError(
+                    f"Shard capacity exhausted ({self.n}+{m} > {self.n_pad} "
+                    "rows): rebuild with a larger capacity_rows."
+                )
+            self._write_rows(new_rows, self.n)
+            self.row_docs[self.n : self.n + m] = np.asarray(
+                db.source_indices[prev_rows:], dtype=np.int64
+            )
+            self._base_valid[self.n : self.n + m] = True
+            self.n += m
+        self._built_state = (len(db.documents), len(db.source_indices))
+
+    def add_documents(self, documents, vectors=None, add_timestamp=False):
+        return self.add(documents, vectors=vectors, add_timestamp=add_timestamp)
+
+    def remove_document(self, indices) -> None:
+        """Tombstone: victims' rows flip to invalid in the row-validity
+        mask (device vectors never move); surviving row->doc ids renumber
+        exactly like HyperDB.remove_document renumbers the host state."""
+        self._check_fingerprint()
+        if isinstance(indices, int):
+            indices = [indices]
+        removed = sorted(set(int(i) for i in indices))
+        removed_arr = np.asarray(removed, dtype=np.int64)
+        rd = self.row_docs[: self.n]
+        victims = np.isin(rd, removed_arr)
+        self._base_valid[: self.n] &= ~victims
+        # doc id x shifts down by the number of removed ids below it
+        # (victim rows get a garbage id but are invalid forever)
+        self.row_docs[: self.n] = rd - np.searchsorted(removed_arr, rd, side="left")
+        self.db.remove_document(removed)
+        self._built_state = (
+            len(self.db.documents),
+            len(self.db.source_indices),
+        )
+
+    def _row_mask(self, filters):
+        """Host-side filter evaluation -> (sharded row validity mask,
+        per-document override block or None). A key filter's override
+        replaces corpus vectors for scoring (C15) — the sharded path scores
+        it as its own row-sharded block (see query_batch)."""
         db = self.db
         num_docs = len(db.documents)
         mask = np.ones(num_docs, dtype=bool)
+        override = None
         if filters:
             for name, params in filters:
                 if name not in _filters.FILTER_NAMES:
@@ -181,15 +326,10 @@ class ShardedHyperDB:
                     mask &= _filters.skip_doc_mask(num_docs, params)
                     break  # reference applies only the FIRST skip_doc (Q18)
             doc_mask, override = _filters.apply_filters(db, filters, mask)
-            if override is not None:
-                raise ValueError(
-                    "key filters replace document vectors and are not "
-                    "supported on the sharded path; use HyperDB.query."
-                )
             mask = doc_mask
         rows = self._base_valid.copy()
         rows[: self.n] &= mask[self.row_docs[: self.n]]
-        return rows
+        return rows, (mask, override)
 
     def query(
         self,
@@ -233,12 +373,7 @@ class ShardedHyperDB:
         timestamp_key=None,
     ):
         db = self.db
-        if (len(db.documents), len(db.source_indices)) != self._built_state:
-            raise RuntimeError(
-                "The wrapped HyperDB was mutated after sharding; the device "
-                "shards hold the construction-time corpus. Build a fresh "
-                "ShardedHyperDB to serve the new state."
-            )
+        self._check_fingerprint()
         if isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
             q = query_inputs.astype(np.float32)
         else:
@@ -255,7 +390,12 @@ class ShardedHyperDB:
                 f"({self.d})."
             )
 
-        row_mask = self._row_mask(filters)
+        row_mask, (doc_mask, override) = self._row_mask(filters)
+        if override is not None:
+            return self._query_override(
+                q, doc_mask, override, top_k, metric,
+                return_similarities, recency_bias, timestamp_key,
+            )
         if not row_mask[: self.n].any():
             # filters emptied the corpus: the single-chip engine returns
             # empty result lists (Q13/Q20) — and the recency term below
@@ -396,3 +536,60 @@ class ShardedHyperDB:
             if not need_refill:
                 return results
             k_fetch = min(k_fetch * 2, self.n_pad)
+
+    def _query_override(
+        self, q, doc_mask, override, top_k, metric,
+        return_similarities, recency_bias, timestamp_key,
+    ):
+        """Key-filter scoring (C15) on the mesh: the per-document override
+        block replaces corpus vectors, so score it as its OWN row-sharded
+        matrix — one row per document, identity row->doc map, no chunk
+        dedup or refill. Semantics match the single-chip engine's override
+        path (same masks, same metric handling, recency added doc-level)."""
+        db = self.db
+        if not doc_mask.any():
+            return [[] for _ in range(q.shape[0])]
+        num_docs = len(db.documents)
+        n_shards = self.mesh.shape[self.axis]
+        per_shard = -(-num_docs // n_shards)
+        per_shard = -(-per_shard // 128) * 128
+        n_pad = per_shard * n_shards
+
+        host = np.zeros((n_pad, override.shape[1]), dtype=np.float32)
+        host[:num_docs] = np.asarray(override, dtype=np.float32)
+        valid = np.zeros(n_pad, dtype=bool)
+        valid[:num_docs] = doc_mask
+        rows_dev = jax.device_put(host, self._rows_sharding)
+        mask_dev = jax.device_put(valid, self._mask_sharding)
+
+        recency_rows = None
+        if recency_bias != 0:
+            dense = _engine.handle_timestamps(
+                db, recency_bias, timestamp_key, np.flatnonzero(doc_mask)
+            )
+            rec = np.zeros(n_pad, dtype=np.float32)
+            rec[:num_docs] = dense
+            recency_rows = jax.device_put(rec, self._mask_sharding)
+
+        k = min(top_k, int(doc_mask.sum()))
+        vals, idx = sharded_rank_top_k(
+            self.mesh, jnp.asarray(q), rows_dev, mask_dev,
+            k=min(k, n_pad), metric=metric, recency=recency_rows,
+            axis=self.axis,
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        results = []
+        for b in range(q.shape[0]):
+            row = []
+            for doc_id, score in zip(idx[b], vals[b]):
+                if doc_id >= num_docs or not np.isfinite(score):
+                    continue
+                if len(row) >= top_k:
+                    break
+                document = db.documents[int(doc_id)]
+                if return_similarities:
+                    row.append((document, float(score), int(doc_id)))
+                else:
+                    row.append(document)
+            results.append(row)
+        return results

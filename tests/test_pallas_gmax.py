@@ -151,3 +151,45 @@ def test_wrappers_fall_back_on_out_of_contract_shapes():
     # score-level agreement is enough (quantized ties); shape must be full k
     assert np.asarray(idx8).shape == (8, k)
     assert np.isfinite(np.asarray(vals8)).all()
+
+
+def test_gmax_query_tiled_grid(monkeypatch):
+    """Batches above _QBLK_MAX split over the inner query-tile grid
+    dimension (VERDICT r3 #3 — removes the b<=1024 cap). Shrink the tile
+    height so the multi-tile path runs hermetically."""
+    from hyperdb_tpu.ops import pallas_gmax as pg
+
+    monkeypatch.setattr(pg, "_QBLK_MAX", 16)
+    rng = np.random.default_rng(5)
+    b, n, d = 64, 8192, 128  # 4 query tiles x 2 corpus blocks
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.9
+    extra = make_extra(n, jnp.asarray(mask))
+    assert pg.supported(b, n, d)
+    got = np.asarray(
+        pg.gmax_f(jnp.asarray(q), jnp.asarray(v), extra, interpret=True)
+    )
+    s = q @ v.T + np.asarray(extra)[None, :]
+    np.testing.assert_allclose(got, _ref_gmax(s), rtol=1e-5, atol=1e-5)
+
+    # int8 variant through the same tiled grid
+    v_i8, v_sc = quantize_rows(v)
+    q_i8, q_sc = _quantize_device(jnp.asarray(q))
+    got8 = np.asarray(
+        pg.gmax_int8(q_i8, q_sc, jnp.asarray(v_i8), jnp.asarray(v_sc),
+                     extra, interpret=True)
+    )
+    s8 = (
+        np.asarray(q_i8, np.float32) @ np.asarray(v_i8, np.float32).T
+        * (np.asarray(q_sc)[:, None] * np.asarray(v_sc)[None, :])
+        + np.asarray(extra)[None, :]
+    )
+    np.testing.assert_allclose(got8, _ref_gmax(s8), rtol=1e-4, atol=1e-4)
+
+
+def test_supported_tiled_batches():
+    """b=2048 is in contract when divisible into full query tiles."""
+    assert supported(2048, 1 << 20, 768)
+    assert supported(1024, 1 << 20, 768)
+    assert not supported(1536, 1 << 20, 768)  # not a multiple of 1024

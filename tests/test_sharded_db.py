@@ -309,3 +309,148 @@ def test_query_dim_mismatch_raises(mesh):
     sdb = ShardedHyperDB(base, mesh)
     with pytest.raises(ValueError, match="dimension of the query vectors"):
         sdb.query_batch(rng.standard_normal((2, 12)).astype(np.float32), top_k=3)
+
+
+# ---------------------------------------------------------------------------
+# round 3: incremental serving lifecycle + key filters (VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_add_matches_rebuild(mesh):
+    """add() writes into reserved capacity in place; results match a fresh
+    ShardedHyperDB built over the mutated corpus (the oracle)."""
+    rng = np.random.default_rng(10)
+    v = rng.standard_normal((100, 16)).astype(np.float32)
+    docs = [{"i": int(i)} for i in range(100)]
+    db = HyperDB(documents=docs, vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=4096)
+    assert sdb.capacity_remaining >= 3996
+
+    new_docs = [{"i": 100 + j} for j in range(7)]
+    new_vecs = rng.standard_normal((7, 16)).astype(np.float32)
+    sdb.add(new_docs, vectors=new_vecs)
+    assert sdb.n == 107 and len(db.documents) == 107
+
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    fresh = ShardedHyperDB(db, mesh)
+    got = sdb.query_batch(q, top_k=6)
+    want = fresh.query_batch(q, top_k=6)
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+        for (_, gs, _), (_, ws, _) in zip(g, w):
+            assert gs == pytest.approx(ws, rel=1e-4)
+
+
+def test_incremental_remove_tombstones(mesh):
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=2048)
+    sdb.remove_document([3, 10, 60])
+    assert len(db.documents) == 61
+
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    fresh = ShardedHyperDB(db, mesh)
+    got = sdb.query_batch(q, top_k=8)
+    want = fresh.query_batch(q, top_k=8)
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+    # removed docs never surface
+    flat = [doc["i"] for row in got for doc, *_ in row]
+    assert not ({3, 10, 60} & set(flat))
+
+
+def test_incremental_mixed_lifecycle_chunked(mesh):
+    """adds and removes interleaved over a CHUNKED corpus stay exact."""
+    db = HyperDB()
+    db.add([{"text": "word " * 700, "i": 0}, {"text": "alpha beta", "i": 1}])
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=4096)
+    sdb.add([{"text": "word " * 600, "i": 2}])  # 2 chunks
+    sdb.remove_document(0)
+    sdb.add([{"text": "gamma delta", "i": 3}])
+
+    rng = np.random.default_rng(12)
+    q = rng.standard_normal((2, db.dim)).astype(np.float32)
+    fresh = ShardedHyperDB(db, mesh)
+    got = sdb.query_batch(q, top_k=3)
+    want = fresh.query_batch(q, top_k=3)
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+        assert [doc["i"] for doc, *_ in g] == [doc["i"] for doc, *_ in w]
+
+
+def test_capacity_exhaustion_raises_and_rolls_back(mesh):
+    rng = np.random.default_rng(13)
+    v = rng.standard_normal((128, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(128)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh)  # no reserved capacity beyond padding
+    too_many = sdb.capacity_remaining + 1
+    with pytest.raises(RuntimeError, match="capacity"):
+        sdb.add(
+            [{"i": 1000 + j} for j in range(too_many)],
+            vectors=rng.standard_normal((too_many, 16)).astype(np.float32),
+        )
+    # host db rolled back; serving still consistent
+    assert len(db.documents) == 128
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    assert len(sdb.query_batch(q, top_k=5)[0]) == 5
+
+
+def test_direct_db_mutation_still_requires_rebuild(mesh, db):
+    sdb = ShardedHyperDB(db, mesh)
+    db.add({"i": 999, "parity": "odd", "text": "x"},
+           vectors=np.zeros((1, 16), dtype=np.float32))
+    with pytest.raises(RuntimeError, match="mutated"):
+        sdb.query_batch(np.zeros((1, 16), dtype=np.float32), top_k=1)
+
+
+def test_key_filter_on_sharded_path(mesh):
+    """Key filters now ride the mesh: the per-doc override block is scored
+    row-sharded; oracle = the single-chip engine's key-filter path."""
+    rng = np.random.default_rng(14)
+    docs = [
+        {"name": f"thing {i}", "desc": f"describes item {i} in words", "i": i}
+        for i in range(40)
+    ]
+    v = rng.standard_normal((40, 32)).astype(np.float32)
+
+    def fake_embed(texts):
+        out = np.zeros((len(texts), 32), dtype=np.float32)
+        for j, t in enumerate(texts):
+            for w in str(t).split():
+                out[j, hash(w) % 32] += 1.0
+        return out
+
+    db = HyperDB(documents=docs, vectors=v, embedding_function=fake_embed,
+                 metadata_keys=["i"])
+    sdb = ShardedHyperDB(db, mesh)
+    q = fake_embed(["describes item 7"])
+    for filters in (
+        [("key", "desc")],
+        [("key", ["name", "desc"]), ("metadata", {"i": 7})],
+    ):
+        got = sdb.query_batch(q, top_k=5, filters=filters)[0]
+        want = db.query_batch(q, top_k=5, filters=filters)[0]
+        assert [r[2] for r in got] == [r[2] for r in want]
+        for (_, gs, _), (_, ws, _) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-4)
+
+
+def test_key_filter_single_query_cache(mesh):
+    rng = np.random.default_rng(15)
+    docs = [{"name": f"n{i}"} for i in range(16)]
+    v = rng.standard_normal((16, 8)).astype(np.float32)
+
+    def fake_embed(texts):
+        out = np.zeros((len(texts), 8), dtype=np.float32)
+        for j, t in enumerate(texts):
+            out[j, len(str(t)) % 8] = 1.0
+        return out
+
+    db = HyperDB(documents=docs, vectors=v, embedding_function=fake_embed)
+    sdb = ShardedHyperDB(db, mesh)
+    q = np.ones(8, dtype=np.float32)
+    r1 = sdb.query(q, top_k=3, filters=[("key", "name")])
+    r2 = sdb.query(q, top_k=3, filters=[("key", "name")])
+    assert [r[2] for r in r1] == [r[2] for r in r2]
+    assert db.cache_hits >= 1
