@@ -280,8 +280,33 @@ def probe_pallas_dma():
               "gbps": round(CORPUS_BYTES / sec / 1e9, 1)})
 
 
+def probe_size_sweep():
+    """Same reduce at 0.4 / 0.8 / 1.6 / 3.2 GB: a fixed per-dispatch
+    overhead shows as GB/s rising with size; a hard cap shows flat."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    for n in (N_PAD // 2, N_PAD, 2 * N_PAD, 4 * N_PAD):
+        host = rng.standard_normal((n, D), dtype=np.float32)
+        rows = jnp.asarray(host, dtype=jnp.bfloat16)
+        del host
+        q = jnp.zeros((8, 128), jnp.bfloat16)
+
+        @jax.jit
+        def sq_sum(qq, rr):
+            r32 = rr.astype(jnp.float32)
+            return (jnp.sum(r32 * r32) + qq[0, 0].astype(jnp.float32))[None]
+
+        nbytes = rows.size * 2
+        sec = timed(sq_sum, q, rows)
+        emit({"probe": f"size_sweep_{nbytes >> 20}MB", "ms": round(sec * 1e3, 3),
+              "gbps": round(nbytes / sec / 1e9, 1)})
+
+
 PROBES = {
     "peak_matmul": probe_peak_matmul,
+    "size_sweep": probe_size_sweep,
     "reduce": lambda: probe_reduce("bfloat16"),
     "reduce_int8": lambda: probe_reduce("int8"),
     "reduce_f32": lambda: probe_reduce("float32"),

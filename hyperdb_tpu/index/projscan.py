@@ -1,0 +1,241 @@
+"""Two-stage reduced-rank scan: the TPU-native sub-linear-bytes index.
+
+VERDICT r3 #6 asked for a ScaNN-style design that beats the exact scan at
+some measured scale, now that classic IVF gather is measured out on this
+hardware (BASELINE.md: a 5%-of-N scattered gather never beats the
+contiguous MXU scan, and benchmarks/bw_ladder.py proves the platform caps
+HBM streaming at ~230-310 GB/s regardless of access mechanism). At the
+bandwidth cap, the only lever left is BYTES PER QUERY BATCH — and the
+TPU-shaped way to cut bytes is not LUT gathers (PQ's per-code table lookups
+are scatter-shaped, the exact thing this chip hates) but a LOWER-RANK
+contiguous scan:
+
+  stage A  scan the corpus projected to d' << d dims (int8): a plain
+           (B, d') x (d', N) MXU matmul over an 8-12x smaller matrix,
+           grouped exact top-overfetch selection (ops/quantized) — all
+           contiguous, all at the bandwidth cap.
+  stage B  gather the overfetch winners' FULL int8 rows ((B, c, d) — a few
+           hundred MB, the gather regime that measured near-bandwidth in
+           decompose_int8_rescore) and rescore exactly; final top-k.
+
+The projection is data-adaptive: top-d' PCA directions estimated from a
+row sample (covariance on device, eigendecomposition host-side — d x d is
+tiny). For real embedding corpora (effective rank << d) stage A preserves
+ranking well; for isotropic Gaussian data it degrades like sqrt(d'/d) —
+the honest benchmark (benchmarks/bench_projscan.py) measures both regimes
+and records the crossover.
+
+Replaces the Annoy role (/root/reference/hyperdb/hyperdb.py:198-220) at
+scales where the exact scan's corpus read dominates; like every index
+here, results degrade to the exact scan out of contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hyperdb_tpu.ops.quantized import (
+    _quantize_device,
+    quantize_rows,
+    rank_top_k_int8,
+)
+
+NEG_INF = float("-inf")
+
+
+def fit_projection(
+    sample_rows: np.ndarray, d_prime: int, seed: int = 0
+) -> np.ndarray:
+    """(d, d') PCA projection from a host row sample (d x d covariance on
+    the sample; eigh host-side — d is hundreds, the decomposition is free).
+
+    Ties/degenerate spectra fall back to orthonormalized Gaussian columns
+    so the projection is always full rank."""
+    x = np.asarray(sample_rows, dtype=np.float32)
+    d = x.shape[1]
+    d_prime = min(d_prime, d)
+    cov = (x.T @ x) / max(1, x.shape[0])
+    try:
+        w, v = np.linalg.eigh(cov)  # ascending
+        p = v[:, ::-1][:, :d_prime]
+    except np.linalg.LinAlgError:
+        rng = np.random.default_rng(seed)
+        p, _ = np.linalg.qr(rng.standard_normal((d, d_prime)))
+    return np.ascontiguousarray(p, dtype=np.float32)
+
+
+@jax.jit
+def _project_chunk(rows_f32: jax.Array, proj: jax.Array) -> jax.Array:
+    return jnp.dot(rows_f32, proj, preferred_element_type=jnp.float32)
+
+
+class ProjScanIndex:
+    """Reduced-rank int8 stage-A corpus + exact int8 stage-B rescore.
+
+    Device state:
+      p_dev     (d, d') f32 projection
+      a_i8      (n_pad, d') int8 projected corpus (row-quantized)
+      a_scales  (n_pad,) f32
+    Stage-B full rows are NOT duplicated here — the caller passes its
+    existing int8 (or float) corpus plane to :meth:`search`.
+    """
+
+    is_ann = True
+    kind = "projscan"
+
+    def __init__(self, proj: np.ndarray, a_i8, a_scales, num_rows: int):
+        self.proj = np.asarray(proj, dtype=np.float32)
+        self.p_dev = jnp.asarray(self.proj)
+        self.a_i8 = a_i8
+        self.a_scales = a_scales
+        self.num_rows = int(num_rows)
+        self.d = int(self.proj.shape[0])
+        self.d_prime = int(self.proj.shape[1])
+
+    # ------------------------------------------------------------ build
+
+    @classmethod
+    def build_from_device_rows(
+        cls,
+        rows_dev,
+        num_rows: int,
+        d_prime: int = 96,
+        sample: int = 1 << 17,
+        chunk: int = 1 << 20,
+        seed: int = 0,
+    ) -> "ProjScanIndex":
+        """Build from an (n_pad, d) device corpus (any float dtype or a
+        (v_i8, v_scales) tuple) without materializing it on host: a strided
+        row sample fits the projection, then the corpus projects and
+        quantizes on device chunk by chunk."""
+        dequant = isinstance(rows_dev, tuple)
+        n_pad = int(rows_dev[0].shape[0] if dequant else rows_dev.shape[0])
+        stride = max(1, num_rows // sample)
+
+        def chunk_f32(lo: int, hi: int) -> jax.Array:
+            if dequant:
+                v_i8, v_sc = rows_dev
+                return v_i8[lo:hi].astype(jnp.float32) * v_sc[lo:hi, None]
+            return rows_dev[lo:hi].astype(jnp.float32)
+
+        host_sample = np.concatenate(
+            [
+                np.asarray(chunk_f32(lo, min(lo + 4096, num_rows)))[::stride]
+                for lo in range(0, num_rows, max(4096, num_rows // 64))
+            ]
+        )
+        proj = fit_projection(host_sample, d_prime, seed=seed)
+        p_dev = jnp.asarray(proj)
+
+        @jax.jit
+        def project_quant(x):
+            a = jnp.dot(x, p_dev, preferred_element_type=jnp.float32)
+            return _quantize_device(a)
+
+        parts_q, parts_s = [], []
+        for lo in range(0, n_pad, chunk):
+            hi = min(lo + chunk, n_pad)
+            qi, sc = project_quant(chunk_f32(lo, hi))
+            parts_q.append(qi)
+            parts_s.append(sc)
+        a_i8 = jnp.concatenate(parts_q, axis=0) if len(parts_q) > 1 else parts_q[0]
+        a_sc = jnp.concatenate(parts_s, axis=0) if len(parts_s) > 1 else parts_s[0]
+        return cls(proj, a_i8, a_sc, num_rows)
+
+    @classmethod
+    def build(cls, rows: np.ndarray, d_prime: int = 96, seed: int = 0):
+        """Host build (small/medium corpora, tests)."""
+        rows = np.asarray(rows, dtype=np.float32)
+        n = rows.shape[0]
+        proj = fit_projection(rows[:: max(1, n // (1 << 16))], d_prime, seed)
+        a = rows @ proj
+        a_i8, a_sc = quantize_rows(a)
+        return cls(proj, jnp.asarray(a_i8), jnp.asarray(a_sc), n)
+
+    # ------------------------------------------------------------ search
+
+    def search(
+        self,
+        queries,
+        rescore_i8,
+        rescore_scales,
+        k: int,
+        overfetch: int = 256,
+        row_mask=None,
+        recency=None,
+    ):
+        """Two-stage top-k.
+
+        ``queries``: (B, d) float (pre-normalized by the caller for cosine —
+        same contract as the int8-pure scan). ``rescore_i8``/``rescore_scales``:
+        the FULL-dimension int8 corpus plane (the int8-pure store's own).
+        Exactly reproduces int8-pure ranking whenever the true top-k of the
+        full int8 scores survives stage A's top-``overfetch``; recall is a
+        property of the data's spectrum (measured, not assumed).
+        """
+        if not isinstance(queries, jax.Array):
+            queries = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        return _projscan_search(
+            self.p_dev, self.a_i8, self.a_scales,
+            queries.astype(jnp.float32),
+            rescore_i8, rescore_scales,
+            k, overfetch,
+            row_mask, recency,
+        )
+
+    # ----------------------------------------------------------- persist
+
+    def state(self) -> dict:
+        return {
+            "kind": "projscan",
+            "proj": self.proj,
+            "a_i8": np.asarray(self.a_i8),
+            "a_scales": np.asarray(self.a_scales),
+            "num_rows": np.asarray(self.num_rows),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "ProjScanIndex":
+        return cls(
+            state["proj"],
+            jnp.asarray(state["a_i8"]),
+            jnp.asarray(state["a_scales"]),
+            int(state["num_rows"]),
+        )
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("k", "overfetch"))
+def _projscan_search(
+    p_dev, a_i8, a_scales, q, rescore_i8, rescore_scales, k, overfetch,
+    row_mask=None, recency=None,
+):
+    n = a_i8.shape[0]
+    c = min(overfetch, n)
+    # stage A: project queries, scan the reduced-rank int8 corpus with the
+    # production grouped machinery (contiguous, bandwidth-capped)
+    qa = jnp.dot(q, p_dev, preferred_element_type=jnp.float32)
+    _, cand = rank_top_k_int8(
+        qa, a_i8, a_scales, k=c, row_mask=row_mask, recency=recency
+    )  # (B, c) candidate rows in projected-score order
+
+    # stage B: exact int8 rescore of the candidates' full rows
+    q_i8, q_scale = _quantize_device(q)
+    sub = rescore_i8[cand]  # (B, c, d) int8 gather
+    s = jax.lax.dot_general(
+        q_i8[:, None, :], sub,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )[:, 0, :].astype(jnp.float32)
+    s = s * (q_scale[:, None] * rescore_scales[cand])
+    if recency is not None:
+        s = s + recency[cand]
+    if row_mask is not None:
+        s = jnp.where(row_mask[cand], s, NEG_INF)
+    vals, pos = jax.lax.top_k(s, k)
+    return vals, jnp.take_along_axis(cand, pos, axis=-1).astype(jnp.int32)

@@ -678,6 +678,84 @@ def stdlib_texts(max_files: int = 400, min_len: int = 60) -> list[str]:
     return texts
 
 
+def stdlib_heldout_texts(min_len: int = 60, max_texts: int = 4000) -> list[str]:
+    """Docstrings from stdlib SUBPACKAGE modules — text the encoder has
+    NEVER seen (VERDICT r3 #5: out-of-distribution eval source).
+
+    :func:`stdlib_texts` (the vocab-building + span-pretraining source)
+    lists only TOP-LEVEL ``*.py`` files of the stdlib directory; package
+    directories (email/, logging/, unittest/, json/, ...) were never
+    walked, so their docstrings are disjoint training-wise by construction.
+    Belt and braces, any paragraph that exactly matches a training
+    paragraph is dropped too."""
+    stdlib_dir = os.path.dirname(os.__file__)
+    seen = set(stdlib_texts())
+    texts: list[str] = []
+    pkg_dirs = sorted(
+        f for f in os.listdir(stdlib_dir)
+        if os.path.isdir(os.path.join(stdlib_dir, f))
+        and not f.startswith("_")
+        and f not in ("site-packages", "dist-packages", "test", "lib2to3")
+        and os.path.exists(os.path.join(stdlib_dir, f, "__init__.py"))
+    )
+    for pkg in pkg_dirs:
+        pkg_path = os.path.join(stdlib_dir, pkg)
+        for name in sorted(os.listdir(pkg_path)):
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(pkg_path, name)
+            try:
+                with open(path, encoding="utf-8", errors="ignore") as f:
+                    tree = ast.parse(f.read())
+            except (OSError, SyntaxError, ValueError):
+                continue
+            for node in ast.walk(tree):
+                if isinstance(
+                    node,
+                    (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
+                     ast.ClassDef),
+                ):
+                    doc = ast.get_docstring(node)
+                    if doc:
+                        cleaned = " ".join(doc.split())
+                        if len(cleaned) >= min_len and cleaned not in seen:
+                            texts.append(cleaned)
+            if len(texts) >= max_texts:
+                return texts
+    return texts
+
+
+def heldout_span_eval_set(
+    num_docs: int = 800, min_half_len: int = 40
+) -> tuple[list[str], list[str], list[int]]:
+    """(corpus, queries, targets) for the OOD docstring-retrieval eval.
+
+    Each held-out docstring with >= 2 sentences splits into two disjoint
+    sentence halves: the first half is the QUERY, the second half the
+    corpus DOCUMENT; recall@k asks whether an encoder ranks a docstring's
+    other half above ``num_docs - 1`` distractor halves. Topic match
+    without guaranteed word overlap — the same objective shape the encoder
+    pretrained on, but on text it never saw."""
+    docs: list[str] = []
+    queries: list[str] = []
+    targets: list[int] = []
+    for text in stdlib_heldout_texts():
+        sentences = _SENTENCE_RE.findall(text)
+        if len(sentences) < 2:
+            continue
+        half = len(sentences) // 2
+        a = " ".join(sentences[:half])
+        b = " ".join(sentences[half:])
+        if len(a) < min_half_len or len(b) < min_half_len:
+            continue
+        targets.append(len(docs))
+        docs.append(b)
+        queries.append(a)
+        if len(docs) >= num_docs:
+            break
+    return docs, queries, targets
+
+
 def stdlib_span_pairs(max_pairs: int = 8000) -> list[tuple[str, str]]:
     """Contrastive (span, other-span-of-same-docstring) pairs: two disjoint
     sentence runs of one docstring are positives (they share a topic, not

@@ -1,0 +1,122 @@
+"""Two-stage reduced-rank scan (index/projscan) correctness on the CPU mesh.
+
+The recall/throughput CROSSOVER is a chip measurement
+(benchmarks/bench_projscan.py); these tests pin the exactness contracts:
+full-rank projection reproduces the int8-pure ranking exactly, low-rank
+search returns exactly the int8 rescore of its stage-A candidates, and
+masks/recency thread through both stages.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hyperdb_tpu.index.projscan import ProjScanIndex, fit_projection
+from hyperdb_tpu.ops.quantized import (
+    _quantize_device,
+    int8_scores,
+    quantize_rows,
+)
+
+
+def _clustered(n, d, k=16, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 3
+    idx = rng.integers(0, k, size=n)
+    return (centers[idx] + rng.standard_normal((n, d)).astype(np.float32)).astype(
+        np.float32
+    )
+
+
+def _int8_exact_topk(q, v_i8, v_sc, k):
+    qi, qs = _quantize_device(jnp.asarray(q))
+    s = np.asarray(int8_scores(qi, qs, jnp.asarray(v_i8), jnp.asarray(v_sc)))
+    return np.argsort(-s, axis=1, kind="stable")[:, :k]
+
+
+def test_full_rank_projection_is_exact():
+    """d' == d: stage A sees an orthogonal rotation of the corpus, so the
+    true top-k always survives any overfetch >= k group containment — the
+    final ranking equals the int8-pure exact ranking."""
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((2048, 64)).astype(np.float32)
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    v_i8, v_sc = quantize_rows(v)
+
+    idx = ProjScanIndex.build(v, d_prime=64)
+    vals, got = idx.search(q, jnp.asarray(v_i8), jnp.asarray(v_sc), k=5,
+                           overfetch=128)
+    want = _int8_exact_topk(q, v_i8, v_sc, 5)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    # returned values are the exact rescored int8 scores
+    qi, qs = _quantize_device(jnp.asarray(q))
+    s = np.asarray(int8_scores(qi, qs, jnp.asarray(v_i8), jnp.asarray(v_sc)))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(s, want, axis=1), rtol=1e-5
+    )
+
+
+def test_low_rank_recall_on_clustered_data():
+    """Clustered corpora (effective rank << d): a d/8 projection with a
+    modest overfetch recovers nearly all true neighbors."""
+    v = _clustered(4096, 128, k=12, seed=2)
+    rng = np.random.default_rng(3)
+    q = v[rng.integers(0, 4096, size=8)] + 0.1 * rng.standard_normal(
+        (8, 128)
+    ).astype(np.float32)
+    v_i8, v_sc = quantize_rows(v)
+
+    idx = ProjScanIndex.build(v, d_prime=16)
+    _, got = idx.search(q, jnp.asarray(v_i8), jnp.asarray(v_sc), k=10,
+                        overfetch=256)
+    want = _int8_exact_topk(q, v_i8, v_sc, 10)
+    hits = np.mean(
+        [len(set(got[i].tolist()) & set(want[i].tolist())) / 10 for i in range(8)]
+    )
+    assert hits >= 0.9, hits
+
+
+def test_mask_and_recency_thread_through():
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal((1024, 32)).astype(np.float32)
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    v_i8, v_sc = quantize_rows(v)
+    mask = np.zeros(1024, dtype=bool)
+    mask[::3] = True
+    rec = (rng.random(1024) * 0.2).astype(np.float32)
+
+    idx = ProjScanIndex.build(v, d_prime=32)
+    _, got = idx.search(
+        q, jnp.asarray(v_i8), jnp.asarray(v_sc), k=5, overfetch=128,
+        row_mask=jnp.asarray(mask), recency=jnp.asarray(rec),
+    )
+    qi, qs = _quantize_device(jnp.asarray(q))
+    s = np.asarray(int8_scores(qi, qs, jnp.asarray(v_i8), jnp.asarray(v_sc)))
+    s = s + rec[None, :]
+    s[:, ~mask] = -np.inf
+    want = np.argsort(-s, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_state_roundtrip():
+    v = _clustered(512, 32, seed=5)
+    idx = ProjScanIndex.build(v, d_prime=8)
+    state = idx.state()
+    idx2 = ProjScanIndex.from_state(
+        {k: np.asarray(val) for k, val in state.items() if k != "kind"}
+        | {"kind": "projscan"}
+    )
+    rng = np.random.default_rng(6)
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    v_i8, v_sc = quantize_rows(v)
+    _, a = idx.search(q, jnp.asarray(v_i8), jnp.asarray(v_sc), k=5)
+    _, b = idx2.search(q, jnp.asarray(v_i8), jnp.asarray(v_sc), k=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_projection_shapes_and_orthogonality():
+    v = _clustered(1024, 48, seed=7)
+    p = fit_projection(v, 12)
+    assert p.shape == (48, 12)
+    np.testing.assert_allclose(p.T @ p, np.eye(12), atol=1e-4)
