@@ -280,6 +280,42 @@ def probe_pallas_dma():
               "gbps": round(CORPUS_BYTES / sec / 1e9, 1)})
 
 
+def probe_peak_matmul_int8():
+    """int8 MXU ceiling: decides whether the 10M int8 scan's 71.8 ms at
+    b=1024 (15.7 TOP of int8 work) is compute-bound."""
+    import jax
+    import jax.numpy as jnp
+
+    m = 8192
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 128, (m, m), dtype=np.int8))
+    b = jnp.asarray(rng.integers(-127, 128, (m, m), dtype=np.int8))
+
+    @jax.jit
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    # int8-typed dependency chain (the shared helper chains in bf16, which
+    # would promote the int8 operand and fall off the int8 MXU path)
+    out = mm(a, b)
+    np.asarray(out[0, 0])
+    best = float("inf")
+    for _ in range(3):
+        acc = jnp.zeros((), jnp.int8)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = mm(a + acc * 0, b)
+            acc = (out.reshape(-1)[0] % 2).astype(jnp.int8)
+        int(acc)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    tops = 2 * m**3 / best / 1e12
+    emit({"probe": "peak_matmul_int8_8192", "ms": round(best * 1e3, 3),
+          "tops": round(tops, 1)})
+
+
 def probe_size_sweep():
     """Same reduce at 0.4 / 0.8 / 1.6 / 3.2 GB: a fixed per-dispatch
     overhead shows as GB/s rising with size; a hard cap shows flat."""
@@ -306,6 +342,7 @@ def probe_size_sweep():
 
 PROBES = {
     "peak_matmul": probe_peak_matmul,
+    "peak_matmul_int8": probe_peak_matmul_int8,
     "size_sweep": probe_size_sweep,
     "reduce": lambda: probe_reduce("bfloat16"),
     "reduce_int8": lambda: probe_reduce("int8"),

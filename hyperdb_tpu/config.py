@@ -39,6 +39,16 @@ class EngineConfig:
     ivf_threshold: int = _env_int("HYPERDB_IVF_THRESHOLD", 1 << 62)
     # IVF cluster count; 0 = sqrt-scaled default (index/ivf.py).
     ivf_nlist: int = _env_int("HYPERDB_IVF_NLIST", 0)
+    # Two-stage reduced-rank scan (index/projscan.py): int8-pure corpora
+    # with at least this many rows build a PCA-d' stage-A index and serve
+    # dot/cosine through stage-A scan + exact int8 rescore of the
+    # overfetch winners. Opt-in like IVF (1<<62 disables): the recall cost
+    # depends on the corpus spectrum — benchmarks/bench_projscan.py holds
+    # the measured crossover; enable when its numbers fit your corpus.
+    projscan_threshold: int = _env_int("HYPERDB_PROJSCAN_THRESHOLD", 1 << 62)
+    # Stage-A rank (projected dimension) and candidate overfetch per query.
+    projscan_dprime: int = _env_int("HYPERDB_PROJSCAN_DPRIME", 96)
+    projscan_overfetch: int = _env_int("HYPERDB_PROJSCAN_OVERFETCH", 256)
     # Token window for document chunking (reference MAX_LENGTH=510).
     max_tokens: int = _env_int("HYPERDB_MAX_TOKENS", 510)
     # Default embedding dimension for the hermetic hash encoder.

@@ -382,6 +382,32 @@ class HyperDB:
         # Parity attribute: cosine indexes are built over normalized vectors
         # (reference hyperdb.py:205-209, Q2).
         self.vectors_normalized = self.ann_metric == "cosine"
+        if (
+            self._store.precision == "int8-pure"
+            and self.vectors.shape[0] >= _CONFIG.projscan_threshold
+            and self.ann_metric in ("cosine", "angular", "dot")
+        ):
+            # Two-stage reduced-rank scan (opt-in, VERDICT r3 #6): stage-A
+            # projected int8 corpus built from the store's own device
+            # planes; stage B rescores against those planes at query time.
+            from hyperdb_tpu.index.projscan import ProjScanIndex
+
+            dv = self._store.device_view(self.source_indices)
+            # project the plane the query path scores (cosine/angular ->
+            # normalized rows, dot -> raw rows) so stage-A ranking and
+            # stage-B rescore see the same geometry
+            plane = (
+                (dv["rows_q"], dv["row_scales"])
+                if self.ann_metric == "dot"
+                else (dv["rowsn_q"], dv["rown_scales"])
+            )
+            self.ann_index = ProjScanIndex.build_from_device_rows(
+                plane,
+                num_rows=int(dv["n_pad"]),
+                d_prime=_CONFIG.projscan_dprime,
+            )
+            self._ivf_built_rows = int(self.vectors.shape[0])
+            return
         if self.vectors.shape[0] >= IVF_THRESHOLD:
             from hyperdb_tpu.index.ivf import IVFIndex
 
@@ -426,6 +452,7 @@ class HyperDB:
         if (
             idx is not None
             and getattr(idx, "is_ann", False)
+            and hasattr(idx, "add_rows")  # projscan rebuilds instead
             and self.vectors is not None
             and n > idx.num_rows
             and n <= int(getattr(self, "_ivf_built_rows", 0) * 1.5)
@@ -1334,6 +1361,11 @@ class HyperDB:
                     # record the restored build size so the next add takes
                     # the incremental add_rows path instead of a full
                     # k-means rebuild (the whole point of persisting it)
+                    self._ivf_built_rows = int(self.ann_index.num_rows)
+                elif state.get("kind") == "projscan":
+                    from hyperdb_tpu.index.projscan import ProjScanIndex
+
+                    self.ann_index = ProjScanIndex.from_state(state)
                     self._ivf_built_rows = int(self.ann_index.num_rows)
                 else:
                     self.ann_index = FlatIndex.from_state(state)

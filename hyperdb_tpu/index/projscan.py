@@ -186,6 +186,18 @@ class ProjScanIndex:
             row_mask, recency,
         )
 
+    def probe(self, query_vector, budget: int) -> np.ndarray:
+        """Q12 candidate-budget surface (engine single-query pre-filter):
+        the stage-A projected scan IS the coarse quantizer here — return
+        the ``budget`` best rows by projected score."""
+        q = np.asarray(query_vector, dtype=np.float32).reshape(1, -1)
+        qa = jnp.dot(
+            jnp.asarray(q), self.p_dev, preferred_element_type=jnp.float32
+        )
+        k = max(1, min(int(budget), self.num_rows))
+        _, idx = rank_top_k_int8(qa, self.a_i8, self.a_scales, k=k)
+        return np.asarray(idx[0])
+
     # ----------------------------------------------------------- persist
 
     def state(self) -> dict:

@@ -573,18 +573,41 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             if prenorm:
                 qn = jnp.linalg.norm(q, axis=1, keepdims=True)
                 qq = q / jnp.where(qn == 0, 1.0, qn)
-            rescore = None
-            if precision == "int8":
-                rescore = dv["rows_norm"] if prenorm else dv["rows"]
-            vals, idx = rank_top_k_int8(
-                qq,
-                dv["rowsn_q"] if prenorm else dv["rows_q"],
-                dv["rown_scales"] if prenorm else dv["row_scales"],
-                k=min(k_pad, n_pad),
-                row_mask=row_mask_dev,
-                recency=rec_pad,
-                rescore_rows=rescore,
-            )
+            psidx = db.ann_index
+            if (
+                getattr(psidx, "kind", None) == "projscan"
+                and precision == "int8-pure"
+                and METRIC_TO_ANN.get(metric) == db.ann_metric  # Q11
+                and psidx.num_rows == n_pad
+                and cand_rows is None
+            ):
+                # Opt-in two-stage reduced-rank scan (index/projscan,
+                # HYPERDB_PROJSCAN_THRESHOLD): stage A scans the PCA-d'
+                # int8 corpus, stage B rescores the overfetch winners on
+                # the store's full int8 plane — same plane the exact scan
+                # reads, so scores are true (quantized) similarities.
+                vals, idx = psidx.search(
+                    qq,
+                    dv["rowsn_q"] if prenorm else dv["rows_q"],
+                    dv["rown_scales"] if prenorm else dv["row_scales"],
+                    k=min(k_pad, n_pad),
+                    overfetch=CONFIG.projscan_overfetch,
+                    row_mask=row_mask_dev,
+                    recency=rec_pad,
+                )
+            else:
+                rescore = None
+                if precision == "int8":
+                    rescore = dv["rows_norm"] if prenorm else dv["rows"]
+                vals, idx = rank_top_k_int8(
+                    qq,
+                    dv["rowsn_q"] if prenorm else dv["rows_q"],
+                    dv["rown_scales"] if prenorm else dv["row_scales"],
+                    k=min(k_pad, n_pad),
+                    row_mask=row_mask_dev,
+                    recency=rec_pad,
+                    rescore_rows=rescore,
+                )
         elif precision == "int8-pure":
             raise ValueError(
                 f"device_precision='int8-pure' supports only dot_product and "

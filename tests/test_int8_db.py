@@ -83,3 +83,56 @@ def test_int8_pure_with_ivf_index_queries(monkeypatch):
     monkeypatch.setattr(CONFIG, "batch_ivf_min_rows", 100)
     out = db.query_batch(np.stack([q, v[99]]).astype(np.float32), top_k=3)
     assert out[0][0][2] == 37 and out[1][0][2] == 99
+
+
+def test_projscan_engine_routing(monkeypatch):
+    """Opt-in two-stage index (HYPERDB_PROJSCAN_THRESHOLD): a full-rank
+    projection through the ENGINE reproduces the int8-pure exact results
+    identically; the index persists and reloads."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.index.projscan import ProjScanIndex
+
+    monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
+    monkeypatch.setattr(CONFIG, "projscan_dprime", 32)  # == d: exact
+    monkeypatch.setattr(CONFIG, "projscan_overfetch", 64)
+
+    db, v = _db("int8-pure")
+    assert isinstance(db.ann_index, ProjScanIndex)
+    exact, _ = _db("int8-pure")
+    exact.ann_index = None  # force the plain int8-pure scan
+
+    rng = np.random.default_rng(5)
+    q = (v[11] + 0.01 * rng.standard_normal(32)).astype(np.float32)
+    got = db.query(q, top_k=5)
+    want = exact.query(q, top_k=5)
+    assert [r[2] for r in got] == [r[2] for r in want]
+    for (_, gs, _), (_, ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-5)
+
+    # batch path + filters thread through both stages
+    docs_parity = [("metadata", {"i": 11})]
+    db2 = HyperDB(
+        documents=[{"i": int(i)} for i in range(len(v))],
+        vectors=v, device_precision="int8-pure", metadata_keys=["i"],
+    )
+    gotf = db2.query(q, top_k=3, filters=docs_parity)
+    assert len(gotf) == 1 and gotf[0][0]["i"] == 11
+
+
+def test_projscan_save_load_roundtrip(tmp_path, monkeypatch):
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.index.projscan import ProjScanIndex
+
+    monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
+    monkeypatch.setattr(CONFIG, "projscan_dprime", 16)
+    db, v = _db("int8-pure")
+    assert isinstance(db.ann_index, ProjScanIndex)
+    path = str(tmp_path / "db.pickle")
+    db.save(path)
+
+    new_db = HyperDB(device_precision="int8-pure")
+    new_db.load(path)
+    assert isinstance(new_db.ann_index, ProjScanIndex)
+    assert new_db.ann_index.d_prime == 16
+    res = new_db.query(v[3], top_k=3)
+    assert res[0][0]["i"] == 3
