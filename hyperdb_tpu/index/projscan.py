@@ -113,6 +113,14 @@ class ProjScanIndex:
         quantizes on device chunk by chunk."""
         dequant = isinstance(rows_dev, tuple)
         n_pad = int(rows_dev[0].shape[0] if dequant else rows_dev.shape[0])
+        d = int(rows_dev[0].shape[1] if dequant else rows_dev.shape[1])
+        # Lane alignment: a d' that is not a multiple of the 128-lane tile
+        # makes every stage-A operand sub-tile (measured: the remote
+        # Mosaic/XLA compiler crashes or hangs on d'=96 int8 at 10M rows).
+        # Serving dims are 128-padded, so round d' UP; tiny corpora (tests,
+        # d < 128) keep the raw rank.
+        if d >= 128:
+            d_prime = min(d, -(-d_prime // 128) * 128)
         stride = max(1, num_rows // sample)
 
         def chunk_f32(lo: int, hi: int) -> jax.Array:
@@ -221,33 +229,140 @@ class ProjScanIndex:
 
 import functools  # noqa: E402
 
+# Stage-A selection granularity: groups of 16 rows. Finer than the scan
+# kernels' 128 (a 128-group's max hides its other 127 rows — measured
+# recall loss), coarse enough that stage B's (B, G, 16, d) gather stays
+# contiguous and bounded.
+STAGE_GROUP = 16
+
+
+def _gmax_int8_xla(qa_i8, qa_scale, a_i8, a_scales, extra, n_chunks):
+    """(B, g) per-group maxes of the rescaled projected int8 scores.
+
+    Compiler-friendly formulation learned the hard way (the first cut used
+    a 3-D (g, 16, d') int8 rhs and a d'=96 corpus — 16 sublanes is under
+    int8's 32-sublane min tile and 96 lanes under the 128-lane tile, and
+    the remote Mosaic/XLA compiler either crashed (HTTP 500) or hung on
+    it): the matmul stays the proven 2-D ``int8_scores`` shape
+    (B, d') x (rows, d'), d' is 128-aligned by the index builder, and the
+    16-wide group max is a lane-dim ``reduce_window`` — no reshape of the
+    score tensor, no sub-tile operands. The per-chunk (B, rows_c) f32
+    epilogue is bounded by the lax.scan chunking (ops/quantized
+    discipline)."""
+    n, dp = a_i8.shape
+    b = qa_i8.shape[0]
+    rows_c = n // n_chunks
+    rc = a_i8.reshape(n_chunks, rows_c, dp)
+    sc = a_scales.reshape(n_chunks, rows_c)
+    ec = extra.reshape(n_chunks, rows_c)
+
+    def body(_, inp):
+        chunk, chunk_sc, chunk_ex = inp
+        s = jax.lax.dot_general(
+            qa_i8, chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, rows_c) int32
+        s = s.astype(jnp.float32) * (
+            qa_scale[:, None] * chunk_sc[None, :]
+        ) + chunk_ex[None, :]
+        s = jnp.where(jnp.isnan(s), NEG_INF, s)
+        gm = jax.lax.reduce_window(
+            s, NEG_INF, jax.lax.max,
+            window_dimensions=(1, STAGE_GROUP),
+            window_strides=(1, STAGE_GROUP),
+            padding="VALID",
+        )  # (B, rows_c / STAGE_GROUP)
+        return None, gm
+
+    _, parts = jax.lax.scan(body, None, (rc, sc, ec))  # (n_chunks, B, gc)
+    return jnp.moveaxis(parts, 0, 1).reshape(b, n // STAGE_GROUP)
+
 
 @functools.partial(jax.jit, static_argnames=("k", "overfetch"))
 def _projscan_search(
     p_dev, a_i8, a_scales, q, rescore_i8, rescore_scales, k, overfetch,
     row_mask=None, recency=None,
 ):
-    n = a_i8.shape[0]
-    c = min(overfetch, n)
-    # stage A: project queries, scan the reduced-rank int8 corpus with the
-    # production grouped machinery (contiguous, bandwidth-capped)
-    qa = jnp.dot(q, p_dev, preferred_element_type=jnp.float32)
-    _, cand = rank_top_k_int8(
-        qa, a_i8, a_scales, k=c, row_mask=row_mask, recency=recency
-    )  # (B, c) candidate rows in projected-score order
+    """Group-granular two-stage search.
 
-    # stage B: exact int8 rescore of the candidates' full rows
-    q_i8, q_scale = _quantize_device(q)
-    sub = rescore_i8[cand]  # (B, c, d) int8 gather
-    s = jax.lax.dot_general(
-        q_i8[:, None, :], sub,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )[:, 0, :].astype(jnp.float32)
-    s = s * (q_scale[:, None] * rescore_scales[cand])
+    Stage A reduces the projected corpus to per-16-row-group maxes (a
+    chunked contiguous scan — the cheap part) and selects the top
+    ``G = max(k, overfetch/16)`` GROUPS. Stage B gathers those groups'
+    FULL-dimension int8 rows — contiguous 16-row blocks, (B, G, 16, d),
+    bounded memory (row-level stage-A selection OOMed: the grouped top-k's
+    (B, c, 128, d') gather is 6.4 GB at b=2048) — rescores exactly, and
+    takes the final top-k. With a full-rank projection this is EXACT (the
+    top-k rows' groups are always among the top-k groups by max — the
+    ops/ranking containment argument); at low rank, recall rises with
+    ``overfetch`` (counted in rows, granted in whole groups).
+    """
+    from hyperdb_tpu.ops.quantized import _pick_chunks
+
+    n, d = rescore_i8.shape
+    g = n // STAGE_GROUP
+    G = min(g, max(k, overfetch // STAGE_GROUP))
+    b = q.shape[0]
+
+    # stage A: project + quantize queries, scan projected corpus
+    qa = jnp.dot(q, p_dev, preferred_element_type=jnp.float32)
+    qa_i8, qa_scale = _quantize_device(qa)
+    extra = jnp.zeros((n,), dtype=jnp.float32)
     if recency is not None:
-        s = s + recency[cand]
+        extra = extra + recency.astype(jnp.float32)
     if row_mask is not None:
-        s = jnp.where(row_mask[cand], s, NEG_INF)
-    vals, pos = jax.lax.top_k(s, k)
-    return vals, jnp.take_along_axis(cand, pos, axis=-1).astype(jnp.int32)
+        extra = jnp.where(row_mask, extra, NEG_INF)
+    n_chunks = _pick_chunks(b, n, STAGE_GROUP)
+    gm = _gmax_int8_xla(qa_i8, qa_scale, a_i8, a_scales, extra, n_chunks)
+    _, gidx = jax.lax.top_k(gm, G)  # (B, G) winning groups
+
+    # stage B: exact full-d int8 rescore of the winning groups' rows.
+    # Flat (B, c) row ids -> (tile, c, d) gather + the PROVEN batched
+    # bf16 einsum (ops/quantized's rescore shape), query-tiled by lax.scan
+    # so the gathered block stays a few hundred MB at any batch size.
+    c = G * STAGE_GROUP
+    rows_flat = (
+        gidx[:, :, None] * STAGE_GROUP
+        + jnp.arange(STAGE_GROUP, dtype=gidx.dtype)[None, None, :]
+    ).reshape(b, c)  # (B, c) global row ids, grouped-contiguous
+    q_i8, q_scale = _quantize_device(q)
+
+    tile = b
+    while tile * c * d > (1 << 29):  # ~512 MB gathered int8 per step
+        tile //= 2
+    tile = max(8, tile)
+    n_tiles = b // tile if b % tile == 0 else 1
+    if b % tile:
+        tile = b
+
+    def tile_body(_, inp):
+        qt_i8, qt_scale, rows_t = inp  # (tile, d) i8 / (tile,) / (tile, c)
+        sub = rescore_i8[rows_t]  # (tile, c, d) int8 gather
+        cs = jnp.einsum(
+            "td,tcd->tc",
+            qt_i8.astype(jnp.bfloat16),
+            sub.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        cs = cs * (qt_scale[:, None] * rescore_scales[rows_t])
+        if recency is not None:
+            cs = cs + recency[rows_t]
+        if row_mask is not None:
+            cs = jnp.where(row_mask[rows_t], cs, NEG_INF)
+        cs = jnp.where(jnp.isnan(cs), NEG_INF, cs)
+        vals_t, pos_t = jax.lax.top_k(cs, k)
+        return None, (vals_t, jnp.take_along_axis(rows_t, pos_t, axis=-1))
+
+    _, (vals, rows_out) = jax.lax.scan(
+        tile_body,
+        None,
+        (
+            q_i8.reshape(n_tiles, tile, d),
+            q_scale.reshape(n_tiles, tile),
+            rows_flat.reshape(n_tiles, tile, c),
+        ),
+    )
+    return (
+        vals.reshape(b, k),
+        rows_out.reshape(b, k).astype(jnp.int32),
+    )

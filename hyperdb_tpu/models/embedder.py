@@ -46,9 +46,15 @@ class HashEmbedder:
     are stable across processes and platforms.
     """
 
-    def __init__(self, dim: int = 384, ngram_range: tuple[int, int] = (3, 5)):
+    def __init__(self, dim: int = 384, ngram_range: tuple[int, int] = (3, 5),
+                 sublinear_tf: bool = False):
         self.dim = int(dim)
         self._ngram_range = ngram_range
+        # sqrt term-frequency damping: long natural texts repeat function
+        # words ("the", "of") whose raw counts drown topical words; sqrt(tf)
+        # keeps lexical overlap while flattening that head (measured on the
+        # OOD docstring eval, benchmarks/eval_hybrid.py)
+        self.sublinear_tf = bool(sublinear_tf)
         # word -> accumulated (dim,) contribution. Natural text repeats a
         # small vocabulary, so memoizing per *word* (which covers all its
         # n-grams) makes ingest throughput vocabulary-bound, not token-bound.
@@ -77,8 +83,15 @@ class HashEmbedder:
 
     def encode_one(self, text: str) -> np.ndarray:
         vec = np.zeros(self.dim, dtype=np.float32)
-        for tok in _TOKEN_RE.findall(text.lower()):
-            vec += self._word_vector(tok)
+        toks = _TOKEN_RE.findall(text.lower())
+        if self.sublinear_tf:
+            import collections
+
+            for tok, count in collections.Counter(toks).items():
+                vec += np.float32(np.sqrt(count)) * self._word_vector(tok)
+        else:
+            for tok in toks:
+                vec += self._word_vector(tok)
         norm = np.linalg.norm(vec)
         if norm > 0:
             vec = vec / norm
@@ -90,12 +103,52 @@ class HashEmbedder:
         return np.stack([self.encode_one(t) for t in texts])
 
 
+class HybridEmbedder:
+    """Concatenation of a unit dense embedding and a unit lexical hash
+    embedding with mixing weight ``w`` — cosine over the concat equals
+    ``w * s_dense + (1-w) * s_lexical``.
+
+    Shipped because the round-3 OOD eval (benchmarks/eval_ood.py) showed
+    the trained dense encoder and the lexical encoder win DIFFERENT
+    regimes: dense 0.995 / lexical 0.000 recall@10 on the in-distribution
+    concept benchmark, dense 0.26 / lexical(4096, sublinear-tf) 0.63 on
+    held-out stdlib docstring retrieval. No fusion dominates both (linear
+    sweep + reciprocal-rank fusion measured in benchmarks/eval_hybrid.py;
+    results.jsonl hybrid_encoder_sweep), so the mix is a knob:
+    HYPERDB_DEFAULT_EMBEDDER=hybrid, HYPERDB_HYBRID_W (default 0.65 —
+    concept 0.925 / OOD 0.577, the balanced point on the frontier).
+    """
+
+    def __init__(self, dense, w: float = 0.65, hash_dim: int = 4096):
+        self.dense = dense
+        self.w = float(w)
+        self.lexical = HashEmbedder(dim=hash_dim, sublinear_tf=True)
+        self.dim = int(getattr(dense, "dim", 384)) + hash_dim
+        # the chunk tokenizer rides along from the dense encoder (C3)
+        chunk_tok = getattr(dense, "chunk_tokenizer", None)
+        if chunk_tok is not None:
+            self.chunk_tokenizer = chunk_tok
+
+    @staticmethod
+    def _unit(x: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        return x / np.maximum(n, 1e-12)
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        d = self._unit(np.asarray(self.dense.encode(texts), dtype=np.float32))
+        h = self._unit(np.asarray(self.lexical.encode(texts), dtype=np.float32))
+        return np.concatenate(
+            [np.sqrt(self.w) * d, np.sqrt(1.0 - self.w) * h], axis=1
+        )
+
+
 def default_embedder(dim: int = 384) -> Embedder:
     """Best semantic encoder available, in order: HF-pretrained MiniLM (when
     its cache exists locally), the IN-REPO TRAINED encoder (models/assets/,
     built by benchmarks/train_encoder.py — the default in zero-egress
     images), then the hermetic hash encoder. Override with
-    HYPERDB_DEFAULT_EMBEDDER=auto|hash|local|hf.
+    HYPERDB_DEFAULT_EMBEDDER=auto|hash|local|hf|hybrid (hybrid = dense ⊕
+    lexical concat, see :class:`HybridEmbedder`).
 
     Process-wide singleton mirrors the reference's module-level
     EMBEDDING_MODEL (hyperdb.py:24-25,241-248) — but with an init lock (the
@@ -108,7 +161,20 @@ def default_embedder(dim: int = 384) -> Embedder:
             return cached
         mode = os.environ.get("HYPERDB_DEFAULT_EMBEDDER", "auto")
         embedder: Embedder | None = None
-        if mode in ("auto", "hf"):
+        if mode == "hybrid":
+            try:
+                from hyperdb_tpu.models.minilm import MiniLMEmbedder
+
+                dense = MiniLMEmbedder.from_local_assets()
+            except Exception:
+                dense = None
+            if dense is not None:
+                embedder = HybridEmbedder(
+                    dense,
+                    w=float(os.environ.get("HYPERDB_HYBRID_W", "0.65")),
+                )
+            # assets unavailable: fall through to the hash encoder below
+        if embedder is None and mode in ("auto", "hf"):
             try:
                 from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
