@@ -186,7 +186,7 @@ class ProjScanIndex:
         """
         if not isinstance(queries, jax.Array):
             queries = jnp.asarray(np.asarray(queries, dtype=np.float32))
-        return _projscan_search(
+        return projscan_search(
             self.p_dev, self.a_i8, self.a_scales,
             queries.astype(jnp.float32),
             rescore_i8, rescore_scales,
@@ -279,90 +279,102 @@ def _gmax_int8_xla(qa_i8, qa_scale, a_i8, a_scales, extra, n_chunks):
     return jnp.moveaxis(parts, 0, 1).reshape(b, n // STAGE_GROUP)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "overfetch"))
-def _projscan_search(
-    p_dev, a_i8, a_scales, q, rescore_i8, rescore_scales, k, overfetch,
-    row_mask=None, recency=None,
-):
-    """Group-granular two-stage search.
-
-    Stage A reduces the projected corpus to per-16-row-group maxes (a
-    chunked contiguous scan — the cheap part) and selects the top
-    ``G = max(k, overfetch/16)`` GROUPS. Stage B gathers those groups'
-    FULL-dimension int8 rows — contiguous 16-row blocks, (B, G, 16, d),
-    bounded memory (row-level stage-A selection OOMed: the grouped top-k's
-    (B, c, 128, d') gather is 6.4 GB at b=2048) — rescores exactly, and
-    takes the final top-k. With a full-rank projection this is EXACT (the
-    top-k rows' groups are always among the top-k groups by max — the
-    ops/ranking containment argument); at low rank, recall rises with
-    ``overfetch`` (counted in rows, granted in whole groups).
-    """
-    from hyperdb_tpu.ops.quantized import _pick_chunks
-
-    n, d = rescore_i8.shape
-    g = n // STAGE_GROUP
-    G = min(g, max(k, overfetch // STAGE_GROUP))
-    b = q.shape[0]
-
-    # stage A: project + quantize queries, scan projected corpus
+@functools.partial(jax.jit, static_argnames=("G", "n_chunks"))
+def _stage_a(p_dev, a_i8, a_scales, q, G, n_chunks, row_mask=None,
+             recency=None):
+    """Project + quantize queries, scan the projected corpus to per-group
+    maxes, return the (B, G) winning group ids."""
     qa = jnp.dot(q, p_dev, preferred_element_type=jnp.float32)
     qa_i8, qa_scale = _quantize_device(qa)
+    n = a_i8.shape[0]
     extra = jnp.zeros((n,), dtype=jnp.float32)
     if recency is not None:
         extra = extra + recency.astype(jnp.float32)
     if row_mask is not None:
         extra = jnp.where(row_mask, extra, NEG_INF)
-    n_chunks = _pick_chunks(b, n, STAGE_GROUP)
     gm = _gmax_int8_xla(qa_i8, qa_scale, a_i8, a_scales, extra, n_chunks)
-    _, gidx = jax.lax.top_k(gm, G)  # (B, G) winning groups
+    _, gidx = jax.lax.top_k(gm, G)
+    return gidx
 
-    # stage B: exact full-d int8 rescore of the winning groups' rows.
-    # Flat (B, c) row ids -> (tile, c, d) gather + the PROVEN batched
-    # bf16 einsum (ops/quantized's rescore shape), query-tiled by lax.scan
-    # so the gathered block stays a few hundred MB at any batch size.
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stage_b_tile(q_tile, rescore_i8, rescore_scales, gidx_tile, k,
+                  row_mask=None, recency=None):
+    """Exact full-d rescore of one query tile's winning groups.
+
+    Mirrors the PROVEN rank_top_k_int8 rescore formulation exactly
+    (flat row gather + f32 einsum — decompose_int8_rescore measured this
+    shape on chip); one tile per dispatch keeps the gathered block a few
+    hundred MB and the program small (the fused scan-over-tiles variant
+    hung the remote compiler)."""
+    d = rescore_i8.shape[1]
+    t, G = gidx_tile.shape
     c = G * STAGE_GROUP
-    rows_flat = (
-        gidx[:, :, None] * STAGE_GROUP
-        + jnp.arange(STAGE_GROUP, dtype=gidx.dtype)[None, None, :]
-    ).reshape(b, c)  # (B, c) global row ids, grouped-contiguous
-    q_i8, q_scale = _quantize_device(q)
+    rows_t = (
+        gidx_tile[:, :, None] * STAGE_GROUP
+        + jnp.arange(STAGE_GROUP, dtype=gidx_tile.dtype)[None, None, :]
+    ).reshape(t, c)  # (t, c) global row ids, 16-row-contiguous
+    q_i8, q_scale = _quantize_device(q_tile)
+    sub = rescore_i8[rows_t]  # (t, c, d) int8 gather
+    cs = jnp.einsum(
+        "td,tcd->tc",
+        q_i8.astype(jnp.float32),
+        sub.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    cs = cs * (q_scale[:, None] * rescore_scales[rows_t])
+    if recency is not None:
+        cs = cs + recency[rows_t]
+    if row_mask is not None:
+        cs = jnp.where(row_mask[rows_t], cs, NEG_INF)
+    cs = jnp.where(jnp.isnan(cs), NEG_INF, cs)
+    vals_t, pos_t = jax.lax.top_k(cs, k)
+    return vals_t, jnp.take_along_axis(rows_t, pos_t, axis=-1).astype(jnp.int32)
 
+
+def projscan_search(
+    p_dev, a_i8, a_scales, q, rescore_i8, rescore_scales, k, overfetch,
+    row_mask=None, recency=None,
+):
+    """Group-granular two-stage search (host-orchestrated).
+
+    Stage A reduces the projected corpus to per-16-row-group maxes (a
+    chunked contiguous scan — the cheap part) and selects the top
+    ``G = max(k, overfetch/16)`` GROUPS. Stage B rescores those groups'
+    FULL-dimension int8 rows exactly, one query tile per dispatch. The
+    two stages are SEPARATE device programs on purpose: the fused form
+    (stage A scan + gather + einsum in one jit) hung or crashed the
+    remote Mosaic/XLA compiler at 10M rows, while each half alone uses
+    only shapes proven on this platform. With a full-rank projection the
+    result is EXACT (top-k rows' groups are always among the top-k groups
+    by max — the ops/ranking containment argument); at low rank, recall
+    rises with ``overfetch`` (counted in rows, granted in whole groups).
+    """
+    from hyperdb_tpu.ops.quantized import _pick_chunks
+
+    n, d = rescore_i8.shape
+    g = n // STAGE_GROUP
+    G = min(g, max(k, -(-overfetch // STAGE_GROUP)))
+    b = q.shape[0]
+    n_chunks = _pick_chunks(b, n, STAGE_GROUP)
+    gidx = _stage_a(
+        p_dev, a_i8, a_scales, q, G, n_chunks, row_mask, recency
+    )
+
+    # tile height: gathered (tile, G*16, d) f32 stays under ~1 GB
     tile = b
-    while tile * c * d > (1 << 29):  # ~512 MB gathered int8 per step
+    while tile > 8 and tile * G * STAGE_GROUP * d * 4 > (1 << 30):
         tile //= 2
-    tile = max(8, tile)
-    n_tiles = b // tile if b % tile == 0 else 1
     if b % tile:
         tile = b
-
-    def tile_body(_, inp):
-        qt_i8, qt_scale, rows_t = inp  # (tile, d) i8 / (tile,) / (tile, c)
-        sub = rescore_i8[rows_t]  # (tile, c, d) int8 gather
-        cs = jnp.einsum(
-            "td,tcd->tc",
-            qt_i8.astype(jnp.bfloat16),
-            sub.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
+    vals_parts, idx_parts = [], []
+    for lo in range(0, b, tile):
+        vt, it = _stage_b_tile(
+            q[lo : lo + tile], rescore_i8, rescore_scales,
+            gidx[lo : lo + tile], k, row_mask, recency,
         )
-        cs = cs * (qt_scale[:, None] * rescore_scales[rows_t])
-        if recency is not None:
-            cs = cs + recency[rows_t]
-        if row_mask is not None:
-            cs = jnp.where(row_mask[rows_t], cs, NEG_INF)
-        cs = jnp.where(jnp.isnan(cs), NEG_INF, cs)
-        vals_t, pos_t = jax.lax.top_k(cs, k)
-        return None, (vals_t, jnp.take_along_axis(rows_t, pos_t, axis=-1))
-
-    _, (vals, rows_out) = jax.lax.scan(
-        tile_body,
-        None,
-        (
-            q_i8.reshape(n_tiles, tile, d),
-            q_scale.reshape(n_tiles, tile),
-            rows_flat.reshape(n_tiles, tile, c),
-        ),
-    )
-    return (
-        vals.reshape(b, k),
-        rows_out.reshape(b, k).astype(jnp.int32),
-    )
+        vals_parts.append(vt)
+        idx_parts.append(it)
+    if len(vals_parts) == 1:
+        return vals_parts[0], idx_parts[0]
+    return jnp.concatenate(vals_parts, 0), jnp.concatenate(idx_parts, 0)
