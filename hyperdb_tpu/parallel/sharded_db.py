@@ -535,7 +535,13 @@ class ShardedHyperDB:
                 results.append(row)
             if not need_refill:
                 return results
-            k_fetch = min(k_fetch * 2, self.n_pad)
+            # One worst-case jump instead of repeated doublings (a
+            # pathological chunk distribution would otherwise pay several
+            # full distributed scans): top_k * max-chunks-per-doc rows
+            # always contain top_k distinct documents.
+            max_chunks = max(self.db.split_info.values(), default=1)
+            worst = 1 << max(0, int(top_k * max_chunks - 1)).bit_length()
+            k_fetch = min(max(k_fetch * 2, worst), self.n_pad)
 
     def _query_override(
         self, q, doc_mask, override, top_k, metric,
