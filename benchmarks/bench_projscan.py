@@ -61,7 +61,7 @@ def main() -> int:
     parser.add_argument("--chunk", type=int, default=1 << 19)
     parser.add_argument("--clusters", type=int, default=4096)
     parser.add_argument("--data", default="clustered",
-                        choices=["clustered", "gaussian", "both"])
+                        choices=["clustered", "gaussian", "spectrum", "both"])
     parser.add_argument("--dprimes", default="96")
     parser.add_argument("--overfetch", default="256")
     args = parser.parse_args()
@@ -92,6 +92,15 @@ def main() -> int:
             jax.random.PRNGKey(99), (args.clusters, d), dtype=jnp.float32
         )
 
+        # 'spectrum': per-dim power-law scaling (1+i)^-0.5 — the decaying
+        # eigenspectrum real embedding corpora have (top-128 of 768 dims
+        # carry ~73% of variance), which 'clustered' (isotropic centers)
+        # and 'gaussian' deliberately lack. This is the regime a PCA
+        # stage-A can help in; the flat kinds are the adversarial control.
+        decay = jnp.asarray(
+            (1.0 + np.arange(d)) ** -0.5, dtype=jnp.float32
+        )
+
         @jax.jit
         def gen_chunk(key, cents):
             kc, kn = jax.random.split(key)
@@ -101,6 +110,9 @@ def main() -> int:
                 # cluster radius 0.35: intra-cluster spread well below the
                 # inter-center distance, like real embedding corpora
                 x = cents[cid] + 0.35 * x
+            elif data_kind == "spectrum":
+                cid = jax.random.randint(kc, (chunk,), 0, args.clusters)
+                x = (cents[cid] + 0.35 * x) * decay[None, :]
             norm = jnp.linalg.norm(x, axis=1, keepdims=True)
             x = x / jnp.where(norm == 0, 1.0, norm)
             max_abs = jnp.max(jnp.abs(x), axis=1)

@@ -297,9 +297,9 @@ def _stage_a(p_dev, a_i8, a_scales, q, G, n_chunks, row_mask=None,
     return gidx
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "sg"))
 def _stage_b_tile(q_tile, rescore_i8, rescore_scales, gidx_tile, k,
-                  row_mask=None, recency=None):
+                  sg=STAGE_GROUP, row_mask=None, recency=None):
     """Exact full-d rescore of one query tile's winning groups.
 
     Mirrors the PROVEN rank_top_k_int8 rescore formulation exactly
@@ -309,11 +309,11 @@ def _stage_b_tile(q_tile, rescore_i8, rescore_scales, gidx_tile, k,
     hung the remote compiler)."""
     d = rescore_i8.shape[1]
     t, G = gidx_tile.shape
-    c = G * STAGE_GROUP
+    c = G * sg
     rows_t = (
-        gidx_tile[:, :, None] * STAGE_GROUP
-        + jnp.arange(STAGE_GROUP, dtype=gidx_tile.dtype)[None, None, :]
-    ).reshape(t, c)  # (t, c) global row ids, 16-row-contiguous
+        gidx_tile[:, :, None] * sg
+        + jnp.arange(sg, dtype=gidx_tile.dtype)[None, None, :]
+    ).reshape(t, c)  # (t, c) global row ids, sg-row-contiguous
     q_i8, q_scale = _quantize_device(q_tile)
     sub = rescore_i8[rows_t]  # (t, c, d) int8 gather
     cs = jnp.einsum(
@@ -353,17 +353,74 @@ def projscan_search(
     from hyperdb_tpu.ops.quantized import _pick_chunks
 
     n, d = rescore_i8.shape
-    g = n // STAGE_GROUP
-    G = min(g, max(k, -(-overfetch // STAGE_GROUP)))
     b = q.shape[0]
-    n_chunks = _pick_chunks(b, n, STAGE_GROUP)
-    gidx = _stage_a(
-        p_dev, a_i8, a_scales, q, G, n_chunks, row_mask, recency
+
+    # On the real chip, stage A rides the Pallas gmax kernel (128-row
+    # groups, score tile never leaves VMEM): the XLA group-16 form
+    # measured 950 ms/batch at 10M x 768 b2048 — its (B, rows_chunk)
+    # epilogue re-materializes in HBM, the exact disease ops/pallas_gmax
+    # exists to cure. Granularity costs recall per candidate row, so the
+    # Pallas path is paired with whole-128-row grants; the group-16 XLA
+    # path remains for CPU/tests and out-of-contract shapes.
+    from hyperdb_tpu.ops.quantized import _use_pallas_gmax
+
+    if _use_pallas_gmax(b, n, int(a_i8.shape[1])):
+        from hyperdb_tpu.ops import pallas_gmax as _pg
+
+        sg = _pg.GROUP  # 128
+        g = n // sg
+        G = min(g, max(k, -(-overfetch // sg)))
+        qa = jnp.dot(q, p_dev, preferred_element_type=jnp.float32)
+        qa_i8, qa_scale = _quantize_device(qa)
+        extra = _pg.make_extra(n, row_mask, recency)
+        gm = _pg.gmax_int8(qa_i8, qa_scale, a_i8, a_scales, extra)
+        _, gidx = jax.lax.top_k(gm, G)
+        return _stage_b(
+            q, rescore_i8, rescore_scales, gidx, k, sg, row_mask, recency
+        )
+
+    sg = STAGE_GROUP
+    g = n // sg
+    G = min(g, max(k, -(-overfetch // sg)))
+
+    # Stage A is query-tiled as well: its (tile_a, g) group-max output is
+    # the largest intermediate (g = n/16 — 5 GB at b=2048 x 10M rows,
+    # a measured OOM), while re-reading the d' projected corpus per tile
+    # costs single-digit ms against the stage's matmul compute.
+    tile_a = b
+    while tile_a > 8 and tile_a * g * 4 > (1 << 30):
+        tile_a //= 2
+    if b % tile_a:
+        tile_a = b
+    n_chunks = _pick_chunks(tile_a, n, STAGE_GROUP)
+    if tile_a == b:
+        gidx = _stage_a(
+            p_dev, a_i8, a_scales, q, G, n_chunks, row_mask, recency
+        )
+    else:
+        gidx = jnp.concatenate(
+            [
+                _stage_a(
+                    p_dev, a_i8, a_scales, q[lo : lo + tile_a], G,
+                    n_chunks, row_mask, recency,
+                )
+                for lo in range(0, b, tile_a)
+            ],
+            axis=0,
+        )
+    return _stage_b(
+        q, rescore_i8, rescore_scales, gidx, k, sg, row_mask, recency
     )
 
-    # tile height: gathered (tile, G*16, d) f32 stays under ~1 GB
+
+def _stage_b(q, rescore_i8, rescore_scales, gidx, k, sg, row_mask, recency):
+    """Query-tiled exact rescore of the winning groups (host loop)."""
+    b = q.shape[0]
+    d = rescore_i8.shape[1]
+    G = gidx.shape[1]
+    # tile height: gathered (tile, G*sg, d) f32 stays under ~1 GB
     tile = b
-    while tile > 8 and tile * G * STAGE_GROUP * d * 4 > (1 << 30):
+    while tile > 8 and tile * G * sg * d * 4 > (1 << 30):
         tile //= 2
     if b % tile:
         tile = b
@@ -371,7 +428,7 @@ def projscan_search(
     for lo in range(0, b, tile):
         vt, it = _stage_b_tile(
             q[lo : lo + tile], rescore_i8, rescore_scales,
-            gidx[lo : lo + tile], k, row_mask, recency,
+            gidx[lo : lo + tile], k, sg, row_mask, recency,
         )
         vals_parts.append(vt)
         idx_parts.append(it)
