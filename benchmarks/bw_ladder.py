@@ -316,6 +316,53 @@ def probe_peak_matmul_int8():
           "tops": round(tops, 1)})
 
 
+def probe_dispatch_overlap():
+    """Do independent device programs overlap on this platform?
+
+    The size sweep isolates a ~1.5 ms fixed per-dispatch cost. If two
+    INDEPENDENT chained streams (disjoint data, disjoint dependency
+    chains) interleave in less than 2x one stream's time, the runtime
+    pipelines dispatches and serving can hide the tax by double-buffering
+    query batches; if not, the tax is serial and bigger batches are the
+    only lever."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    mk = lambda seed: jnp.asarray(  # noqa: E731
+        np.random.default_rng(seed).standard_normal((N_PAD // 2, D),
+                                                    dtype=np.float32),
+        jnp.bfloat16,
+    )
+    r1, r2 = mk(1), mk(2)
+    q = jnp.zeros((8, 128), jnp.bfloat16)
+
+    @jax.jit
+    def sq_sum(qq, rr):
+        r32 = rr.astype(jnp.float32)
+        return (jnp.sum(r32 * r32) + qq[0, 0].astype(jnp.float32))[None]
+
+    single = timed(sq_sum, q, r1)
+    emit({"probe": "overlap_single", "ms": round(single * 1e3, 3)})
+
+    # interleave two independent chains; total wall / iteration pair
+    sq_sum(q, r2)  # compile settle for the second operand
+    best = float("inf")
+    for _ in range(3):
+        a1 = jnp.zeros((), jnp.bfloat16)
+        a2 = jnp.zeros((), jnp.bfloat16)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            o1 = sq_sum(q + a1 * 0, r1)
+            o2 = sq_sum(q + a2 * 0, r2)
+            a1 = o1.reshape(-1)[0].astype(jnp.bfloat16)
+            a2 = o2.reshape(-1)[0].astype(jnp.bfloat16)
+        float(a1); float(a2)
+        best = min(best, (time.perf_counter() - t0) / 20)
+    emit({"probe": "overlap_pair", "ms_per_pair": round(best * 1e3, 3),
+          "overlap_ratio": round(best / (2 * single), 3)})
+
+
 def probe_size_sweep():
     """Same reduce at 0.4 / 0.8 / 1.6 / 3.2 GB: a fixed per-dispatch
     overhead shows as GB/s rising with size; a hard cap shows flat."""
@@ -344,6 +391,7 @@ PROBES = {
     "peak_matmul": probe_peak_matmul,
     "peak_matmul_int8": probe_peak_matmul_int8,
     "size_sweep": probe_size_sweep,
+    "dispatch_overlap": probe_dispatch_overlap,
     "reduce": lambda: probe_reduce("bfloat16"),
     "reduce_int8": lambda: probe_reduce("int8"),
     "reduce_f32": lambda: probe_reduce("float32"),
