@@ -53,13 +53,17 @@ def timed(fn, *args, iters=15, trials=3):
     out = fn(*args)
     jax.tree_util.tree_map(np.asarray, out)
     best = float("inf")
+    # the chained accumulator must keep the query operand's dtype: an f32
+    # acc would promote bf16 queries and time (and mid-loop compile) a
+    # kernel the engine never runs (review r3)
+    q_dtype = args[0].dtype
     for _ in range(trials):
-        acc = jnp.zeros((), jnp.float32)
+        acc = jnp.zeros((), q_dtype)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(args[0] + acc * 0, *args[1:])
             leaf = out[0] if isinstance(out, (tuple, list)) else out
-            acc = leaf.reshape(-1)[0].astype(jnp.float32)
+            acc = leaf.reshape(-1)[0].astype(q_dtype)
         float(acc)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best, out

@@ -405,6 +405,9 @@ class HyperDB:
                 plane,
                 num_rows=int(dv["n_pad"]),
                 d_prime=_CONFIG.projscan_dprime,
+                # pad rows must never surface from probe(): the engine
+                # indexes source_indices with its output (review r3)
+                num_valid=int(self._store.num_rows),
             )
             self._ivf_built_rows = int(self.vectors.shape[0])
             return

@@ -86,14 +86,25 @@ class ProjScanIndex:
     is_ann = True
     kind = "projscan"
 
-    def __init__(self, proj: np.ndarray, a_i8, a_scales, num_rows: int):
+    def __init__(self, proj: np.ndarray, a_i8, a_scales, num_rows: int,
+                 num_valid: int | None = None):
         self.proj = np.asarray(proj, dtype=np.float32)
         self.p_dev = jnp.asarray(self.proj)
         self.a_i8 = a_i8
         self.a_scales = a_scales
-        self.num_rows = int(num_rows)
+        self.num_rows = int(num_rows)  # the padded row space
+        # real (non-pad) rows: pad rows quantize to zero scores and would
+        # otherwise surface from probe() whenever budget >= real rows or
+        # real similarities go negative — and the engine then indexes
+        # source_indices out of bounds (review r3 finding)
+        self.num_valid = int(num_valid if num_valid is not None else num_rows)
         self.d = int(self.proj.shape[0])
         self.d_prime = int(self.proj.shape[1])
+        self._valid_mask = (
+            None
+            if self.num_valid >= self.num_rows
+            else jnp.asarray(np.arange(self.num_rows) < self.num_valid)
+        )
 
     # ------------------------------------------------------------ build
 
@@ -106,6 +117,7 @@ class ProjScanIndex:
         sample: int = 1 << 17,
         chunk: int = 1 << 20,
         seed: int = 0,
+        num_valid: int | None = None,
     ) -> "ProjScanIndex":
         """Build from an (n_pad, d) device corpus (any float dtype or a
         (v_i8, v_scales) tuple) without materializing it on host: a strided
@@ -151,7 +163,7 @@ class ProjScanIndex:
             parts_s.append(sc)
         a_i8 = jnp.concatenate(parts_q, axis=0) if len(parts_q) > 1 else parts_q[0]
         a_sc = jnp.concatenate(parts_s, axis=0) if len(parts_s) > 1 else parts_s[0]
-        return cls(proj, a_i8, a_sc, num_rows)
+        return cls(proj, a_i8, a_sc, num_rows, num_valid=num_valid)
 
     @classmethod
     def build(cls, rows: np.ndarray, d_prime: int = 96, seed: int = 0):
@@ -202,9 +214,12 @@ class ProjScanIndex:
         qa = jnp.dot(
             jnp.asarray(q), self.p_dev, preferred_element_type=jnp.float32
         )
-        k = max(1, min(int(budget), self.num_rows))
-        _, idx = rank_top_k_int8(qa, self.a_i8, self.a_scales, k=k)
-        return np.asarray(idx[0])
+        k = max(1, min(int(budget), self.num_valid))
+        _, idx = rank_top_k_int8(
+            qa, self.a_i8, self.a_scales, k=k, row_mask=self._valid_mask
+        )
+        out = np.asarray(idx[0])
+        return out[out < self.num_valid]
 
     # ----------------------------------------------------------- persist
 
@@ -215,6 +230,7 @@ class ProjScanIndex:
             "a_i8": np.asarray(self.a_i8),
             "a_scales": np.asarray(self.a_scales),
             "num_rows": np.asarray(self.num_rows),
+            "num_valid": np.asarray(self.num_valid),
         }
 
     @classmethod
@@ -224,6 +240,7 @@ class ProjScanIndex:
             jnp.asarray(state["a_i8"]),
             jnp.asarray(state["a_scales"]),
             int(state["num_rows"]),
+            num_valid=int(state.get("num_valid", state["num_rows"])),
         )
 
 
@@ -390,8 +407,8 @@ def projscan_search(
     tile_a = b
     while tile_a > 8 and tile_a * g * 4 > (1 << 30):
         tile_a //= 2
-    if b % tile_a:
-        tile_a = b
+    # ragged last tile (one extra compile) beats reverting to the full
+    # batch, which would silently bypass the OOM bound (review r3)
     n_chunks = _pick_chunks(tile_a, n, STAGE_GROUP)
     if tile_a == b:
         gidx = _stage_a(
@@ -418,12 +435,11 @@ def _stage_b(q, rescore_i8, rescore_scales, gidx, k, sg, row_mask, recency):
     b = q.shape[0]
     d = rescore_i8.shape[1]
     G = gidx.shape[1]
-    # tile height: gathered (tile, G*sg, d) f32 stays under ~1 GB
+    # tile height: gathered (tile, G*sg, d) f32 stays under ~1 GB;
+    # the last tile may be ragged (one extra program shape)
     tile = b
     while tile > 8 and tile * G * sg * d * 4 > (1 << 30):
         tile //= 2
-    if b % tile:
-        tile = b
     vals_parts, idx_parts = [], []
     for lo in range(0, b, tile):
         vt, it = _stage_b_tile(

@@ -163,8 +163,6 @@ class ShardedHyperDB:
         # would silently desynchronize row ids, so queries check this
         # fingerprint and demand a rebuild instead.
         self._built_state = (len(db.documents), len(db.source_indices))
-        # per-override-shape cache of sharded key-filter programs' padding
-        self._override_pad_cache: dict = {}
 
     def _quantize_device_shards(self, f32, f32_norm):
         """Quantize already-sharded device rows shard-locally (per-row
@@ -301,8 +299,13 @@ class ShardedHyperDB:
         victims = np.isin(rd, removed_arr)
         self._base_valid[: self.n] &= ~victims
         # doc id x shifts down by the number of removed ids below it
-        # (victim rows get a garbage id but are invalid forever)
-        self.row_docs[: self.n] = rd - np.searchsorted(removed_arr, rd, side="left")
+        renumbered = rd - np.searchsorted(removed_arr, rd, side="left")
+        # victims are invalid forever, but _row_mask gathers doc masks for
+        # EVERY row — a victim keeping a shifted id equal to the new
+        # num_docs (removing the last doc) would IndexError every later
+        # query, so pin tombstoned rows to the always-in-range id 0
+        renumbered[victims] = 0
+        self.row_docs[: self.n] = renumbered
         self.db.remove_document(removed)
         self._built_state = (
             len(self.db.documents),
@@ -316,6 +319,12 @@ class ShardedHyperDB:
         it as its own row-sharded block (see query_batch)."""
         db = self.db
         num_docs = len(db.documents)
+        if num_docs == 0:
+            # every row is a tombstone (e.g. all documents removed): no
+            # doc-level mask exists to gather through
+            return np.zeros(self.n_pad, dtype=bool), (
+                np.zeros(0, dtype=bool), None,
+            )
         mask = np.ones(num_docs, dtype=bool)
         override = None
         if filters:

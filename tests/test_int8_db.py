@@ -136,3 +136,28 @@ def test_projscan_save_load_roundtrip(tmp_path, monkeypatch):
     assert new_db.ann_index.d_prime == 16
     res = new_db.query(v[3], top_k=3)
     assert res[0][0]["i"] == 3
+
+
+def test_projscan_probe_never_returns_pad_rows(monkeypatch):
+    """probe() must mask the padded tail (review r3: pad rows surfaced
+    whenever budget >= real rows, and the engine then indexed
+    source_indices out of bounds on every single-query db.query())."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.index.projscan import ProjScanIndex
+
+    monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
+    monkeypatch.setattr(CONFIG, "projscan_dprime", 16)
+    rng = np.random.default_rng(9)
+    n = 300  # pads to 320 on the bucket ladder
+    v = rng.standard_normal((n, 32)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v,
+                 device_precision="int8-pure")
+    assert isinstance(db.ann_index, ProjScanIndex)
+    assert db.ann_index.num_valid == n
+
+    cand = db.ann_index.probe(v[0], budget=10_000)  # budget >> rows
+    assert cand.size and cand.max() < n
+
+    # the engine's single-query ANN pre-filter path end to end
+    res = db.query(v[17] + 0.01, top_k=20)
+    assert len(res) == 20 and res[0][0]["i"] == 17

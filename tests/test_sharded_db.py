@@ -454,3 +454,22 @@ def test_key_filter_single_query_cache(mesh):
     r2 = sdb.query(q, top_k=3, filters=[("key", "name")])
     assert [r[2] for r in r1] == [r[2] for r in r2]
     assert db.cache_hits >= 1
+
+
+def test_remove_last_document_keeps_serving(mesh):
+    """Tombstoned rows must never carry a doc id == the new num_docs
+    (review r3: removing the LAST document bricked every later query)."""
+    rng = np.random.default_rng(20)
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=1024)
+    sdb.remove_document(63)  # the highest index
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    got = sdb.query_batch(q, top_k=5)[0]
+    want = ShardedHyperDB(db, mesh).query_batch(q, top_k=5)[0]
+    assert [r[2] for r in got] == [r[2] for r in want]
+    assert all(doc["i"] != 63 for doc, *_ in got)
+
+    # removing EVERY document leaves an empty (but unbricked) serving plane
+    sdb.remove_document(list(range(len(db.documents))))
+    assert sdb.query_batch(q, top_k=3) == [[]]
