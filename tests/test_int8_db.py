@@ -161,3 +161,28 @@ def test_projscan_probe_never_returns_pad_rows(monkeypatch):
     # the engine's single-query ANN pre-filter path end to end
     res = db.query(v[17] + 0.01, top_k=20)
     assert len(res) == 20 and res[0][0]["i"] == 17
+
+
+def test_projscan_rebuilds_after_mutation(monkeypatch):
+    """ProjScan has no incremental add_rows: mutations must rebuild the
+    index (stale projected rows would desynchronize from the store)."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.index.projscan import ProjScanIndex
+
+    monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
+    monkeypatch.setattr(CONFIG, "projscan_dprime", 32)
+    db, v = _db("int8-pure")
+    first = db.ann_index
+    assert isinstance(first, ProjScanIndex)
+
+    rng = np.random.default_rng(3)
+    extra = rng.standard_normal((4, 32)).astype(np.float32)
+    db.add([{"i": 300 + j} for j in range(4)], vectors=extra)
+    assert isinstance(db.ann_index, ProjScanIndex)
+    assert db.ann_index is not first  # rebuilt, not grafted
+    res = db.query(extra[2], top_k=1)
+    assert res[0][0]["i"] == 302
+
+    db.remove_document([0, 1])
+    res = db.query(extra[2], top_k=1)
+    assert res[0][0]["i"] == 302

@@ -473,3 +473,42 @@ def test_remove_last_document_keeps_serving(mesh):
     # removing EVERY document leaves an empty (but unbricked) serving plane
     sdb.remove_document(list(range(len(db.documents))))
     assert sdb.query_batch(q, top_k=3) == [[]]
+
+
+def test_model_based_incremental_lifecycle(mesh):
+    """Random interleavings of add/remove/query against the oracle (a
+    fresh ShardedHyperDB over the same mutated host db) — the incremental
+    plane must be indistinguishable from a rebuild at every step."""
+    rng = np.random.default_rng(42)
+    v = rng.standard_normal((40, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(40)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=2048)
+    next_id = 40
+    for step in range(12):
+        op = rng.choice(["add", "remove", "query"])
+        if op == "add":
+            m = int(rng.integers(1, 4))
+            sdb.add(
+                [{"i": next_id + j} for j in range(m)],
+                vectors=rng.standard_normal((m, 16)).astype(np.float32),
+            )
+            next_id += m
+        elif op == "remove" and len(db.documents) > 5:
+            victim = sorted(
+                set(rng.integers(0, len(db.documents), size=2).tolist())
+            )
+            sdb.remove_document(victim)
+        else:
+            q = rng.standard_normal((2, 16)).astype(np.float32)
+            got = sdb.query_batch(q, top_k=4)
+            want = ShardedHyperDB(db, mesh).query_batch(q, top_k=4)
+            assert [[r[2] for r in row] for row in got] == [
+                [r[2] for r in row] for row in want
+            ], f"diverged at step {step}"
+    # final sweep
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    got = sdb.query_batch(q, top_k=5)
+    want = ShardedHyperDB(db, mesh).query_batch(q, top_k=5)
+    assert [[r[2] for r in row] for row in got] == [
+        [r[2] for r in row] for row in want
+    ]
