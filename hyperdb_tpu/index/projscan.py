@@ -45,15 +45,41 @@ from hyperdb_tpu.ops.quantized import (
 
 NEG_INF = float("-inf")
 
+# Below this captured-variance fraction the reduced-rank stage A is
+# measurably lossy at serving overfetch budgets (flat-spectrum 10M runs:
+# 1/6 captured -> 0.19-0.41 recall@10) — warn at build so the opt-in is
+# informed, not silent.
+FLAT_SPECTRUM_WARN = 0.5
+
+
+def _warn_if_flat(captured: float, d_prime: int, d: int) -> None:
+    if d_prime < d and captured < FLAT_SPECTRUM_WARN:
+        from hyperdb_tpu.utils.log import warn
+
+        warn(
+            "INFO: projscan stage-A keeps "
+            f"{100.0 * captured:.0f}% of corpus variance at d'={d_prime} "
+            "(flat spectrum) — recall will be poor; prefer the exact scan "
+            "(unset HYPERDB_PROJSCAN_THRESHOLD) or raise "
+            "HYPERDB_PROJSCAN_DPRIME/OVERFETCH"
+        )
+
 
 def fit_projection(
     sample_rows: np.ndarray, d_prime: int, seed: int = 0
-) -> np.ndarray:
+) -> tuple[np.ndarray, float]:
     """(d, d') PCA projection from a host row sample (d x d covariance on
     the sample; eigh host-side — d is hundreds, the decomposition is free).
 
+    Returns ``(p, captured)`` where ``captured`` is the fraction of the
+    sample's total variance the top-d' directions carry — the build-time
+    predictor of stage-A recall (measured: a flat spectrum at d'=128/768
+    keeps 1/6 of the variance and recall@10 lands at 0.19-0.41 even with
+    4096-row overfetch; see BASELINE.md projscan_crossover).
+
     Ties/degenerate spectra fall back to orthonormalized Gaussian columns
-    so the projection is always full rank."""
+    so the projection is always full rank (captured reported as the
+    isotropic d'/d in that case)."""
     x = np.asarray(sample_rows, dtype=np.float32)
     d = x.shape[1]
     d_prime = min(d_prime, d)
@@ -61,10 +87,15 @@ def fit_projection(
     try:
         w, v = np.linalg.eigh(cov)  # ascending
         p = v[:, ::-1][:, :d_prime]
+        total = float(np.sum(w))
+        captured = (
+            float(np.sum(w[::-1][:d_prime])) / total if total > 0 else 1.0
+        )
     except np.linalg.LinAlgError:
         rng = np.random.default_rng(seed)
         p, _ = np.linalg.qr(rng.standard_normal((d, d_prime)))
-    return np.ascontiguousarray(p, dtype=np.float32)
+        captured = d_prime / d
+    return np.ascontiguousarray(p, dtype=np.float32), float(captured)
 
 
 @jax.jit
@@ -87,8 +118,14 @@ class ProjScanIndex:
     kind = "projscan"
 
     def __init__(self, proj: np.ndarray, a_i8, a_scales, num_rows: int,
-                 num_valid: int | None = None):
+                 num_valid: int | None = None,
+                 captured_variance: float | None = None):
         self.proj = np.asarray(proj, dtype=np.float32)
+        # fraction of corpus variance the projection keeps (None when the
+        # index predates the diagnostic); the build-time recall predictor
+        self.captured_variance = (
+            None if captured_variance is None else float(captured_variance)
+        )
         self.p_dev = jnp.asarray(self.proj)
         self.a_i8 = a_i8
         self.a_scales = a_scales
@@ -147,7 +184,8 @@ class ProjScanIndex:
                 for lo in range(0, num_rows, max(4096, num_rows // 64))
             ]
         )
-        proj = fit_projection(host_sample, d_prime, seed=seed)
+        proj, captured = fit_projection(host_sample, d_prime, seed=seed)
+        _warn_if_flat(captured, proj.shape[1], d)
         p_dev = jnp.asarray(proj)
 
         @jax.jit
@@ -163,17 +201,22 @@ class ProjScanIndex:
             parts_s.append(sc)
         a_i8 = jnp.concatenate(parts_q, axis=0) if len(parts_q) > 1 else parts_q[0]
         a_sc = jnp.concatenate(parts_s, axis=0) if len(parts_s) > 1 else parts_s[0]
-        return cls(proj, a_i8, a_sc, num_rows, num_valid=num_valid)
+        return cls(proj, a_i8, a_sc, num_rows, num_valid=num_valid,
+                   captured_variance=captured)
 
     @classmethod
     def build(cls, rows: np.ndarray, d_prime: int = 96, seed: int = 0):
         """Host build (small/medium corpora, tests)."""
         rows = np.asarray(rows, dtype=np.float32)
         n = rows.shape[0]
-        proj = fit_projection(rows[:: max(1, n // (1 << 16))], d_prime, seed)
+        proj, captured = fit_projection(
+            rows[:: max(1, n // (1 << 16))], d_prime, seed
+        )
+        _warn_if_flat(captured, proj.shape[1], rows.shape[1])
         a = rows @ proj
         a_i8, a_sc = quantize_rows(a)
-        return cls(proj, jnp.asarray(a_i8), jnp.asarray(a_sc), n)
+        return cls(proj, jnp.asarray(a_i8), jnp.asarray(a_sc), n,
+                   captured_variance=captured)
 
     # ------------------------------------------------------------ search
 
@@ -231,16 +274,22 @@ class ProjScanIndex:
             "a_scales": np.asarray(self.a_scales),
             "num_rows": np.asarray(self.num_rows),
             "num_valid": np.asarray(self.num_valid),
+            "captured_variance": np.asarray(
+                -1.0 if self.captured_variance is None
+                else self.captured_variance
+            ),
         }
 
     @classmethod
     def from_state(cls, state: dict) -> "ProjScanIndex":
+        cv = float(state.get("captured_variance", -1.0))
         return cls(
             state["proj"],
             jnp.asarray(state["a_i8"]),
             jnp.asarray(state["a_scales"]),
             int(state["num_rows"]),
             num_valid=int(state.get("num_valid", state["num_rows"])),
+            captured_variance=None if cv < 0 else cv,
         )
 
 

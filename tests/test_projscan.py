@@ -128,6 +128,40 @@ def test_state_roundtrip():
 
 def test_projection_shapes_and_orthogonality():
     v = _clustered(1024, 48, seed=7)
-    p = fit_projection(v, 12)
+    p, captured = fit_projection(v, 12)
     assert p.shape == (48, 12)
     np.testing.assert_allclose(p.T @ p, np.eye(12), atol=1e-4)
+    assert 0.0 < captured <= 1.0
+
+
+def test_captured_variance_separates_spectra(capsys):
+    """The build-time diagnostic predicts the measured regimes: decaying
+    spectrum -> high captured fraction, isotropic -> ~d'/d and a build
+    warning (BASELINE.md projscan_crossover is the on-chip ground truth)."""
+    rng = np.random.default_rng(11)
+    d, dp = 64, 8
+    iso = rng.standard_normal((2048, d)).astype(np.float32)
+    decay = iso * ((1.0 + np.arange(d)) ** -0.75)[None, :].astype(np.float32)
+
+    _, cap_iso = fit_projection(iso, dp)
+    _, cap_decay = fit_projection(decay, dp)
+    assert abs(cap_iso - dp / d) < 0.1
+    assert cap_decay > 0.6 > cap_iso
+
+    idx = ProjScanIndex.build(iso, d_prime=dp)
+    out = capsys.readouterr().out
+    assert "flat spectrum" in out
+    assert idx.captured_variance is not None and idx.captured_variance < 0.5
+
+    idx2 = ProjScanIndex.build(decay, d_prime=dp)
+    assert "flat spectrum" not in capsys.readouterr().out
+    assert idx2.captured_variance > 0.6
+
+    # diagnostic survives persistence (old states without it load as None)
+    st = idx2.state()
+    assert (
+        ProjScanIndex.from_state(st).captured_variance
+        == idx2.captured_variance
+    )
+    st.pop("captured_variance")
+    assert ProjScanIndex.from_state(st).captured_variance is None
