@@ -22,6 +22,16 @@ def _env_int(name: str, default: int):
     return field(default_factory=read)
 
 
+def _env_float(name: str, default: float):
+    def read() -> float:
+        try:
+            return float(os.environ.get(name, default))
+        except ValueError:
+            return default
+
+    return field(default_factory=read)
+
+
 @dataclass
 class EngineConfig:
     # Corpora with at least this many rows build an IVF index at ingest and
@@ -49,6 +59,14 @@ class EngineConfig:
     # Stage-A rank (projected dimension) and candidate overfetch per query.
     projscan_dprime: int = _env_int("HYPERDB_PROJSCAN_DPRIME", 96)
     projscan_overfetch: int = _env_int("HYPERDB_PROJSCAN_OVERFETCH", 256)
+    # Decline the projscan build (exact scan instead) when the top-d' PCA
+    # directions capture less than this fraction of the sample variance:
+    # the cheap build-time spectrum check predicts stage-A recall
+    # (measured flat-spectrum floor: 1/6 captured -> 0.19-0.41 recall@10,
+    # BASELINE.md projscan_crossover). 0 disables the gate.
+    projscan_min_variance: float = _env_float(
+        "HYPERDB_PROJSCAN_MIN_VARIANCE", 0.5
+    )
     # Token window for document chunking (reference MAX_LENGTH=510).
     max_tokens: int = _env_int("HYPERDB_MAX_TOKENS", 510)
     # Default embedding dimension for the hermetic hash encoder.

@@ -392,6 +392,16 @@ class HyperDB:
             # planes; stage B rescores against those planes at query time.
             from hyperdb_tpu.index.projscan import ProjScanIndex
 
+            # a flat-spectrum decline stands until the corpus outgrows the
+            # probed sample by 50% (same growth rule as the IVF rebuild):
+            # re-probing on every mutation would pull the host sample over
+            # the tunnel each add for a corpus already measured unsuitable
+            declined = int(getattr(self, "_projscan_declined_rows", 0))
+            if declined and self.vectors.shape[0] <= int(declined * 1.5):
+                self.ann_index = None
+                self._ivf_built_rows = 0
+                return
+
             dv = self._store.device_view(self.source_indices)
             # project the plane the query path scores (cosine/angular ->
             # normalized rows, dot -> raw rows) so stage-A ranking and
@@ -408,7 +418,15 @@ class HyperDB:
                 # pad rows must never surface from probe(): the engine
                 # indexes source_indices with its output (review r3)
                 num_valid=int(self._store.num_rows),
+                # decline flat spectra (exact scan instead): captured
+                # variance predicts stage-A recall (BASELINE.md)
+                min_variance=_CONFIG.projscan_min_variance or None,
             )
+            if self.ann_index is None:
+                self._projscan_declined_rows = int(self.vectors.shape[0])
+                self._ivf_built_rows = 0
+                return
+            self._projscan_declined_rows = 0
             self._ivf_built_rows = int(self.vectors.shape[0])
             return
         if self.vectors.shape[0] >= IVF_THRESHOLD:

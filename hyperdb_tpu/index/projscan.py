@@ -155,11 +155,18 @@ class ProjScanIndex:
         chunk: int = 1 << 20,
         seed: int = 0,
         num_valid: int | None = None,
-    ) -> "ProjScanIndex":
+        min_variance: float | None = None,
+    ) -> "ProjScanIndex | None":
         """Build from an (n_pad, d) device corpus (any float dtype or a
         (v_i8, v_scales) tuple) without materializing it on host: a strided
         row sample fits the projection, then the corpus projects and
-        quantizes on device chunk by chunk."""
+        quantizes on device chunk by chunk.
+
+        ``min_variance``: decline the build (return None) when the top-d'
+        directions capture less than this fraction of the sample variance —
+        the spectrum check costs only the sample + a d x d eigh, so a
+        flat-spectrum corpus never pays for (or serves from) a projected
+        plane whose recall is known-poor (BASELINE.md projscan_crossover)."""
         dequant = isinstance(rows_dev, tuple)
         n_pad = int(rows_dev[0].shape[0] if dequant else rows_dev.shape[0])
         d = int(rows_dev[0].shape[1] if dequant else rows_dev.shape[1])
@@ -186,6 +193,15 @@ class ProjScanIndex:
         )
         proj, captured = fit_projection(host_sample, d_prime, seed=seed)
         _warn_if_flat(captured, proj.shape[1], d)
+        if min_variance is not None and captured < min_variance:
+            from hyperdb_tpu.utils.log import info
+
+            info(
+                "INFO: projscan declined — captured variance "
+                f"{100.0 * captured:.0f}% < min {100.0 * min_variance:.0f}%; "
+                "using the exact scan"
+            )
+            return None
         p_dev = jnp.asarray(proj)
 
         @jax.jit

@@ -125,6 +125,9 @@ def test_projscan_save_load_roundtrip(tmp_path, monkeypatch):
 
     monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
     monkeypatch.setattr(CONFIG, "projscan_dprime", 16)
+    # gate off: this test exercises persistence plumbing on iid data,
+    # whose d'=16/32 captured variance sits exactly at the 0.5 boundary
+    monkeypatch.setattr(CONFIG, "projscan_min_variance", 0.0)
     db, v = _db("int8-pure")
     assert isinstance(db.ann_index, ProjScanIndex)
     path = str(tmp_path / "db.pickle")
@@ -147,6 +150,7 @@ def test_projscan_probe_never_returns_pad_rows(monkeypatch):
 
     monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
     monkeypatch.setattr(CONFIG, "projscan_dprime", 16)
+    monkeypatch.setattr(CONFIG, "projscan_min_variance", 0.0)
     rng = np.random.default_rng(9)
     n = 300  # pads to 320 on the bucket ladder
     v = rng.standard_normal((n, 32)).astype(np.float32)
@@ -157,6 +161,35 @@ def test_projscan_probe_never_returns_pad_rows(monkeypatch):
 
     cand = db.ann_index.probe(v[0], budget=10_000)  # budget >> rows
     assert cand.size and cand.max() < n
+
+
+def test_projscan_declines_flat_spectrum(capsys, monkeypatch):
+    """An opted-in db whose corpus spectrum is flat gets the EXACT scan,
+    not a known-poor-recall projected index (the on-chip ground truth:
+    0.19-0.41 recall@10 at 10M, BASELINE.md projscan_crossover) — and the
+    decline is cached until the corpus outgrows the probe by 50%."""
+    from hyperdb_tpu.config import CONFIG
+
+    monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
+    monkeypatch.setattr(CONFIG, "projscan_dprime", 4)  # 4/32 iid: ~12%
+    rng = np.random.default_rng(13)
+    v = rng.standard_normal((300, 32)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(len(v))],
+                 vectors=v, device_precision="int8-pure")
+    assert db.ann_index is None
+    assert "projscan declined" in capsys.readouterr().out
+    # queries serve through the exact int8-pure scan
+    assert db.query(v[7], top_k=1)[0][0]["i"] == 7
+
+    # a small append must NOT re-probe (the decline is cached)
+    import hyperdb_tpu.index.projscan as ps
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if called
+        raise AssertionError("re-probed a declined corpus before 1.5x growth")
+
+    monkeypatch.setattr(ps.ProjScanIndex, "build_from_device_rows", boom)
+    db.add_document({"i": 300}, vectors=v[0])
+    assert db.ann_index is None
 
     # the engine's single-query ANN pre-filter path end to end
     res = db.query(v[17] + 0.01, top_k=20)
