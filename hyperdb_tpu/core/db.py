@@ -1375,21 +1375,14 @@ class HyperDB:
                     if preload_ann_into_memory:
                         self._preload_into_memory(str(storage_file))
                     return
-                if state.get("kind") == "ivf":
-                    from hyperdb_tpu.index.ivf import IVFIndex
+                from hyperdb_tpu.index import index_from_state
 
-                    self.ann_index = IVFIndex.from_state(state)
+                self.ann_index = index_from_state(state)
+                if getattr(self.ann_index, "is_ann", False):
                     # record the restored build size so the next add takes
                     # the incremental add_rows path instead of a full
                     # k-means rebuild (the whole point of persisting it)
                     self._ivf_built_rows = int(self.ann_index.num_rows)
-                elif state.get("kind") == "projscan":
-                    from hyperdb_tpu.index.projscan import ProjScanIndex
-
-                    self.ann_index = ProjScanIndex.from_state(state)
-                    self._ivf_built_rows = int(self.ann_index.num_rows)
-                else:
-                    self.ann_index = FlatIndex.from_state(state)
         except Exception as e:
             raise RuntimeError(f"An exception occurred during ANN index load: {e}")
         if preload_ann_into_memory:

@@ -294,6 +294,12 @@ class ShardedHyperDB:
         if isinstance(indices, int):
             indices = [indices]
         removed = sorted(set(int(i) for i in indices))
+        # host db first: it validates the indices (pop on the largest id
+        # runs first and raises before mutating anything), so a bad id
+        # cannot leave device tombstones without the matching host removal
+        # (review r3: the old order desynced row_docs from documents on a
+        # host-side failure, invisibly to the fingerprint check)
+        self.db.remove_document(removed)
         removed_arr = np.asarray(removed, dtype=np.int64)
         rd = self.row_docs[: self.n]
         victims = np.isin(rd, removed_arr)
@@ -306,7 +312,6 @@ class ShardedHyperDB:
         # query, so pin tombstoned rows to the always-in-range id 0
         renumbered[victims] = 0
         self.row_docs[: self.n] = renumbered
-        self.db.remove_document(removed)
         self._built_state = (
             len(self.db.documents),
             len(self.db.source_indices),

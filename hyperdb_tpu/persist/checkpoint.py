@@ -159,17 +159,13 @@ def load_checkpoint(
     if load_ann_index and load_vectors:
         if os.path.exists(index_path):
             from hyperdb_tpu.core.db import _unflatten_state
-            from hyperdb_tpu.index.flat import FlatIndex
+            from hyperdb_tpu.index import index_from_state
 
             with np.load(index_path, allow_pickle=False) as f:
                 istate = _unflatten_state(dict(f.items()))
-            if istate.get("kind") == "ivf":
-                from hyperdb_tpu.index.ivf import IVFIndex
-
-                db.ann_index = IVFIndex.from_state(istate)
+            db.ann_index = index_from_state(istate)
+            if getattr(db.ann_index, "is_ann", False):
                 db._ivf_built_rows = int(db.ann_index.num_rows)
-            else:
-                db.ann_index = FlatIndex.from_state(istate)
         else:
             db._build_ann_index()
     else:

@@ -160,6 +160,33 @@ def test_checkpoint_sharded_roundtrip(tmp_path):
     assert res[0][0]["i"] == 7
 
 
+def test_checkpoint_roundtrip_projscan_index(tmp_path, monkeypatch):
+    """The checkpoint format round-trips a projscan-indexed db (review r3:
+    the checkpoint loader's kind dispatch missed 'projscan' and crashed
+    with KeyError inside FlatIndex.from_state — for exactly the
+    large-corpus dbs the format recommends itself for)."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.index.projscan import ProjScanIndex
+
+    monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
+    monkeypatch.setattr(CONFIG, "projscan_dprime", 16)
+    monkeypatch.setattr(CONFIG, "projscan_min_variance", 0.0)
+    rng = np.random.default_rng(21)
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(len(v))], vectors=v,
+                 device_precision="int8-pure")
+    assert isinstance(db.ann_index, ProjScanIndex)
+    path = str(tmp_path / "ckpt_ps")
+    db.save(path, format="checkpoint")
+
+    new_db = HyperDB(device_precision="int8-pure")
+    new_db.load(path, format="checkpoint")
+    assert isinstance(new_db.ann_index, ProjScanIndex)
+    assert new_db.ann_index.d_prime == db.ann_index.d_prime
+    assert new_db._ivf_built_rows == new_db.ann_index.num_rows
+    assert new_db.query(v[3], top_k=1)[0][0]["i"] == 3
+
+
 def test_foreign_ann_sidecar_warns_and_rebuilds(tmp_path, capsys):
     """A reference-produced save leaves an Annoy-format binary `.ann` next
     to the pickle (reference hyperdb.py:769,796-801 — default on). Loading

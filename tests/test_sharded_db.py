@@ -360,6 +360,34 @@ def test_incremental_remove_tombstones(mesh):
     assert not ({3, 10, 60} & set(flat))
 
 
+def test_remove_invalid_index_mutates_nothing(mesh):
+    """An out-of-range doc id raises BEFORE any state moves (review r3:
+    the old order tombstoned device rows and renumbered row_docs first,
+    so the host IndexError left a silent, fingerprint-invisible desync —
+    later queries dropped the victim doc and returned wrong documents
+    for every shifted row)."""
+    import pytest
+
+    rng = np.random.default_rng(17)
+    v = rng.standard_normal((32, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(32)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=1024)
+    before_docs = list(db.documents)
+    before_rowdocs = sdb.row_docs.copy()
+    before_valid = sdb._base_valid.copy()
+
+    with pytest.raises(IndexError):
+        sdb.remove_document([5, 99])
+
+    assert db.documents == before_docs
+    np.testing.assert_array_equal(sdb.row_docs, before_rowdocs)
+    np.testing.assert_array_equal(sdb._base_valid, before_valid)
+    # still serving, doc 5 included
+    q = (v[5] + 0.01).astype(np.float32)[None, :]
+    got = sdb.query_batch(q, top_k=1)
+    assert got[0][0][0]["i"] == 5
+
+
 def test_incremental_mixed_lifecycle_chunked(mesh):
     """adds and removes interleaved over a CHUNKED corpus stay exact."""
     db = HyperDB()
