@@ -98,11 +98,6 @@ def fit_projection(
     return np.ascontiguousarray(p, dtype=np.float32), float(captured)
 
 
-@jax.jit
-def _project_chunk(rows_f32: jax.Array, proj: jax.Array) -> jax.Array:
-    return jnp.dot(rows_f32, proj, preferred_element_type=jnp.float32)
-
-
 class ProjScanIndex:
     """Reduced-rank int8 stage-A corpus + exact int8 stage-B rescore.
 
@@ -177,19 +172,32 @@ class ProjScanIndex:
         # d < 128) keep the raw rank.
         if d >= 128:
             d_prime = min(d, -(-d_prime // 128) * 128)
-        stride = max(1, num_rows // sample)
 
-        def chunk_f32(lo: int, hi: int) -> jax.Array:
+        def chunk_f32(lo: int, hi: int, step: int = 1) -> jax.Array:
             if dequant:
                 v_i8, v_sc = rows_dev
-                return v_i8[lo:hi].astype(jnp.float32) * v_sc[lo:hi, None]
-            return rows_dev[lo:hi].astype(jnp.float32)
+                return (
+                    v_i8[lo:hi:step].astype(jnp.float32)
+                    * v_sc[lo:hi:step, None]
+                )
+            return rows_dev[lo:hi:step].astype(jnp.float32)
 
+        # Row sample for the projection fit: ~64 windows of 4096 rows,
+        # strided down to ~``sample`` rows total. The stride is derived
+        # from the VISITED row count and applied on the device slice, so
+        # the fit actually sees ~sample rows and only those rows cross
+        # the tunnel (review r3: the old num_rows-derived stride inside
+        # each window undercounted ~38x AND shipped every full
+        # dequantized 4096-row chunk host-side first — ~800 MB per build
+        # at 10M x 768, repaid on every mutation's rebuild).
+        windows = [
+            (lo, min(lo + 4096, num_rows))
+            for lo in range(0, num_rows, max(4096, num_rows // 64))
+        ]
+        visited = sum(hi - lo for lo, hi in windows)
+        stride = max(1, visited // sample)
         host_sample = np.concatenate(
-            [
-                np.asarray(chunk_f32(lo, min(lo + 4096, num_rows)))[::stride]
-                for lo in range(0, num_rows, max(4096, num_rows // 64))
-            ]
+            [np.asarray(chunk_f32(lo, hi, stride)) for lo, hi in windows]
         )
         proj, captured = fit_projection(host_sample, d_prime, seed=seed)
         _warn_if_flat(captured, proj.shape[1], d)

@@ -208,7 +208,17 @@ def execute_query(
     # ---- ANN pre-filter: candidate rows + doc mask (Q12) ----
     mask = base_mask.copy()
     cand_rows = None
-    if use_ann and db.ann_index is not None and db.ann_index.is_ann:
+    if (
+        use_ann
+        and db.ann_index is not None
+        and db.ann_index.is_ann
+        # projscan accelerates inside _rank_block (its two-stage search
+        # requires cand_rows is None); a probe here would run a stage-A
+        # scan plus a budget-sized (5% of N) device top_k whose output the
+        # int8-pure ranker then CANNOT use — every query strictly slower
+        # than no index (review r3). Skip it; the mask path stays exact.
+        and getattr(db.ann_index, "kind", None) != "projscan"
+    ):
         budget = max(top_k * 20, -(-int(base_mask.sum()) * ann_percent // 100))
         cand_rows = db.ann_index.probe(query_vector, budget)
         cand_docs = np.zeros(num_docs, dtype=bool)

@@ -219,3 +219,26 @@ def test_projscan_rebuilds_after_mutation(monkeypatch):
     db.remove_document([0, 1])
     res = db.query(extra[2], top_k=1)
     assert res[0][0]["i"] == 302
+
+
+def test_projscan_single_query_skips_probe(monkeypatch):
+    """The single-query path must NOT pay ProjScanIndex.probe (review r3:
+    the probe ran a stage-A scan plus a 5%-of-N device top_k whose output
+    the int8-pure ranker then could not use — _rank_block's projscan
+    branch requires cand_rows is None — so every db.query() was strictly
+    slower than with no index at all)."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.index.projscan import ProjScanIndex
+
+    monkeypatch.setattr(CONFIG, "projscan_threshold", 1)
+    monkeypatch.setattr(CONFIG, "projscan_dprime", 16)
+    monkeypatch.setattr(CONFIG, "projscan_min_variance", 0.0)
+    db, v = _db("int8-pure")
+    assert isinstance(db.ann_index, ProjScanIndex)
+
+    def boom(*a, **k):  # pragma: no cover - fails the test if called
+        raise AssertionError("single-query path paid the useless probe")
+
+    monkeypatch.setattr(ProjScanIndex, "probe", boom)
+    res = db.query(v[5] + 0.01, top_k=3)
+    assert res[0][0]["i"] == 5

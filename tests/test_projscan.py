@@ -165,3 +165,29 @@ def test_captured_variance_separates_spectra(capsys):
     )
     st.pop("captured_variance")
     assert ProjScanIndex.from_state(st).captured_variance is None
+
+
+def test_device_build_sample_size_honors_parameter(monkeypatch):
+    """The projection fit sees ~``sample`` rows (review r3: the stride was
+    derived from num_rows but applied inside each 4096-row window, so a
+    10M build fit on ~3.4k rows instead of the requested 131k — a 38x
+    noisier covariance feeding the min_variance decline gate)."""
+    import hyperdb_tpu.index.projscan as ps
+
+    seen = {}
+    real_fit = ps.fit_projection
+
+    def spy(rows, d_prime, seed=0):
+        seen["n"] = rows.shape[0]
+        return real_fit(rows, d_prime, seed)
+
+    monkeypatch.setattr(ps, "fit_projection", spy)
+    rng = np.random.default_rng(5)
+    rows = jnp.asarray(rng.standard_normal((600_000, 16)).astype(np.float32))
+    idx = ProjScanIndex.build_from_device_rows(
+        rows, num_rows=600_000, d_prime=16, sample=2048
+    )
+    assert idx is not None
+    # windows visit 64 x 4096 rows; stride must come from that visited
+    # count, so the fit sample lands at ~2048, not ~960
+    assert 0.9 * 2048 <= seen["n"] <= 1.5 * 2048
