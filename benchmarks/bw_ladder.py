@@ -316,6 +316,113 @@ def probe_peak_matmul_int8():
           "tops": round(tops, 1)})
 
 
+def probe_int4():
+    """Is there an int4 frontier past the int8 roof?
+
+    The 10M x 768 int8 scan is MXU-COMPUTE-bound (~219 effective TOPS), so
+    the only single-chip levers left are (a) an MXU int4 mode with a higher
+    multiply rate and (b) packed int4 storage (half the HBM -> 20M x 768 on
+    one chip). Three sub-probes, each emitted separately so a compiler
+    failure loses only the rest:
+
+      int4_matmul_8192   8192-cube s4 x s4 -> s32 dot_general TOPS (vs the
+                         160-TOPS int8 probe). If ~equal, the MXU has no
+                         int4 rate doubling on this chip and int4 is a
+                         capacity-only play.
+      int4_mem           device bytes_in_use delta for a 2^20 x 512 s4
+                         array (256 MB if packed, 512 MB if byte-expanded).
+      int4_read          chained col-sum read of the same logical corpus as
+                         the 1.5 GB int8 size-sweep point — packed int4
+                         should stream in ~half the time at the ~660 GB/s
+                         asymptote.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m = 8192
+    rng = np.random.default_rng(0)
+    # values in [-7, 7] so the same ints are exactly representable in s4
+    a8 = rng.integers(-7, 8, (m, m), dtype=np.int8)
+    b8 = rng.integers(-7, 8, (m, m), dtype=np.int8)
+
+    try:
+        a4 = jax.jit(lambda x: x.astype(jnp.int4))(jnp.asarray(a8))
+        b4 = jax.jit(lambda x: x.astype(jnp.int4))(jnp.asarray(b8))
+
+        @jax.jit
+        def mm4(x, y):
+            return jax.lax.dot_general(
+                x, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        out = mm4(a4, b4)
+        # exactness vs the int8 ground truth on one sampled tile
+        want = a8[:64].astype(np.int64) @ b8[:, :64].astype(np.int64)
+        got = np.asarray(out[:64, :64], dtype=np.int64)
+        ok = bool(np.array_equal(got, want[:, :]))
+        best = float("inf")
+        for _ in range(3):
+            acc = jnp.zeros((), jnp.int4)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = mm4(a4 + acc * 0, b4)
+                acc = (out.reshape(-1)[0] % 2).astype(jnp.int4)
+            int(acc.astype(jnp.int32))
+            best = min(best, (time.perf_counter() - t0) / 10)
+        tops = 2 * m**3 / best / 1e12
+        emit({"probe": "int4_matmul_8192", "ms": round(best * 1e3, 3),
+              "tops": round(tops, 1), "exact": ok})
+    except Exception as e:  # platform may reject s4 entirely
+        emit({"probe": "int4_matmul_8192", "error": str(e)[:200]})
+
+    try:
+        dev = jax.local_devices()[0]
+        n, d = 1 << 20, 512
+
+        def live():
+            st = dev.memory_stats()
+            return int(st["bytes_in_use"]) if st else -1
+
+        base = live()
+        big8 = jax.device_put(np.zeros((n, d), dtype=np.int8))
+        big8.block_until_ready()
+        after8 = live()
+        big4 = jax.jit(lambda x: x.astype(jnp.int4))(big8)
+        big4.block_until_ready()
+        after4 = live()
+        emit({"probe": "int4_mem",
+              "int8_mb": round((after8 - base) / 1e6, 1),
+              "int4_mb": round((after4 - after8) / 1e6, 1)})
+        del big8, big4
+    except Exception as e:
+        emit({"probe": "int4_mem", "error": str(e)[:200]})
+
+    try:
+        n, d = 1 << 21, 768  # 1.5 GB logical int8 / 0.75 GB packed int4
+        host = rng.integers(-7, 8, (n, d), dtype=np.int8)
+        rows8 = jnp.asarray(host)
+        rows4 = jax.jit(lambda x: x.astype(jnp.int4))(rows8)
+        q = jnp.zeros((8, 128), jnp.bfloat16)
+
+        @jax.jit
+        def col_sum(qq, rr):
+            return (
+                jnp.sum(rr.astype(jnp.int32), axis=0)
+                + qq[0, 0].astype(jnp.int32)
+            )
+
+        for name, rows, nbytes in [
+            ("int4_read_int8ref", rows8, n * d),
+            ("int4_read", rows4, n * d // 2),
+        ]:
+            sec = timed(col_sum, q, rows)
+            emit({"probe": name, "ms": round(sec * 1e3, 3),
+                  "gbps_packed": round(nbytes / sec / 1e9, 1)})
+    except Exception as e:
+        emit({"probe": "int4_read", "error": str(e)[:200]})
+
+
 def probe_dispatch_overlap():
     """Do independent device programs overlap on this platform?
 
@@ -390,6 +497,7 @@ def probe_size_sweep():
 PROBES = {
     "peak_matmul": probe_peak_matmul,
     "peak_matmul_int8": probe_peak_matmul_int8,
+    "int4": probe_int4,
     "size_sweep": probe_size_sweep,
     "dispatch_overlap": probe_dispatch_overlap,
     "reduce": lambda: probe_reduce("bfloat16"),
