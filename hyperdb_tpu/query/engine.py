@@ -258,6 +258,14 @@ def execute_query(
             f"documents ({surviving}). Setting top_k to {surviving}."
         )
         top_k = surviving
+    if surviving == 1:
+        # Reference stdout parity: its ranking function prints this when
+        # exactly ONE vector row survives filtering (a one-chunk doc —
+        # ranking_algorithm.py:188-190 fires on len(scores) == 1, which
+        # counts chunk rows, so a surviving multi-chunk doc stays silent).
+        src = np.asarray(db.source_indices, dtype=np.int64)
+        if int((src == int(np.flatnonzero(mask)[0])).sum()) == 1:
+            log.info("Info: Only one document left.")
 
     recency = (
         None
