@@ -345,9 +345,25 @@ def probe_int4():
     a8 = rng.integers(-7, 8, (m, m), dtype=np.int8)
     b8 = rng.integers(-7, 8, (m, m), dtype=np.int8)
 
+    def force_s4(x):
+        """Round-trip one element to host so the s4 conversion PROGRAM has
+        provably compiled+run before the op under test dispatches — the
+        platform queues programs asynchronously, so without this a
+        conversion failure would surface under (and be misattributed to)
+        the downstream matmul/read probe."""
+        np.asarray(jax.jit(lambda v: v[:1, :1].astype(jnp.int8))(x))
+        return x
+
     try:
-        a4 = jax.jit(lambda x: x.astype(jnp.int4))(jnp.asarray(a8))
-        b4 = jax.jit(lambda x: x.astype(jnp.int4))(jnp.asarray(b8))
+        a4 = force_s4(jax.jit(lambda x: x.astype(jnp.int4))(jnp.asarray(a8)))
+        b4 = force_s4(jax.jit(lambda x: x.astype(jnp.int4))(jnp.asarray(b8)))
+    except Exception as e:
+        emit({"probe": "int4_convert", "error": str(e)[:200]})
+        a4 = b4 = None
+
+    try:
+        if a4 is None:
+            raise RuntimeError("skipped: s4 conversion failed (int4_convert)")
 
         @jax.jit
         def mm4(x, y):
@@ -382,14 +398,25 @@ def probe_int4():
 
         def live():
             st = dev.memory_stats()
-            return int(st["bytes_in_use"]) if st else -1
+            if not st or "bytes_in_use" not in st:
+                raise RuntimeError(
+                    "memory_stats unavailable on this platform"
+                )
+            return int(st["bytes_in_use"])
 
         base = live()
         big8 = jax.device_put(np.zeros((n, d), dtype=np.int8))
         big8.block_until_ready()
         after8 = live()
-        big4 = jax.jit(lambda x: x.astype(jnp.int4))(big8)
-        big4.block_until_ready()
+        if after8 - base < n * d // 2:
+            # stats exist but did not move for a 512 MB upload: the
+            # counter is not tracking this process's allocations — emit
+            # the failure, never a fabricated 0.0 measurement
+            raise RuntimeError(
+                f"bytes_in_use moved only {after8 - base} for a "
+                f"{n * d} B upload — counter not live"
+            )
+        big4 = force_s4(jax.jit(lambda x: x.astype(jnp.int4))(big8))
         after4 = live()
         emit({"probe": "int4_mem",
               "int8_mb": round((after8 - base) / 1e6, 1),
@@ -402,7 +429,11 @@ def probe_int4():
         n, d = 1 << 21, 768  # 1.5 GB logical int8 / 0.75 GB packed int4
         host = rng.integers(-7, 8, (n, d), dtype=np.int8)
         rows8 = jnp.asarray(host)
-        rows4 = jax.jit(lambda x: x.astype(jnp.int4))(rows8)
+        try:
+            rows4 = force_s4(jax.jit(lambda x: x.astype(jnp.int4))(rows8))
+        except Exception as e:
+            emit({"probe": "int4_convert_read", "error": str(e)[:200]})
+            rows4 = None
         q = jnp.zeros((8, 128), jnp.bfloat16)
 
         @jax.jit
@@ -416,6 +447,8 @@ def probe_int4():
             ("int4_read_int8ref", rows8, n * d),
             ("int4_read", rows4, n * d // 2),
         ]:
+            if rows is None:
+                continue
             sec = timed(col_sum, q, rows)
             emit({"probe": name, "ms": round(sec * 1e3, 3),
                   "gbps_packed": round(nbytes / sec / 1e9, 1)})

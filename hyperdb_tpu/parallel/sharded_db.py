@@ -293,12 +293,26 @@ class ShardedHyperDB:
         self._check_fingerprint()
         if isinstance(indices, int):
             indices = [indices]
-        removed = sorted(set(int(i) for i in indices))
-        # host db first: it validates the indices (pop on the largest id
-        # runs first and raises before mutating anything), so a bad id
-        # cannot leave device tombstones without the matching host removal
-        # (review r3: the old order desynced row_docs from documents on a
-        # host-side failure, invisibly to the fingerprint check)
+        # Normalize + validate BEFORE anything mutates: list.pop accepts
+        # negative ids, so an unnormalized -1 would remove the host doc
+        # while matching no row_docs entry and shifting every surviving id
+        # by searchsorted — a silent, fingerprint-invisible desync; and a
+        # far-negative id would raise only after earlier pops had already
+        # run (review r3: atomicity must not depend on pop order).
+        n_docs = len(self.db.documents)
+        norm = set()
+        for i in indices:
+            i = int(i)
+            if i < 0:
+                i += n_docs
+            if not 0 <= i < n_docs:
+                raise IndexError(
+                    f"Document index {i} out of range for {n_docs} documents."
+                )
+            norm.add(i)
+        removed = sorted(norm)
+        # host db first with validated ids, then the device tombstones —
+        # neither side can fail midway and strand the other
         self.db.remove_document(removed)
         removed_arr = np.asarray(removed, dtype=np.int64)
         rd = self.row_docs[: self.n]

@@ -260,12 +260,17 @@ def execute_query(
         top_k = surviving
     if surviving == 1:
         # Reference stdout parity: its ranking function prints this when
-        # exactly ONE vector row survives filtering (a one-chunk doc —
-        # ranking_algorithm.py:188-190 fires on len(scores) == 1, which
-        # counts chunk rows, so a surviving multi-chunk doc stays silent).
-        src = np.asarray(db.source_indices, dtype=np.int64)
-        if int((src == int(np.flatnonzero(mask)[0])).sum()) == 1:
+        # exactly ONE score row remains (ranking_algorithm.py:188-190,
+        # len(scores) == 1). Score rows are chunk rows on the plain path
+        # (a surviving multi-chunk doc stays silent) but ONE AVERAGED
+        # vector per doc on the key-filter path (hyperdb.py filter_by_key
+        # dedups by doc), so an override always fires at surviving == 1.
+        if override is not None:
             log.info("Info: Only one document left.")
+        else:
+            src = np.asarray(db.source_indices, dtype=np.int64)
+            if int((src == int(np.flatnonzero(mask)[0])).sum()) == 1:
+                log.info("Info: Only one document left.")
 
     recency = (
         None

@@ -164,3 +164,28 @@ def test_combined_filters(documents, tmp_path, capsys):
     for document, similarity, index in results:
         assert document["info"]["weakness"] == weakness
         assert "creature" in document["info"]["description"].lower()
+
+
+def test_single_survivor_info_chunk_vs_key_filter(capsys):
+    """Reference's 'Only one document left.' fires on len(scores)==1:
+    score rows are CHUNK rows on the plain path (multi-chunk survivor is
+    silent) but one averaged vector per doc on the key-filter path
+    (filter_by_key dedups by doc), so the same surviving multi-chunk doc
+    prints Info when a key filter is active (review r3 follow-up)."""
+    long_text = " ".join(f"word{i}" for i in range(1200)) + " zanzibar"
+    docs = [
+        {"name": "A", "info": {"description": long_text}},
+        {"name": "B", "info": {"description": "plain text here"}},
+    ]
+    db = HyperDB(docs)
+    assert len(db.source_indices) > len(db.documents)  # doc A chunked
+
+    capsys.readouterr()
+    db.query("zanzibar", top_k=1, filters=[("sentence", "zanzibar")])
+    assert "Info: Only one document left." not in capsys.readouterr().out
+
+    res = db.query("zanzibar", top_k=1, filters=[
+        ("sentence", "zanzibar"), ("key", "info.description")
+    ])
+    assert "Info: Only one document left." in capsys.readouterr().out
+    assert res[0][0]["name"] == "A"

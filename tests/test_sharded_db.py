@@ -540,3 +540,33 @@ def test_model_based_incremental_lifecycle(mesh):
     assert [[r[2] for r in row] for row in got] == [
         [r[2] for r in row] for row in want
     ]
+
+
+def test_remove_negative_ids_normalize_or_raise(mesh):
+    """Negative doc ids either normalize (python list semantics: -1 is the
+    last doc) or raise BEFORE any state moves (review r3 follow-up: an
+    in-range -1 previously popped the host doc while tombstoning no device
+    row and silently shifting every surviving row_doc id; a far-negative
+    id raised only after earlier pops had mutated the host)."""
+    import pytest
+
+    rng = np.random.default_rng(23)
+    v = rng.standard_normal((16, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(16)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=1024)
+
+    # -1 normalizes to the last doc and stays consistent end to end
+    sdb.remove_document(-1)
+    assert len(db.documents) == 15
+    got = sdb.query_batch((v[7] + 0.01)[None, :], top_k=1)
+    assert got[0][0][0]["i"] == 7
+    assert 15 not in {d["i"] for row in sdb.query_batch(v[:1], top_k=15)
+                      for d, _, _ in row}
+
+    # far-negative: raises with NOTHING mutated (host or device)
+    before_docs = list(db.documents)
+    before_rowdocs = sdb.row_docs.copy()
+    with pytest.raises(IndexError):
+        sdb.remove_document([3, -40])
+    assert db.documents == before_docs
+    np.testing.assert_array_equal(sdb.row_docs, before_rowdocs)
