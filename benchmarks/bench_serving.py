@@ -1,0 +1,188 @@
+"""End-to-end HTTP serving throughput: the full production stack on chip.
+
+Every engine number so far times device programs; this measures what a
+CLIENT of `python -m hyperdb_tpu serve` actually gets — HTTP parsing,
+JSON (de)serialization, the dynamic batcher's coalescing window, the
+engine lock, the device dispatch, and the tunnel readback, all included.
+
+Setup: 1M x 384 f16 cosine corpus (the driver-headline config) served by
+`server.make_server` with dynamic batching; K client threads with
+keep-alive connections each POST single-vector /query requests as fast as
+they complete. Throughput = completed requests / wall time over a fixed
+window, per concurrency level; latency percentiles from per-request
+timing.
+
+The platform model (BASELINE.md) predicts the shape: each flush is one
+device call costing ~1.5 ms dispatch + ~25-30 ms tunnel readback, so
+served q/s ~ flushed_batch / 30 ms — concurrency (and max_batch) is the
+lever, and the batch-bucketing knob (HYPERDB_BATCH_BUCKET) keeps the
+arbitrary flush sizes on a handful of compiled programs instead of
+recompiling 30-90 s per new size.
+
+Usage: python benchmarks/bench_serving.py [--n 1000000] [--seconds 20]
+       [--concurrency 32 128 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE = "--cpu" in sys.argv  # hermetic smoke mode (tests/CI)
+if SMOKE:
+    sys.argv.remove("--cpu")
+    os.environ["HYPERDB_CHIP_LOCK_BYPASS"] = "1"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from benchmarks._chiplock import claim_chip  # noqa: E402
+
+claim_chip()
+
+import numpy as np  # noqa: E402
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
+
+
+def emit(record: dict) -> None:
+    record["bench"] = "serving"
+    record["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    print(json.dumps(record), flush=True)
+    if not SMOKE:  # smoke runs must not pollute the chip-results log
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+def build_db(n: int, d: int):
+    from hyperdb_tpu import HyperDB
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((n, d), dtype=np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    docs = [{"i": int(i)} for i in range(n)]
+    return HyperDB(documents=docs, vectors=v, fp_precision="float16"), v
+
+
+def client_loop(port, bodies, stop_evt, counts, lats, tid):
+    conn = http.client.HTTPConnection("127.0.0.1", port)
+    i = tid  # stagger which vectors each thread sends
+    n_bodies = len(bodies)
+    while not stop_evt.is_set():
+        body = bodies[i % n_bodies]
+        i += 1
+        t0 = time.perf_counter()
+        try:
+            conn.request("POST", "/query", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            payload = resp.read()
+            if resp.status != 200:
+                raise RuntimeError(payload[:200])
+        except Exception:
+            conn.close()
+            conn = http.client.HTTPConnection("127.0.0.1", port)
+            continue
+        lats[tid].append(time.perf_counter() - t0)
+        counts[tid] += 1
+    conn.close()
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=1_000_000)
+    parser.add_argument("--d", type=int, default=384)
+    parser.add_argument("--seconds", type=float, default=20.0)
+    parser.add_argument("--port", type=int, default=8917)
+    parser.add_argument("--max-batch", type=int, default=256)
+    parser.add_argument("--window-ms", type=float, default=4.0)
+    parser.add_argument("--concurrency", type=int, nargs="*",
+                        default=[32, 128, 512])
+    args = parser.parse_args()
+
+    from hyperdb_tpu.server import make_server
+
+    print(f"building {args.n} x {args.d} f16 corpus ...", flush=True)
+    t0 = time.time()
+    db, v = build_db(args.n, args.d)
+    print(f"built in {time.time() - t0:.1f}s", flush=True)
+
+    # Warm every pow2 batch bucket the dynamic batcher can flush, so the
+    # measured window contains zero remote compiles (30-90 s each).
+    t0 = time.time()
+    b = 1
+    while b <= args.max_batch:
+        db.query_batch(v[:b] + 0.01, top_k=10)
+        b *= 2
+    print(f"warmed {args.max_batch.bit_length()} batch buckets in "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    httpd = make_server(db, port=args.port,
+                        dynamic_batch_ms=args.window_ms,
+                        max_batch=args.max_batch)
+    server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    server_thread.start()
+
+    rng = np.random.default_rng(42)
+    qids = rng.integers(0, args.n, size=1024)
+    bodies = [
+        json.dumps({
+            "vector": (v[int(i)] + 0.01 * rng.standard_normal(args.d))
+            .astype(float).round(5).tolist(),
+            "top_k": 10,
+        }).encode()
+        for i in qids
+    ]
+
+    for conc in args.concurrency:
+        stop_evt = threading.Event()
+        counts = [0] * conc
+        lats = [[] for _ in range(conc)]
+        threads = [
+            threading.Thread(target=client_loop,
+                             args=(args.port, bodies, stop_evt, counts,
+                                   lats, t),
+                             daemon=True)
+            for t in range(conc)
+        ]
+        for t in threads:
+            t.start()
+        time.sleep(2.0)  # ramp: connections established, batcher steady
+        base = sum(counts)
+        t0 = time.perf_counter()
+        time.sleep(args.seconds)
+        done = sum(counts) - base
+        elapsed = time.perf_counter() - t0
+        stop_evt.set()
+        for t in threads:
+            t.join(timeout=5.0)
+        all_lats = sorted(x for l in lats for x in l)
+        if not all_lats:
+            emit({"concurrency": conc, "error": "no completed requests"})
+            continue
+        p50 = all_lats[len(all_lats) // 2] * 1e3
+        p95 = all_lats[int(len(all_lats) * 0.95)] * 1e3
+        emit({
+            "concurrency": conc,
+            "qps": round(done / elapsed, 1),
+            "p50_ms": round(p50, 1),
+            "p95_ms": round(p95, 1),
+            "n": args.n,
+            "max_batch": args.max_batch,
+            "window_ms": args.window_ms,
+        })
+
+    httpd.shutdown()
+    if httpd.batcher is not None:
+        httpd.batcher.close()
+
+
+if __name__ == "__main__":
+    main()

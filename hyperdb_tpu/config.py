@@ -102,6 +102,16 @@ class EngineConfig:
     # runs ~70x faster on host. 0 disables (tests pin the device paths this
     # way and check host/device equality separately in test_host_path.py).
     host_path_max_cells: int = _env_int("HYPERDB_HOST_PATH_MAX_CELLS", 65536)
+    # Pad query_batch's batch dimension up to the next power of two before
+    # it reaches a device program (pad rows duplicate row 0 and are sliced
+    # off the results — bitwise-identical outputs). Every DISTINCT batch
+    # size is a fresh XLA compile (30-90 s over this platform's remote
+    # compiler), and serving workloads produce arbitrary group sizes (the
+    # server's dynamic batcher flushes whatever coalesced in the window) —
+    # bucketing caps the program count at log2(max_batch) while the padded
+    # rows' compute is noise against the dispatch+corpus-read floor
+    # (BASELINE.md platform model). 0 disables (exact-shape programs).
+    batch_bucket: int = _env_int("HYPERDB_BATCH_BUCKET", 1)
     # NOTE: the hand-written Pallas fused scan was RETIRED in round 2 after
     # losing to the XLA grouped formulation at every batch size that matters
     # (1M x 384 bf16, ms/batch — benchmarks/results.jsonl

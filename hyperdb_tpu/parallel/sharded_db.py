@@ -418,17 +418,32 @@ class ShardedHyperDB:
                 f"({self.d})."
             )
 
+        # Batch-dim bucketing, same rationale as the single-chip engine
+        # (query/engine.execute_query_batch): a distinct B is a fresh XLA
+        # compile of the distributed program on EVERY chip; serving
+        # flushes arbitrary group sizes. Pad rows duplicate row 0 and are
+        # sliced from every return path below via b_real.
+        from hyperdb_tpu.config import CONFIG as _CFG
+
+        b_real = q.shape[0]
+        if _CFG.batch_bucket:
+            b_pad = _engine._pad_pow2(b_real)
+            if b_pad != b_real:
+                q = np.concatenate(
+                    [q, np.repeat(q[:1], b_pad - b_real, axis=0)]
+                )
+
         row_mask, (doc_mask, override) = self._row_mask(filters)
         if override is not None:
             return self._query_override(
                 q, doc_mask, override, top_k, metric,
                 return_similarities, recency_bias, timestamp_key,
-            )
+            )[:b_real]
         if not row_mask[: self.n].any():
             # filters emptied the corpus: the single-chip engine returns
             # empty result lists (Q13/Q20) — and the recency term below
             # would reduce over zero surviving timestamps
-            return [[] for _ in range(q.shape[0])]
+            return [[] for _ in range(b_real)]
         num_docs = len(db.documents)
         chunked = num_docs != self.n
 
@@ -562,7 +577,7 @@ class ShardedHyperDB:
                     need_refill = True
                 results.append(row)
             if not need_refill:
-                return results
+                return results[:b_real]  # drop batch-bucketing pad rows
             # One worst-case jump instead of repeated doublings (a
             # pathological chunk distribution would otherwise pay several
             # full distributed scans): top_k * max-chunks-per-doc rows

@@ -336,6 +336,27 @@ def execute_query_batch(
             f"match the dimension of the vectors in the database ({db.dim})."
         )
 
+    # Batch-dim bucketing (HYPERDB_BATCH_BUCKET): pad B up to the next
+    # power of two with copies of row 0, slice the pad rows off the
+    # results. Every distinct B is a fresh XLA compile — 30-90 s over this
+    # platform's remote compiler — and serving flushes arbitrary group
+    # sizes (server._DynamicBatcher); the pad rows' compute is noise
+    # against the dispatch+read floor. Host-path-sized corpora skip it
+    # (no compile to amortize, and padding could push them onto the
+    # device path).
+    from hyperdb_tpu.config import CONFIG as _CFG
+
+    b_real = q_block.shape[0]
+    if (
+        _CFG.batch_bucket
+        and db._store.num_rows * b_real > _CFG.host_path_max_cells
+    ):
+        b_pad = _pad_pow2(b_real)
+        if b_pad != b_real:
+            q_block = np.concatenate(
+                [q_block, np.repeat(q_block[:1], b_pad - b_real, axis=0)]
+            )
+
     base_mask = np.ones(num_docs, dtype=bool)
     filters = list(filters) if filters is not None else None
     if filters:
@@ -350,7 +371,7 @@ def execute_query_batch(
     if filters:
         mask, override = _filters.apply_filters(db, filters, mask)
     if not mask.any():
-        return [[] for _ in range(q_block.shape[0])]
+        return [[] for _ in range(b_real)]
 
     surviving = int(mask.sum())
     k = min(top_k, surviving)
@@ -383,7 +404,7 @@ def execute_query_batch(
         )
 
     results = []
-    for b in range(q_block.shape[0]):
+    for b in range(b_real):  # pad rows (batch bucketing) are dropped here
         row = []
         for doc_id, score in zip(doc_ids[b], scores_out[b]):
             document = db.documents[int(doc_id)]

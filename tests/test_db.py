@@ -789,3 +789,40 @@ def test_key_filter_empty_subtext_is_zero_vector_not_nan():
     # the empty-title doc's override vector is zeros -> finite score 0-ish,
     # never NaN
     assert not any(np.isnan(r[1]) for r in res)
+
+
+def test_query_batch_bucketing_pads_pow2_and_slices(monkeypatch):
+    """Batch-dim bucketing (HYPERDB_BATCH_BUCKET): a 3-query block reaches
+    the device ranker padded to 4 rows (every distinct B is a fresh XLA
+    compile — 30-90 s over the remote compiler; serving flushes arbitrary
+    group sizes), and the pad rows are sliced off the results, which are
+    identical to the unbucketed run."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.query import engine
+
+    rng = np.random.default_rng(77)
+    v = rng.standard_normal((256, 32)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(256)], vectors=v)
+    q = (v[[3, 9, 200]] + 0.01).astype(np.float32)
+
+    monkeypatch.setattr(CONFIG, "host_path_max_cells", 0)  # force device path
+    seen = []
+    real = engine._rank_block
+
+    def spy(db_, q_block, *a, **k):
+        seen.append(q_block.shape[0])
+        return real(db_, q_block, *a, **k)
+
+    monkeypatch.setattr(engine, "_rank_block", spy)
+    res = db.query_batch(q, top_k=2)
+    assert seen == [4]
+    assert len(res) == 3
+    assert [row[0][0]["i"] for row in res] == [3, 9, 200]
+
+    monkeypatch.setattr(CONFIG, "batch_bucket", 0)
+    seen.clear()
+    res_exact = db.query_batch(q, top_k=2)
+    assert seen == [3]
+    assert [[(r[0]["i"], round(r[1], 5)) for r in row] for row in res] == [
+        [(r[0]["i"], round(r[1], 5)) for r in row] for row in res_exact
+    ]

@@ -570,3 +570,33 @@ def test_remove_negative_ids_normalize_or_raise(mesh):
         sdb.remove_document([3, -40])
     assert db.documents == before_docs
     np.testing.assert_array_equal(sdb.row_docs, before_rowdocs)
+
+
+def test_sharded_batch_bucketing_pads_and_slices(mesh):
+    """Sharded query_batch buckets the batch dim like the single-chip
+    engine (a distinct B recompiles the distributed program on every
+    chip): a 3-query block returns exactly 3 result rows identical to
+    per-query answers, with and without a key-filter override."""
+    rng = np.random.default_rng(31)
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+
+    def embed(texts):  # 16-d stand-in so the key filter can re-embed
+        if isinstance(texts, str):
+            texts = [texts]
+        out = [np.random.default_rng(abs(hash(t)) % (1 << 31))
+               .standard_normal(16).astype(np.float32) for t in texts]
+        return np.stack(out)
+
+    db = HyperDB(documents=[{"i": int(i), "t": f"doc {i}"} for i in range(64)],
+                 vectors=v, embedding_function=embed)
+    sdb = ShardedHyperDB(db, mesh)
+    q = (v[[5, 11, 40]] + 0.01).astype(np.float32)
+
+    res = sdb.query_batch(q, top_k=2)
+    assert len(res) == 3
+    assert [row[0][0]["i"] for row in res] == [5, 11, 40]
+
+    res_f = sdb.query_batch(q, top_k=1, filters=[("key", "t")])
+    assert len(res_f) == 3
+    for row in res_f:
+        assert len(row) == 1
