@@ -71,28 +71,66 @@ def build_db(n: int, d: int):
     return HyperDB(documents=docs, vectors=v, fp_precision="float16"), v
 
 
-def client_loop(port, bodies, stop_evt, counts, lats, tid):
-    conn = http.client.HTTPConnection("127.0.0.1", port)
-    i = tid  # stagger which vectors each thread sends
-    n_bodies = len(bodies)
-    while not stop_evt.is_set():
-        body = bodies[i % n_bodies]
-        i += 1
-        t0 = time.perf_counter()
-        try:
-            conn.request("POST", "/query", body,
-                         {"Content-Type": "application/json"})
-            resp = conn.getresponse()
-            payload = resp.read()
-            if resp.status != 200:
-                raise RuntimeError(payload[:200])
-        except Exception:
-            conn.close()
-            conn = http.client.HTTPConnection("127.0.0.1", port)
-            continue
-        lats[tid].append(time.perf_counter() - t0)
-        counts[tid] += 1
-    conn.close()
+def _worker_main(port, bodies, n_threads, seconds, ramp, out_q):
+    """One CLIENT PROCESS: n_threads keep-alive connections hammering
+    /query. Clients must not share the server process's GIL (the first
+    cut ran 512 client threads in-process and measured python, not the
+    server: 235 q/s with p50 over a second), so each worker is a separate
+    process and reports (count, latencies) through a queue. Requests
+    during the ramp are excluded from both."""
+    stop_at = time.perf_counter() + ramp + seconds
+    count_lock = threading.Lock()
+    counts = [0]
+    lats = []
+
+    import socket
+
+    def connect():
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        conn.connect()
+        # client-side Nagle adds the same ~40 ms the server's
+        # disable_nagle_algorithm removes on its side
+        conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return conn
+
+    def loop(tid):
+        conn = connect()
+        i = tid
+        n_bodies = len(bodies)
+        while True:
+            now = time.perf_counter()
+            if now >= stop_at:
+                break
+            body = bodies[i % n_bodies]
+            i += 1
+            t0 = now
+            try:
+                conn.request("POST", "/query", body,
+                             {"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                payload = resp.read()
+                if resp.status != 200:
+                    raise RuntimeError(payload[:200])
+            except Exception:
+                conn.close()
+                try:
+                    conn = connect()
+                except OSError:
+                    time.sleep(0.05)
+                continue
+            t1 = time.perf_counter()
+            if t0 - (stop_at - ramp - seconds) >= ramp and t1 <= stop_at:
+                with count_lock:
+                    counts[0] += 1
+                    lats.append(t1 - t0)
+        conn.close()
+
+    threads = [threading.Thread(target=loop, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    out_q.put((counts[0], lats))
 
 
 def main():
@@ -141,43 +179,57 @@ def main():
         for i in qids
     ]
 
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")  # bodies ship to workers by COW, not pickle
+    n_workers = min(8, os.cpu_count() or 4)
+    ramp = 2.0
     for conc in args.concurrency:
-        stop_evt = threading.Event()
-        counts = [0] * conc
-        lats = [[] for _ in range(conc)]
-        threads = [
-            threading.Thread(target=client_loop,
-                             args=(args.port, bodies, stop_evt, counts,
-                                   lats, t),
-                             daemon=True)
-            for t in range(conc)
-        ]
-        for t in threads:
-            t.start()
-        time.sleep(2.0)  # ramp: connections established, batcher steady
-        base = sum(counts)
-        t0 = time.perf_counter()
-        time.sleep(args.seconds)
-        done = sum(counts) - base
-        elapsed = time.perf_counter() - t0
-        stop_evt.set()
-        for t in threads:
-            t.join(timeout=5.0)
-        all_lats = sorted(x for l in lats for x in l)
+        per = -(-conc // n_workers)
+        workers = []
+        out_q = ctx.Queue()
+        for w in range(n_workers):
+            t = min(per, conc - w * per)
+            if t <= 0:
+                break
+            p = ctx.Process(target=_worker_main,
+                            args=(args.port, bodies, t, args.seconds, ramp,
+                                  out_q))
+            p.start()
+            workers.append(p)
+        done, all_lats = 0, []
+        for _ in workers:
+            c, l = out_q.get(timeout=ramp + args.seconds + 60)
+            done += c
+            all_lats.extend(l)
+        for p in workers:
+            p.join(timeout=10.0)
         if not all_lats:
             emit({"concurrency": conc, "error": "no completed requests"})
             continue
+        all_lats.sort()
         p50 = all_lats[len(all_lats) // 2] * 1e3
         p95 = all_lats[int(len(all_lats) * 0.95)] * 1e3
         emit({
             "concurrency": conc,
-            "qps": round(done / elapsed, 1),
+            "qps": round(done / args.seconds, 1),
             "p50_ms": round(p50, 1),
             "p95_ms": round(p95, 1),
             "n": args.n,
             "max_batch": args.max_batch,
             "window_ms": args.window_ms,
         })
+
+    # where does the flush wall time go? (the engine keeps per-phase stats)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", args.port)
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        print("engine stats:", json.dumps(stats.get("phases", stats))[:800],
+              flush=True)
+        conn.close()
+    except Exception as e:  # diagnostics only
+        print("stats fetch failed:", e, flush=True)
 
     httpd.shutdown()
     if httpd.batcher is not None:

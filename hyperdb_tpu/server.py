@@ -192,6 +192,18 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "hyperdb-tpu"
+        # keep-alive: the BaseHTTPRequestHandler default is HTTP/1.0, which
+        # closes the connection after EVERY response — each request then
+        # pays a TCP connect plus a fresh handler thread spawn, and a
+        # serving benchmark measures the socket churn instead of the engine
+        # (benchmarks/bench_serving.py found this). Every _send sets
+        # Content-Length, which 1.1 keep-alive requires.
+        protocol_version = "HTTP/1.1"
+        # TCP_NODELAY (a StreamRequestHandler attribute): on keep-alive
+        # connections Nagle + delayed ACK adds ~40 ms to every small
+        # response (measured: p50 jumped 13 -> 53 ms when 1.1 keep-alive
+        # landed without it)
+        disable_nagle_algorithm = True
 
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -306,7 +318,14 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                 return self._send(400, {"error": str(e)})
             return self._send(404, {"error": f"unknown path {self.path}"})
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
+    class _Server(ThreadingHTTPServer):
+        daemon_threads = True
+        # default listen backlog is 5: hundreds of clients connecting at
+        # once (or reconnecting after an idle period) see connection
+        # resets under load
+        request_queue_size = 1024
+
+    httpd = _Server((host, port), Handler)
     httpd.batcher = batcher  # for clean shutdown / tests
     return httpd
 
