@@ -71,7 +71,8 @@ def build_db(n: int, d: int):
     return HyperDB(documents=docs, vectors=v, fp_precision="float16"), v
 
 
-def _worker_main(port, bodies, n_threads, seconds, ramp, out_q):
+def _worker_main(port, bodies, n_threads, seconds, ramp, out_q,
+                 path="/query", ctype="application/json"):
     """One CLIENT PROCESS: n_threads keep-alive connections hammering
     /query. Clients must not share the server process's GIL (the first
     cut ran 512 client threads in-process and measured python, not the
@@ -105,8 +106,7 @@ def _worker_main(port, bodies, n_threads, seconds, ramp, out_q):
             i += 1
             t0 = now
             try:
-                conn.request("POST", "/query", body,
-                             {"Content-Type": "application/json"})
+                conn.request("POST", path, body, {"Content-Type": ctype})
                 resp = conn.getresponse()
                 payload = resp.read()
                 if resp.status != 200:
@@ -143,6 +143,8 @@ def main():
     parser.add_argument("--window-ms", type=float, default=4.0)
     parser.add_argument("--concurrency", type=int, nargs="*",
                         default=[32, 128, 512])
+    parser.add_argument("--mode", choices=["json", "binary"],
+                        default="binary")
     args = parser.parse_args()
 
     from hyperdb_tpu.server import make_server
@@ -170,14 +172,20 @@ def main():
 
     rng = np.random.default_rng(42)
     qids = rng.integers(0, args.n, size=1024)
-    bodies = [
-        json.dumps({
-            "vector": (v[int(i)] + 0.01 * rng.standard_normal(args.d))
-            .astype(float).round(5).tolist(),
-            "top_k": 10,
-        }).encode()
+    qvecs = [
+        (v[int(i)] + 0.01 * rng.standard_normal(args.d)).astype(np.float32)
         for i in qids
     ]
+    if args.mode == "binary":
+        bodies = [q.tobytes() for q in qvecs]
+        path, ctype = "/query?top_k=10", "application/octet-stream"
+    else:
+        bodies = [
+            json.dumps({"vector": q.astype(float).round(5).tolist(),
+                        "top_k": 10}).encode()
+            for q in qvecs
+        ]
+        path, ctype = "/query", "application/json"
 
     import multiprocessing as mp
 
@@ -194,7 +202,7 @@ def main():
                 break
             p = ctx.Process(target=_worker_main,
                             args=(args.port, bodies, t, args.seconds, ramp,
-                                  out_q))
+                                  out_q, path, ctype))
             p.start()
             workers.append(p)
         done, all_lats = 0, []
@@ -212,6 +220,7 @@ def main():
         p95 = all_lats[int(len(all_lats) * 0.95)] * 1e3
         emit({
             "concurrency": conc,
+            "mode": args.mode,
             "qps": round(done / args.seconds, 1),
             "p50_ms": round(p50, 1),
             "p95_ms": round(p95, 1),

@@ -237,6 +237,55 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
             return self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            # Binary fast path: serving measurements (bench_serving) put
+            # the stdlib stack's ceiling at ~1 ms of python per request,
+            # dominated by JSON — a 384-float vector costs ~200 us to
+            # parse and the doc-bearing response as much to build, while
+            # the engine itself amortizes to ~15 us/query in a batch.
+            # `POST /query?top_k=K&metric=M` with
+            # Content-Type: application/octet-stream takes the raw
+            # little-endian f32 vector as the body (np.frombuffer, ~2 us)
+            # and answers {"ids": [...], "scores": [...]} without
+            # documents (ids are stable handles; bulk hydration stays on
+            # the JSON path). Same engine, same dynamic batcher.
+            path, _, qs = self.path.partition("?")
+            if (
+                path == "/query"
+                and self.headers.get("Content-Type") == "application/octet-stream"
+            ):
+                import numpy as np
+                from urllib.parse import parse_qs
+
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    vec = np.frombuffer(self.rfile.read(length),
+                                        dtype=np.float32)
+                    params = parse_qs(qs)
+                    top_k = int(params.get("top_k", ["5"])[0])
+                    metric = params.get("metric", ["cosine_similarity"])[0]
+                except (ValueError, TypeError) as e:
+                    return self._send(400, {"error": str(e)})
+                dim = getattr(host_db, "dim", None)
+                if dim and vec.shape[0] != dim:
+                    return self._send(400, {
+                        "error": f"query vector has {vec.shape[0]} floats, "
+                                 f"corpus dimension is {dim}"
+                    })
+                try:
+                    if batcher is not None:
+                        rows = batcher.submit(vec, top_k, metric, None, 0,
+                                              None)
+                    else:
+                        with lock:
+                            rows = db.query_batch(
+                                vec[None, :], top_k=top_k, metric=metric
+                            )[0]
+                except (ValueError, TypeError) as e:
+                    return self._send(400, {"error": str(e)})
+                return self._send(200, {
+                    "ids": [r[2] for r in rows],
+                    "scores": [float(r[1]) for r in rows],
+                })
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")

@@ -283,3 +283,56 @@ def test_batcher_submit_after_close_serves_directly(served):
     result = batcher.submit(v, 4, "cosine_similarity", None, 0, None)
     expected = db.query_batch(v[None, :], top_k=4, metric="cosine_similarity")[0]
     assert [r[2] for r in result] == [r[2] for r in expected]
+
+
+def _post_binary(base, path, body, timeout=30):
+    req = urllib.request.Request(
+        base + path, data=body,
+        headers={"Content-Type": "application/octet-stream"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_binary_query_matches_json(served):
+    """POST /query with a raw f32 body (the serving fast path) returns the
+    same ids/scores as the JSON surface, without the documents payload."""
+    v = served["vectors"]
+    status, want = _post(served["base"], "/query",
+                         {"vector": v[9].tolist(), "top_k": 4})
+    assert status == 200
+    status, got = _post_binary(
+        served["base"], "/query?top_k=4", v[9].tobytes()
+    )
+    assert status == 200
+    assert got["ids"] == [r["index"] for r in want["results"]]
+    for gs, r in zip(got["scores"], want["results"]):
+        assert gs == pytest.approx(r["score"], rel=1e-5)
+
+    # wrong byte count -> 400, not a crash or a hung connection
+    status, err = _post_binary(served["base"], "/query?top_k=4",
+                               v[9].tobytes()[:-4])
+    assert status == 400 and "error" in err
+
+
+def test_binary_query_through_dynamic_batcher():
+    """The binary path rides the dynamic batcher when enabled."""
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((32, 8)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(32)], vectors=v)
+    httpd = make_server(db, port=0, dynamic_batch_ms=2.0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, got = _post_binary(base, "/query?top_k=1", v[3].tobytes())
+        assert status == 200
+        assert got["ids"] == [3]
+    finally:
+        httpd.shutdown()
+        httpd.batcher.close()
+        httpd.server_close()
