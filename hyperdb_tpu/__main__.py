@@ -135,6 +135,16 @@ def cmd_serve(args):
 
         mesh = Mesh(np.array(jax.devices()), ("data",))
         db = ShardedHyperDB(db, mesh)
+    if args.native:
+        from hyperdb_tpu.native.server import NativeQueryServer
+
+        window = args.dynamic_batch_ms if args.dynamic_batch_ms > 0 else 2.0
+        srv = NativeQueryServer(db, host=args.host, port=args.port,
+                                max_batch=args.max_batch, window_ms=window)
+        print(f"serving (native) on http://{args.host}:{srv.port}",
+              flush=True)
+        srv.serve_forever()
+        return 0
     return serve(db, host=args.host, port=args.port,
                  dynamic_batch_ms=args.dynamic_batch_ms)
 
@@ -185,6 +195,12 @@ def main(argv=None):
     p.add_argument("--dynamic-batch-ms", type=float, default=0.0,
                    help="coalesce concurrent identical vector queries for "
                         "this many ms into one device batch (0 = off)")
+    p.add_argument("--native", action="store_true",
+                   help="serve through the C++ epoll front-end (sockets, "
+                        "HTTP, batching, and response formatting off the "
+                        "GIL; one engine call per batch)")
+    p.add_argument("--max-batch", type=int, default=256,
+                   help="native front-end flush size cap")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="batched-query throughput on a corpus")

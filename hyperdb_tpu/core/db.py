@@ -1199,6 +1199,34 @@ class HyperDB:
             ann_percent=ann_percent,
         )
 
+    def query_batch_arrays(
+        self,
+        query_vectors,
+        top_k: int = 5,
+        filters=None,
+        recency_bias: float = 0,
+        timestamp_key=None,
+        metric: str = "cosine_similarity",
+        ann_percent: int = 5,
+    ):
+        """Array-level batched search: ``(B, d) -> ((B, k) int64 doc ids,
+        (B, k) float32 scores)`` with ``k = min(top_k, surviving docs)``.
+
+        The zero-Python-objects twin of :meth:`query_batch` for serving
+        front-ends (the native C++ server formats wire responses straight
+        from these arrays); documents hydrate separately by id via
+        ``db.documents[i]``."""
+        return _engine.execute_query_batch_arrays(
+            self,
+            query_vectors,
+            top_k=top_k,
+            filters=filters,
+            recency_bias=recency_bias,
+            timestamp_key=timestamp_key,
+            metric=metric,
+            ann_percent=ann_percent,
+        )
+
     def warmup(self, top_ks=(5, 10), batch_sizes=(1,), metric="cosine_similarity"):
         """Precompile the query programs for the current corpus shape.
 

@@ -318,6 +318,47 @@ def execute_query_batch(
     """Batched multi-query search: the filter masks are computed once and the
     whole (B, d) query block rides a single fused device program. Per-query
     results have the same shape as :func:`execute_query`'s."""
+    doc_ids, scores_out = execute_query_batch_arrays(
+        db,
+        query_inputs,
+        top_k=top_k,
+        filters=filters,
+        recency_bias=recency_bias,
+        timestamp_key=timestamp_key,
+        metric=metric,
+        ann_percent=ann_percent,
+    )
+    results = []
+    for b in range(doc_ids.shape[0]):
+        row = []
+        for doc_id, score in zip(doc_ids[b], scores_out[b]):
+            document = db.documents[int(doc_id)]
+            if return_similarities:
+                row.append((document, float(score), int(doc_id)))
+            else:
+                row.append(document)
+        results.append(row)
+    return results
+
+
+def execute_query_batch_arrays(
+    db,
+    query_inputs,
+    top_k: int = 5,
+    filters=None,
+    recency_bias: float = 0,
+    timestamp_key=None,
+    metric: str = "cosine_similarity",
+    ann_percent: int = 5,
+):
+    """Array-level core of :func:`execute_query_batch`.
+
+    Returns ``(doc_ids, scores)`` as ``(B, k)`` int64 / float32 NumPy
+    arrays with ``k = min(top_k, surviving docs)`` (``k == 0`` when
+    filters eliminate everything). Serving front-ends use this directly:
+    assembling B*k ``(document, score, id)`` Python tuples costs more than
+    the whole device dispatch at serving batch sizes, and a wire protocol
+    only needs the ids and scores (documents hydrate separately by id)."""
     num_docs = len(db.documents)
     if db.vectors is None or len(db.vectors) == 0 or not db.documents:
         raise Exception("The database is empty. Cannot proceed with the query.")
@@ -371,7 +412,10 @@ def execute_query_batch(
     if filters:
         mask, override = _filters.apply_filters(db, filters, mask)
     if not mask.any():
-        return [[] for _ in range(b_real)]
+        return (
+            np.zeros((b_real, 0), dtype=np.int64),
+            np.zeros((b_real, 0), dtype=np.float32),
+        )
 
     surviving = int(mask.sum())
     k = min(top_k, surviving)
@@ -403,17 +447,11 @@ def execute_query_batch(
             db, q_block, mask, override, recency, metric, k
         )
 
-    results = []
-    for b in range(b_real):  # pad rows (batch bucketing) are dropped here
-        row = []
-        for doc_id, score in zip(doc_ids[b], scores_out[b]):
-            document = db.documents[int(doc_id)]
-            if return_similarities:
-                row.append((document, float(score), int(doc_id)))
-            else:
-                row.append(document)
-        results.append(row)
-    return results
+    # pad rows (batch bucketing) are dropped here
+    return (
+        np.asarray(doc_ids[:b_real], dtype=np.int64),
+        np.asarray(scores_out[:b_real], dtype=np.float32),
+    )
 
 
 def _rank_block_ivf(db, q_block, mask, recency, metric, top_k, budget):

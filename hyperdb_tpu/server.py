@@ -169,6 +169,111 @@ class _DynamicBatcher:
                 entry["event"].set()
 
 
+def api_response(db, host_db, lock, batcher, method, path, body):
+    """Shared JSON API dispatcher -> ``(status, payload_dict)``.
+
+    One implementation of the endpoint semantics for BOTH serving
+    front-ends: the stdlib handler below and the native C++ epoll server's
+    generic-request path (native/server.py). ``body`` is raw request bytes;
+    the binary octet-stream hot path is NOT handled here (each front-end
+    owns its own fast path)."""
+    bare = path.partition("?")[0]
+    if method == "GET":
+        if bare == "/healthz":
+            return 200, {"ok": True}
+        if bare == "/stats":
+            with lock:
+                return 200, {
+                    "documents": host_db.size(),
+                    "chunks": len(host_db.source_indices),
+                    "dim": host_db.dim,
+                    "ann_metric": host_db.ann_metric,
+                    "index": type(host_db.ann_index).__name__
+                    if host_db.ann_index
+                    else None,
+                    "sharded": db is not host_db,
+                    "cache": host_db.get_cache_size_and_info(),
+                    "timers": host_db.stats.snapshot(),
+                }
+        return 404, {"error": f"unknown path {path}"}
+
+    if method != "POST":
+        return 404, {"error": f"unsupported method {method}"}
+    try:
+        req = json.loads(body or b"{}")
+    except (ValueError, json.JSONDecodeError) as e:
+        return 400, {"error": f"bad JSON: {e}"}
+    try:
+        if bare == "/query":
+            query_input = req["text"] if "text" in req else req["vector"]
+            filters = req.get("filters")
+            if filters:
+                filters = [tuple(f) for f in filters]
+            if (
+                batcher is not None
+                and "text" not in req
+                and "ann_percent" not in req  # not in the batch key
+            ):
+                import numpy as np
+
+                vec = np.asarray(req["vector"], dtype=np.float32)
+                dim = getattr(host_db, "dim", None)
+                if vec.ndim != 1 or (dim and vec.shape[0] != dim):
+                    # reject BEFORE coalescing: one malformed vector must
+                    # not 400 a whole group of valid requests
+                    return 400, {
+                        "error": (
+                            f"query vector shape {vec.shape} does not "
+                            f"match corpus dimension {dim}"
+                        )
+                    }
+                result = batcher.submit(
+                    vec,
+                    int(req.get("top_k", 5)),
+                    req.get("metric", "cosine_similarity"),
+                    filters,
+                    req.get("recency_bias", 0) or 0,
+                    req.get("timestamp_key"),
+                )
+                return 200, {"results": _result_rows(result)}
+            kwargs = {}
+            if "ann_percent" in req and hasattr(db, "ann_metric"):
+                # Q12 candidate budget — single-chip engine only (the
+                # sharded path has no ANN pre-filter)
+                kwargs["ann_percent"] = int(req["ann_percent"])
+            with lock:
+                results = db.query(
+                    query_input,
+                    top_k=int(req.get("top_k", 5)),
+                    metric=req.get("metric", "cosine_similarity"),
+                    filters=filters,
+                    recency_bias=req.get("recency_bias", 0) or 0,
+                    timestamp_key=req.get("timestamp_key"),
+                    **kwargs,
+                )
+            return 200, {"results": _result_rows(results)}
+        if bare == "/query_batch":
+            import numpy as np
+
+            vectors = np.asarray(req["vectors"], dtype=np.float32)
+            with lock:
+                rows = db.query_batch(
+                    vectors,
+                    top_k=int(req.get("top_k", 5)),
+                    metric=req.get("metric", "cosine_similarity"),
+                )
+            return 200, {"results": [_result_rows(r) for r in rows]}
+    except KeyError as e:
+        return 400, {"error": f"missing field {e}"}
+    except (ValueError, TypeError) as e:
+        # engine validation errors (bad metric, dim mismatch, ...) plus
+        # malformed-but-JSON-valid payloads like {"top_k": null} (int(None)
+        # raises TypeError) — the client should get a 400, not a dropped
+        # connection
+        return 400, {"error": str(e)}
+    return 404, {"error": f"unknown path {path}"}
+
+
 def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                 dynamic_batch_ms: float = 0.0, max_batch: int = 64):
     """Build (but do not start) a ThreadingHTTPServer serving ``db``.
@@ -217,24 +322,10 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
             pass
 
         def do_GET(self):
-            if self.path == "/healthz":
-                return self._send(200, {"ok": True})
-            if self.path == "/stats":
-                with lock:
-                    info = {
-                        "documents": host_db.size(),
-                        "chunks": len(host_db.source_indices),
-                        "dim": host_db.dim,
-                        "ann_metric": host_db.ann_metric,
-                        "index": type(host_db.ann_index).__name__
-                        if host_db.ann_index
-                        else None,
-                        "sharded": db is not host_db,
-                        "cache": host_db.get_cache_size_and_info(),
-                        "timers": host_db.stats.snapshot(),
-                    }
-                return self._send(200, info)
-            return self._send(404, {"error": f"unknown path {self.path}"})
+            return self._send(
+                *api_response(db, host_db, lock, batcher, "GET", self.path,
+                              b"")
+            )
 
         def do_POST(self):
             # Binary fast path: serving measurements (bench_serving) put
@@ -286,86 +377,12 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                     "ids": [r[2] for r in rows],
                     "scores": [float(r[1]) for r in rows],
                 })
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
-            except (ValueError, json.JSONDecodeError) as e:
-                return self._send(400, {"error": f"bad JSON: {e}"})
-            try:
-                if self.path == "/query":
-                    query_input = (
-                        req["text"] if "text" in req else req["vector"]
-                    )
-                    filters = req.get("filters")
-                    if filters:
-                        filters = [tuple(f) for f in filters]
-                    if (
-                        batcher is not None
-                        and "text" not in req
-                        and "ann_percent" not in req  # not in the batch key
-                    ):
-                        import numpy as np
-
-                        vec = np.asarray(req["vector"], dtype=np.float32)
-                        dim = getattr(host_db, "dim", None)
-                        if vec.ndim != 1 or (dim and vec.shape[0] != dim):
-                            # reject BEFORE coalescing: one malformed vector
-                            # must not 400 a whole group of valid requests
-                            return self._send(400, {
-                                "error": (
-                                    f"query vector shape {vec.shape} does "
-                                    f"not match corpus dimension {dim}"
-                                )
-                            })
-                        result = batcher.submit(
-                            vec,
-                            int(req.get("top_k", 5)),
-                            req.get("metric", "cosine_similarity"),
-                            filters,
-                            req.get("recency_bias", 0) or 0,
-                            req.get("timestamp_key"),
-                        )
-                        return self._send(
-                            200, {"results": _result_rows(result)}
-                        )
-                    kwargs = {}
-                    if "ann_percent" in req and hasattr(db, "ann_metric"):
-                        # Q12 candidate budget — single-chip engine only
-                        # (the sharded path has no ANN pre-filter)
-                        kwargs["ann_percent"] = int(req["ann_percent"])
-                    with lock:
-                        results = db.query(
-                            query_input,
-                            top_k=int(req.get("top_k", 5)),
-                            metric=req.get("metric", "cosine_similarity"),
-                            filters=filters,
-                            recency_bias=req.get("recency_bias", 0) or 0,
-                            timestamp_key=req.get("timestamp_key"),
-                            **kwargs,
-                        )
-                    return self._send(200, {"results": _result_rows(results)})
-                if self.path == "/query_batch":
-                    import numpy as np
-
-                    vectors = np.asarray(req["vectors"], dtype=np.float32)
-                    with lock:
-                        rows = db.query_batch(
-                            vectors,
-                            top_k=int(req.get("top_k", 5)),
-                            metric=req.get("metric", "cosine_similarity"),
-                        )
-                    return self._send(
-                        200, {"results": [_result_rows(r) for r in rows]}
-                    )
-            except KeyError as e:
-                return self._send(400, {"error": f"missing field {e}"})
-            except (ValueError, TypeError) as e:
-                # engine validation errors (bad metric, dim mismatch, ...)
-                # plus malformed-but-JSON-valid payloads like
-                # {"top_k": null} (int(None) raises TypeError) — the client
-                # should get a 400, not a dropped connection
-                return self._send(400, {"error": str(e)})
-            return self._send(404, {"error": f"unknown path {self.path}"})
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            return self._send(
+                *api_response(db, host_db, lock, batcher, "POST", self.path,
+                              body)
+            )
 
     class _Server(ThreadingHTTPServer):
         daemon_threads = True

@@ -219,3 +219,35 @@ def test_query_batch_matches_oracle(corpus, monkeypatch, route, metric):
             corpus["num_docs"], k, metric,
         )
         _check(res, want, scores, metric, k)
+
+
+@pytest.mark.parametrize("route", ["host", "device"])
+def test_query_batch_arrays_matches_tuple_api(corpus, monkeypatch, route):
+    """query_batch_arrays is the array-level twin of query_batch: identical
+    ids and scores, as (B, k) arrays (the native serving front-end's engine
+    entry point)."""
+    _routing(monkeypatch, route)
+    db = corpus["db"]
+    qs = corpus["queries"]
+    k = 6
+    rows = db.query_batch(qs, top_k=k, metric="cosine_similarity")
+    ids, scores = db.query_batch_arrays(qs, top_k=k,
+                                        metric="cosine_similarity")
+    assert ids.dtype == np.int64 and scores.dtype == np.float32
+    assert ids.shape == (qs.shape[0], k) and scores.shape == ids.shape
+    for b, res in enumerate(rows):
+        assert [r[2] for r in res] == ids[b].tolist()
+        assert np.allclose([r[1] for r in res], scores[b], atol=1e-6)
+    db.clear_cache()
+
+
+def test_query_batch_arrays_empty_filter_result(corpus):
+    """Filters that eliminate every document yield (B, 0) arrays, matching
+    query_batch's empty per-query lists."""
+    db = corpus["db"]
+    qs = corpus["queries"][:3]
+    filters = [("metadata", {"grp": "no-such-group"})]
+    ids, scores = db.query_batch_arrays(qs, top_k=4, filters=filters)
+    assert ids.shape == (3, 0) and scores.shape == (3, 0)
+    assert db.query_batch(qs, top_k=4, filters=filters) == [[], [], []]
+    db.clear_cache()

@@ -1,0 +1,246 @@
+"""Native C++ epoll serving front-end (native/server.cc + native/server.py).
+
+Exercises the full wire surface against a live engine on the hermetic CPU
+backend: the binary hot path (JSON and binary responses), batching under
+real concurrency (results must match the exact oracle regardless of how
+requests coalesced), the shared JSON dispatcher on the generic path, error
+mapping, keep-alive reuse, and clean shutdown. Skips when no compiler can
+build the host library.
+"""
+
+import http.client
+import json
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from hyperdb_tpu import HyperDB
+
+native_server = pytest.importorskip("hyperdb_tpu.native.server")
+
+if not native_server.available():  # no compiler in this environment
+    pytest.skip("native host library unavailable", allow_module_level=True)
+
+N, D = 4096, 32
+
+
+@pytest.fixture(scope="module")
+def served():
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((N, D)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    docs = [{"i": int(i), "grp": ["a", "b"][i % 2]} for i in range(N)]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["grp"])
+    srv = native_server.NativeQueryServer(db, port=0, max_batch=32,
+                                          window_ms=2.0)
+    yield {"db": db, "srv": srv, "vectors": v, "port": srv.port}
+    srv.close()
+
+
+def _conn(served):
+    c = http.client.HTTPConnection("127.0.0.1", served["port"], timeout=30)
+    return c
+
+
+def _binary_query(conn, vec, top_k=5, metric=None, binary_out=False):
+    path = f"/query?top_k={top_k}"
+    if metric:
+        path += f"&metric={metric}"
+    headers = {"Content-Type": "application/octet-stream"}
+    if binary_out:
+        headers["Accept"] = "application/octet-stream"
+    conn.request("POST", path, vec.astype(np.float32).tobytes(), headers)
+    resp = conn.getresponse()
+    body = resp.read()
+    if resp.status != 200:
+        return resp.status, json.loads(body)
+    if binary_out:
+        k = struct.unpack("<I", body[:4])[0]
+        ids = np.frombuffer(body[4:4 + 8 * k], dtype=np.int64)
+        scores = np.frombuffer(body[4 + 8 * k:], dtype=np.float32)
+        return 200, {"ids": ids.tolist(), "scores": scores.tolist()}
+    return 200, json.loads(body)
+
+
+def _oracle_ids(v, q, k):
+    qn = q / np.linalg.norm(q)
+    return np.argsort(-(v @ qn), kind="stable")[:k]
+
+
+def test_healthz_inline(served):
+    conn = _conn(served)
+    conn.request("GET", "/healthz")
+    resp = conn.getresponse()
+    assert resp.status == 200 and json.loads(resp.read()) == {"ok": True}
+    conn.close()
+
+
+def test_binary_query_json_response(served):
+    conn = _conn(served)
+    q = served["vectors"][11] + 0.01
+    status, out = _binary_query(conn, q, top_k=7)
+    assert status == 200
+    assert out["ids"] == _oracle_ids(served["vectors"], q, 7).tolist()
+    assert len(out["scores"]) == 7
+    assert out["scores"] == sorted(out["scores"], reverse=True)
+    conn.close()
+
+
+def test_binary_query_binary_response(served):
+    conn = _conn(served)
+    q = served["vectors"][42] + 0.01
+    status, out = _binary_query(conn, q, top_k=5, binary_out=True)
+    assert status == 200
+    assert out["ids"] == _oracle_ids(served["vectors"], q, 5).tolist()
+    # scores match the library's own to float32
+    rows = served["db"].query_batch(q[None, :], top_k=5)[0]
+    assert np.allclose(out["scores"], [r[1] for r in rows], atol=1e-5)
+    conn.close()
+
+
+def test_keep_alive_reuse(served):
+    conn = _conn(served)
+    for i in (3, 1000, 2048):
+        q = served["vectors"][i] + 0.01
+        status, out = _binary_query(conn, q, top_k=1)
+        assert status == 200 and out["ids"][0] == _oracle_ids(
+            served["vectors"], q, 1
+        )[0]
+    conn.close()
+
+
+def test_generic_json_paths(served):
+    conn = _conn(served)
+    q = served["vectors"][9].tolist()
+    body = json.dumps({"vector": q, "top_k": 3}).encode()
+    conn.request("POST", "/query", body,
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    assert resp.status == 200
+    assert [r["index"] for r in out["results"]] == _oracle_ids(
+        served["vectors"], np.asarray(q), 3
+    ).tolist()
+    # filters ride the generic path untouched
+    body = json.dumps({
+        "vector": q, "top_k": 3,
+        "filters": [["metadata", {"grp": "a"}]],
+    }).encode()
+    conn.request("POST", "/query", body,
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    assert resp.status == 200
+    assert all(r["document"]["grp"] == "a" for r in out["results"])
+    # /stats via the shared dispatcher
+    conn.request("GET", "/stats")
+    resp = conn.getresponse()
+    st = json.loads(resp.read())
+    assert resp.status == 200 and st["documents"] == N and st["dim"] == D
+    conn.close()
+
+
+def test_error_mapping(served):
+    conn = _conn(served)
+    # wrong body size -> inline C++ 400
+    conn.request("POST", "/query?top_k=5", b"xyz",
+                 {"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    assert resp.status == 400 and b"corpus dimension" in resp.read()
+    # bad metric -> engine error surfaced as 400 for the whole batch
+    q = served["vectors"][0]
+    status, out = _binary_query(conn, q, top_k=5, metric="bogus")
+    assert status == 400 and "Invalid metric" in out["error"]
+    # non-positive top_k -> inline C++ 400
+    conn.request("POST", "/query?top_k=0", q.tobytes(),
+                 {"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    assert resp.status == 400 and b"top_k" in resp.read()
+    # malformed JSON on the generic path
+    conn.request("POST", "/query", b"{oops",
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 400 and b"bad JSON" in resp.read()
+    # unknown path
+    conn.request("GET", "/nope")
+    resp = conn.getresponse()
+    assert resp.status == 404
+    resp.read()
+    conn.close()
+
+
+def test_concurrent_batching_matches_oracle(served):
+    """32 threads x 8 requests with mixed top_k: every response must be the
+    exact per-query answer no matter how the C++ batcher grouped them (the
+    flush queries at the group max top_k and slices per request)."""
+    v = served["vectors"]
+    rng = np.random.default_rng(3)
+    errors = []
+
+    def worker(tid):
+        try:
+            conn = _conn(served)
+            for j in range(8):
+                i = int(rng.integers(0, N))
+                q = v[i] + 0.01
+                k = [1, 3, 5, 9][(tid + j) % 4]
+                status, out = _binary_query(conn, q, top_k=k,
+                                            binary_out=j % 2 == 0)
+                assert status == 200, out
+                assert out["ids"] == _oracle_ids(v, q, k).tolist(), (
+                    tid, j, k
+                )
+            conn.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors[0]
+
+
+def test_mixed_metrics_are_not_coalesced(served):
+    """Concurrent requests with different metrics must never share a batch
+    (grouping is per metric); both must come back correct."""
+    v = served["vectors"]
+    q = v[77] + 0.01
+    out = {}
+
+    def ask(metric):
+        conn = _conn(served)
+        status, res = _binary_query(conn, q, top_k=3, metric=metric)
+        out[metric] = (status, res)
+        conn.close()
+
+    threads = [
+        threading.Thread(target=ask, args=(m,))
+        for m in ("cosine_similarity", "dot_product")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert out["cosine_similarity"][0] == 200
+    assert out["dot_product"][0] == 200
+    assert out["cosine_similarity"][1]["ids"] == _oracle_ids(v, q, 3).tolist()
+    dot_ids = np.argsort(-(v @ q), kind="stable")[:3].tolist()
+    assert out["dot_product"][1]["ids"] == dot_ids
+
+
+def test_close_unblocks_and_is_idempotent():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((256, 8)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(256)], vectors=v)
+    srv = native_server.NativeQueryServer(db, port=0)
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+    conn.request("GET", "/healthz")
+    assert conn.getresponse().status == 200
+    conn.close()
+    srv.close()
+    srv.close()  # second close is a no-op
+    assert not srv._worker.is_alive()
