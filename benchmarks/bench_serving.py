@@ -72,7 +72,7 @@ def build_db(n: int, d: int):
 
 
 def _worker_main(port, bodies, n_threads, seconds, ramp, out_q,
-                 path="/query", ctype="application/json"):
+                 path="/query", ctype="application/json", accept=None):
     """One CLIENT PROCESS: n_threads keep-alive connections hammering
     /query. Clients must not share the server process's GIL (the first
     cut ran 512 client threads in-process and measured python, not the
@@ -105,8 +105,11 @@ def _worker_main(port, bodies, n_threads, seconds, ramp, out_q,
             body = bodies[i % n_bodies]
             i += 1
             t0 = now
+            headers = {"Content-Type": ctype}
+            if accept:
+                headers["Accept"] = accept
             try:
-                conn.request("POST", path, body, {"Content-Type": ctype})
+                conn.request("POST", path, body, headers)
                 resp = conn.getresponse()
                 payload = resp.read()
                 if resp.status != 200:
@@ -145,6 +148,14 @@ def main():
                         default=[32, 128, 512])
     parser.add_argument("--mode", choices=["json", "binary"],
                         default="binary")
+    parser.add_argument("--server", choices=["python", "native"],
+                        default="python",
+                        help="python = stdlib ThreadingHTTPServer + "
+                             "_DynamicBatcher; native = C++ epoll front-end "
+                             "(native/server.cc), one engine call per batch")
+    parser.add_argument("--accept-binary", action="store_true",
+                        help="ask for binary responses (native server only; "
+                             "the python server ignores Accept)")
     args = parser.parse_args()
 
     from hyperdb_tpu.server import make_server
@@ -164,11 +175,22 @@ def main():
     print(f"warmed {args.max_batch.bit_length()} batch buckets in "
           f"{time.time() - t0:.1f}s", flush=True)
 
-    httpd = make_server(db, port=args.port,
-                        dynamic_batch_ms=args.window_ms,
-                        max_batch=args.max_batch)
-    server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
-    server_thread.start()
+    if args.server == "native":
+        from hyperdb_tpu.native.server import NativeQueryServer
+
+        native_srv = NativeQueryServer(
+            db, port=args.port, max_batch=args.max_batch,
+            window_ms=args.window_ms,
+        )
+        httpd = None
+    else:
+        native_srv = None
+        httpd = make_server(db, port=args.port,
+                            dynamic_batch_ms=args.window_ms,
+                            max_batch=args.max_batch)
+        server_thread = threading.Thread(target=httpd.serve_forever,
+                                         daemon=True)
+        server_thread.start()
 
     rng = np.random.default_rng(42)
     qids = rng.integers(0, args.n, size=1024)
@@ -176,6 +198,7 @@ def main():
         (v[int(i)] + 0.01 * rng.standard_normal(args.d)).astype(np.float32)
         for i in qids
     ]
+    accept = "application/octet-stream" if args.accept_binary else None
     if args.mode == "binary":
         bodies = [q.tobytes() for q in qvecs]
         path, ctype = "/query?top_k=10", "application/octet-stream"
@@ -202,7 +225,7 @@ def main():
                 break
             p = ctx.Process(target=_worker_main,
                             args=(args.port, bodies, t, args.seconds, ramp,
-                                  out_q, path, ctype))
+                                  out_q, path, ctype, accept))
             p.start()
             workers.append(p)
         done, all_lats = 0, []
@@ -221,6 +244,7 @@ def main():
         emit({
             "concurrency": conc,
             "mode": args.mode,
+            "server": args.server,
             "qps": round(done / args.seconds, 1),
             "p50_ms": round(p50, 1),
             "p95_ms": round(p95, 1),
@@ -240,9 +264,12 @@ def main():
     except Exception as e:  # diagnostics only
         print("stats fetch failed:", e, flush=True)
 
-    httpd.shutdown()
-    if httpd.batcher is not None:
-        httpd.batcher.close()
+    if native_srv is not None:
+        native_srv.close()
+    else:
+        httpd.shutdown()
+        if httpd.batcher is not None:
+            httpd.batcher.close()
 
 
 if __name__ == "__main__":

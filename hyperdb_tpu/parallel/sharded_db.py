@@ -586,6 +586,40 @@ class ShardedHyperDB:
             worst = 1 << max(0, int(top_k * max_chunks - 1)).bit_length()
             k_fetch = min(max(k_fetch * 2, worst), self.n_pad)
 
+    def query_batch_arrays(
+        self,
+        query_vectors,
+        top_k: int = 5,
+        filters=None,
+        recency_bias: float = 0,
+        timestamp_key=None,
+        metric: str = "cosine_similarity",
+        ann_percent: int = 5,  # accepted for surface parity; no ANN here
+    ):
+        """Array-level twin of :meth:`query_batch` (same contract as
+        ``HyperDB.query_batch_arrays``) so the native serving front-end can
+        wrap a sharded corpus. The distributed scan dominates at sharded
+        scales, so adapting the tuple rows costs noise here; rows are
+        truncated to the shortest row when a filter leaves fewer than
+        ``top_k`` documents for some query."""
+        del ann_percent
+        rows = self.query_batch(
+            query_vectors,
+            top_k=top_k,
+            filters=filters,
+            metric=metric,
+            recency_bias=recency_bias,
+            timestamp_key=timestamp_key,
+        )
+        k = min((len(r) for r in rows), default=0)
+        ids = np.array(
+            [[r[2] for r in row[:k]] for row in rows], dtype=np.int64
+        ).reshape(len(rows), k)
+        scores = np.array(
+            [[r[1] for r in row[:k]] for row in rows], dtype=np.float32
+        ).reshape(len(rows), k)
+        return ids, scores
+
     def _query_override(
         self, q, doc_mask, override, top_k, metric,
         return_similarities, recency_bias, timestamp_key,

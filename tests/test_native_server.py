@@ -244,3 +244,32 @@ def test_close_unblocks_and_is_idempotent():
     srv.close()
     srv.close()  # second close is a no-op
     assert not srv._worker.is_alive()
+
+
+def test_native_server_wraps_sharded_db():
+    """The native front-end serves a ShardedHyperDB through its
+    query_batch_arrays adapter; answers must match the host db's."""
+    import jax
+    from jax.sharding import Mesh
+
+    from hyperdb_tpu.parallel.sharded_db import ShardedHyperDB
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((512, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(512)], vectors=v)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sdb = ShardedHyperDB(db, mesh)
+    srv = native_server.NativeQueryServer(sdb, port=0, max_batch=8)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        q = v[33] + 0.01
+        status, out = _binary_query(conn, q, top_k=4)
+        assert status == 200
+        assert out["ids"] == _oracle_ids(v, q, 4).tolist()
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        assert st["sharded"] is True
+        conn.close()
+    finally:
+        srv.close()
