@@ -71,69 +71,30 @@ def build_db(n: int, d: int):
     return HyperDB(documents=docs, vectors=v, fp_precision="float16"), v
 
 
-def _worker_main(port, bodies, n_threads, seconds, ramp, out_q,
-                 path="/query", ctype="application/json", accept=None):
-    """One CLIENT PROCESS: n_threads keep-alive connections hammering
-    /query. Clients must not share the server process's GIL (the first
-    cut ran 512 client threads in-process and measured python, not the
-    server: 235 q/s with p50 over a second), so each worker is a separate
-    process and reports (count, latencies) through a queue. Requests
-    during the ramp are excluded from both."""
-    stop_at = time.perf_counter() + ramp + seconds
-    count_lock = threading.Lock()
-    counts = [0]
-    lats = []
-
-    import socket
-
-    def connect():
-        conn = http.client.HTTPConnection("127.0.0.1", port)
-        conn.connect()
-        # client-side Nagle adds the same ~40 ms the server's
-        # disable_nagle_algorithm removes on its side
-        conn.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        return conn
-
-    def loop(tid):
-        conn = connect()
-        i = tid
-        n_bodies = len(bodies)
-        while True:
-            now = time.perf_counter()
-            if now >= stop_at:
+def loopback_probe(db, v, sizes, seconds_budget=60.0):
+    """Time ``query_batch_arrays`` directly (no HTTP, no batcher): the
+    per-flush engine wall the serving loop pays. Separates 'the engine
+    call is slow over the tunnel' from 'the HTTP plane is slow'."""
+    rng = np.random.default_rng(7)
+    for b in sizes:
+        q = (v[rng.integers(0, len(v), size=b)]
+             + 0.01 * rng.standard_normal((b, v.shape[1]))).astype(np.float32)
+        db.query_batch_arrays(q, top_k=10)  # warm this exact shape
+        trials = []
+        deadline = time.perf_counter() + seconds_budget
+        for _ in range(7):
+            t0 = time.perf_counter()
+            db.query_batch_arrays(q, top_k=10)
+            trials.append(time.perf_counter() - t0)
+            if time.perf_counter() > deadline:
                 break
-            body = bodies[i % n_bodies]
-            i += 1
-            t0 = now
-            headers = {"Content-Type": ctype}
-            if accept:
-                headers["Accept"] = accept
-            try:
-                conn.request("POST", path, body, headers)
-                resp = conn.getresponse()
-                payload = resp.read()
-                if resp.status != 200:
-                    raise RuntimeError(payload[:200])
-            except Exception:
-                conn.close()
-                try:
-                    conn = connect()
-                except OSError:
-                    time.sleep(0.05)
-                continue
-            t1 = time.perf_counter()
-            if t0 - (stop_at - ramp - seconds) >= ramp and t1 <= stop_at:
-                with count_lock:
-                    counts[0] += 1
-                    lats.append(t1 - t0)
-        conn.close()
-
-    threads = [threading.Thread(target=loop, args=(t,)) for t in range(n_threads)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    out_q.put((counts[0], lats))
+        best = min(trials)
+        emit({
+            "loopback_flush": b,
+            "best_ms": round(best * 1e3, 2),
+            "median_ms": round(sorted(trials)[len(trials) // 2] * 1e3, 2),
+            "engine_qps_at_flush": round(b / best, 1),
+        })
 
 
 def main():
@@ -175,6 +136,9 @@ def main():
     print(f"warmed {args.max_batch.bit_length()} batch buckets in "
           f"{time.time() - t0:.1f}s", flush=True)
 
+    # No-HTTP floor first: what one engine call costs per flush size.
+    loopback_probe(db, v, sorted({32, 256, args.max_batch}))
+
     if args.server == "native":
         from hyperdb_tpu.native.server import NativeQueryServer
 
@@ -212,7 +176,14 @@ def main():
 
     import multiprocessing as mp
 
-    ctx = mp.get_context("fork")  # bodies ship to workers by COW, not pickle
+    from benchmarks._serving_client import worker_main
+
+    # spawn, not fork: forking this JAX-multithreaded parent deadlocks
+    # children (observed on chip: the 2nd concurrency level's workers hung
+    # and the bench died on queue timeout). worker_main lives in a
+    # stdlib-only module so spawn re-imports stay cheap; bodies (<8 MB)
+    # ship by pickle.
+    ctx = mp.get_context("spawn")
     n_workers = min(8, os.cpu_count() or 4)
     ramp = 2.0
     for conc in args.concurrency:
@@ -223,7 +194,7 @@ def main():
             t = min(per, conc - w * per)
             if t <= 0:
                 break
-            p = ctx.Process(target=_worker_main,
+            p = ctx.Process(target=worker_main,
                             args=(args.port, bodies, t, args.seconds, ramp,
                                   out_q, path, ctype, accept))
             p.start()
@@ -241,7 +212,7 @@ def main():
         all_lats.sort()
         p50 = all_lats[len(all_lats) // 2] * 1e3
         p95 = all_lats[int(len(all_lats) * 0.95)] * 1e3
-        emit({
+        rec = {
             "concurrency": conc,
             "mode": args.mode,
             "server": args.server,
@@ -251,7 +222,21 @@ def main():
             "n": args.n,
             "max_batch": args.max_batch,
             "window_ms": args.window_ms,
-        })
+        }
+        if native_srv is not None:
+            # in-process: read + reset the per-flush accounting directly so
+            # each concurrency level reports its own flush profile
+            f = max(1, native_srv.flushes)
+            rec["flushes"] = native_srv.flushes
+            rec["mean_flush"] = round(native_srv.flushed_queries / f, 1)
+            rec["max_flush"] = native_srv.max_flush
+            rec["engine_ms_per_flush"] = round(
+                1e3 * native_srv.engine_s / f, 2)
+            rec["worker_idle_s"] = round(native_srv.idle_s, 2)
+            native_srv.flushes = native_srv.flushed_queries = 0
+            native_srv.engine_s = native_srv.idle_s = 0.0
+            native_srv.max_flush = 0
+        emit(rec)
 
     # where does the flush wall time go? (the engine keeps per-phase stats)
     try:

@@ -24,6 +24,7 @@ from __future__ import annotations
 import ctypes
 import json
 import threading
+import time
 
 import numpy as np
 
@@ -136,6 +137,15 @@ class NativeQueryServer:
         if not self._srv:
             raise OSError(f"could not bind {host}:{port}")
         self.port = lib.hdb_srv_port(self._srv)
+        # per-flush accounting (reported under /stats -> "native"): where a
+        # serving second goes — engine wall per flush vs everything else —
+        # and how big flushes actually are. Written only by the worker
+        # thread; /stats reads without locking (approximate is fine).
+        self.flushes = 0
+        self.flushed_queries = 0
+        self.engine_s = 0.0
+        self.idle_s = 0.0  # blocked in hdb_srv_next (no work pending)
+        self.max_flush = 0
         self._worker = threading.Thread(
             target=self._run, daemon=True, name="hyperdb-native-serve"
         )
@@ -170,7 +180,9 @@ class NativeQueryServer:
     def _run(self):
         lib, srv = self._lib, self._srv
         while True:
+            t0 = time.perf_counter()
             tag = lib.hdb_srv_next(srv)  # blocks; GIL released in ctypes
+            self.idle_s += time.perf_counter() - t0
             if tag == 0:
                 return
             if tag == 1:
@@ -185,6 +197,7 @@ class NativeQueryServer:
         )
         topks = np.ctypeslib.as_array(lib.hdb_srv_batch_topks(srv), shape=(n,))
         metric = lib.hdb_srv_batch_metric(srv).decode()
+        t0 = time.perf_counter()
         try:
             with self.lock:
                 ids, scores = self.db.query_batch_arrays(
@@ -195,6 +208,10 @@ class NativeQueryServer:
         except Exception as e:  # noqa: BLE001 — delivered per request
             lib.hdb_srv_batch_fail(srv, 400, str(e).encode())
             return
+        self.engine_s += time.perf_counter() - t0
+        self.flushes += 1
+        self.flushed_queries += n
+        self.max_flush = max(self.max_flush, n)
         k = int(ids.shape[1])
         ids64 = np.ascontiguousarray(ids, dtype=np.int64)
         sc32 = np.ascontiguousarray(scores, dtype=np.float32)
@@ -219,6 +236,17 @@ class NativeQueryServer:
             )
         except Exception as e:  # noqa: BLE001 — must answer the socket
             status, payload = 500, {"error": str(e)}
+        if status == 200 and path.partition("?")[0] == "/stats":
+            f = max(1, self.flushes)
+            payload["native"] = {
+                "flushes": self.flushes,
+                "queries": self.flushed_queries,
+                "mean_flush": round(self.flushed_queries / f, 1),
+                "max_flush": self.max_flush,
+                "engine_ms_per_flush": round(1e3 * self.engine_s / f, 2),
+                "engine_s": round(self.engine_s, 3),
+                "idle_s": round(self.idle_s, 3),
+            }
         data = json.dumps(payload).encode()
         lib.hdb_srv_req_respond(
             srv, status, b"application/json", data, len(data)
