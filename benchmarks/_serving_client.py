@@ -16,6 +16,85 @@ import threading
 import time
 
 
+def _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
+                      count_lock, counts, lats, ramp, seconds):
+    """Raw-socket client loop: requests are PRE-SERIALIZED byte strings and
+    the response parse is a header scan + Content-Length read. http.client
+    costs ~0.5-1 ms of Python per request — at 1k+ q/s targets the client
+    harness itself becomes the measurement, so the hot path avoids it."""
+    head_tmpl = (f"POST {path} HTTP/1.1\r\nHost: x\r\n"
+                 f"Content-Type: {ctype}\r\n"
+                 + (f"Accept: {accept}\r\n" if accept else "")
+                 + "Content-Length: %d\r\n\r\n")
+    reqs = [(head_tmpl % len(b)).encode() + b for b in bodies]
+
+    def connect():
+        sock = socket.create_connection(("127.0.0.1", port))
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return sock
+
+    def read_response(sock, buf):
+        # returns (status, leftover) or raises on EOF
+        while True:
+            hdr_end = buf.find(b"\r\n\r\n")
+            if hdr_end >= 0:
+                break
+            chunk = sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("eof")
+            buf += chunk
+        head = buf[:hdr_end]
+        status = int(head.split(b" ", 2)[1])
+        clen = 0
+        for line in head.split(b"\r\n")[1:]:
+            if line[:15].lower() == b"content-length:":
+                clen = int(line[15:])
+                break
+        total = hdr_end + 4 + clen
+        while len(buf) < total:
+            chunk = sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("eof")
+            buf += chunk
+        return status, buf[total:]
+
+    def loop(tid):
+        sock = connect()
+        buf = b""
+        i = tid
+        n = len(reqs)
+        while True:
+            now = time.perf_counter()
+            if now >= stop_at:
+                break
+            t0 = now
+            try:
+                sock.sendall(reqs[i % n])
+                status, buf = read_response(sock, buf)
+                if status != 200:
+                    raise RuntimeError(status)
+            except Exception:
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                buf = b""
+                try:
+                    sock = connect()
+                except OSError:
+                    time.sleep(0.05)
+                continue
+            i += 1
+            t1 = time.perf_counter()
+            if t0 - (stop_at - ramp - seconds) >= ramp and t1 <= stop_at:
+                with count_lock:
+                    counts[0] += 1
+                    lats.append(t1 - t0)
+        sock.close()
+
+    return loop
+
+
 def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
                 path="/query", ctype="application/json", accept=None):
     """One CLIENT PROCESS: n_threads keep-alive connections hammering
@@ -28,6 +107,18 @@ def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
     count_lock = threading.Lock()
     counts = [0]
     lats = []
+
+    if ctype == "application/octet-stream":
+        loop = _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
+                                 count_lock, counts, lats, ramp, seconds)
+        threads = [threading.Thread(target=loop, args=(t,))
+                   for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        out_q.put((counts[0], lats))
+        return
 
     def connect():
         conn = http.client.HTTPConnection("127.0.0.1", port)
