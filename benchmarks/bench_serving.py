@@ -45,7 +45,11 @@ if SMOKE:
 
 from benchmarks._chiplock import claim_chip  # noqa: E402
 
-claim_chip()
+if __name__ == "__main__":
+    # spawn client workers re-import this file as __mp_main__; only the
+    # real entrypoint may claim the chip (a child claiming would deadlock
+    # against its own parent holding the lock)
+    claim_chip()
 
 import numpy as np  # noqa: E402
 
