@@ -550,4 +550,7 @@ def ranking_algorithm_sort(
         metric=metric,
         recency=recency,
     )
-    return np.asarray(idx[0]), np.asarray(vals[0])
+    from hyperdb_tpu.utils.devio import fetch
+
+    idx_h, vals_h = fetch(idx, vals)  # one tunnel round trip, not two
+    return idx_h[0], vals_h[0]

@@ -42,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hyperdb_tpu.parallel.distributed import sharded_rank_top_k
 from hyperdb_tpu.query import engine as _engine
 from hyperdb_tpu.query import filters as _filters
+from hyperdb_tpu.utils.devio import fetch
 
 
 def _dus_rows_impl(buf, block, offset):
@@ -494,6 +495,7 @@ class ShardedHyperDB:
         # k_fetch == n_pad merges every row of every shard and is exact by
         # construction.
         while True:
+            rescale_cosine = False
             if use_int8:
                 # rows were normalized before quantization for cosine, so a
                 # normalized query makes the scan scores true (quantized)
@@ -514,7 +516,6 @@ class ShardedHyperDB:
                     recency=recency_rows,
                     axis=self.axis,
                 )
-                vals = np.asarray(vals)
             elif prenorm and recency_rows is not None:
                 # recency adds to COSINE scores; dot-over-unit-rows differs
                 # by the query norm, so pre-scale the recency term per query
@@ -530,7 +531,6 @@ class ShardedHyperDB:
                     recency=recency_rows,
                     axis=self.axis,
                 )
-                vals = np.asarray(vals)
             else:
                 vals, idx = sharded_rank_top_k(
                     self.mesh,
@@ -542,12 +542,12 @@ class ShardedHyperDB:
                     recency=recency_rows,
                     axis=self.axis,
                 )
-                vals = np.asarray(vals)
-                if prenorm:
-                    # dot over unit rows == cosine up to query norm; rescale
-                    # so the returned scores are true cosine similarities
-                    vals = vals / qn
-            idx = np.asarray(idx)
+                rescale_cosine = prenorm
+            vals, idx = fetch(vals, idx)  # one tunnel round trip, not two
+            if rescale_cosine:
+                # dot over unit rows == cosine up to query norm; rescale
+                # so the returned scores are true cosine similarities
+                vals = vals / qn
 
             results = []
             need_refill = False
@@ -660,7 +660,7 @@ class ShardedHyperDB:
             k=min(k, n_pad), metric=metric, recency=recency_rows,
             axis=self.axis,
         )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        vals, idx = fetch(vals, idx)  # one tunnel round trip, not two
         results = []
         for b in range(q.shape[0]):
             row = []

@@ -41,6 +41,7 @@ from hyperdb_tpu.ops.metrics import METRICS
 from hyperdb_tpu.ops.ranking import rank_docs_top_k, rank_gathered, rank_top_k
 from hyperdb_tpu.query import filters as _filters
 from hyperdb_tpu.utils import log
+from hyperdb_tpu.utils.devio import fetch
 
 # Query metric -> constructor/ANN metric (reference hyperdb.py:1453-1459);
 # jaccard/pearson have no ANN mapping and always run brute force (Q10).
@@ -502,8 +503,9 @@ def _rank_block_ivf(db, q_block, mask, recency, metric, top_k, budget):
             recency=rec_c,
             prenormalized=prenorm,
         )
-        doc_ids[ivf_rows] = np.asarray(idx)[:, :top_k]
-        scores_out[ivf_rows] = np.asarray(vals)[:, :top_k]
+        idx_h, vals_h = fetch(idx, vals)  # one round trip, not two
+        doc_ids[ivf_rows] = idx_h[:, :top_k]
+        scores_out[ivf_rows] = vals_h[:, :top_k]
 
     if need_fallback.size:
         fb_ids, fb_vals = _rank_block(
@@ -602,7 +604,8 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 recency=rec_c,
                 prenormalized=prenorm,
             )
-            return np.asarray(idx)[:, :top_k], np.asarray(vals)[:, :top_k]
+            idx_h, vals_h = fetch(idx, vals)
+            return idx_h[:, :top_k], vals_h[:, :top_k]
 
     if override is not None:
         # Key-filter path: per-document override vectors (rows == docs).
@@ -752,4 +755,5 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             prenormalized=prenorm,
         )
 
-    return np.asarray(idx)[:, :top_k], np.asarray(vals)[:, :top_k]
+    idx_h, vals_h = fetch(idx, vals)
+    return idx_h[:, :top_k], vals_h[:, :top_k]
