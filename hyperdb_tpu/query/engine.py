@@ -563,7 +563,10 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 )
         return idx, vals
 
-    q = jnp.asarray(np.asarray(q_block, dtype=np.float32))
+    # host array on purpose: a jit argument's upload rides the dispatch
+    # (measured ~3-12 ms cheaper per call than an explicit jnp.asarray
+    # round — benchmarks/probe_readback.py arg_np vs arg_explicit)
+    q = np.ascontiguousarray(np.asarray(q_block, dtype=np.float32))
     k_pad = min(_pad_pow2(top_k), bucket_size(num_docs))
 
     # IVF fast path: gather + score only the candidate rows. Applies to the
@@ -656,8 +659,11 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
 
             qq = q
             if prenorm:
-                qn = jnp.linalg.norm(q, axis=1, keepdims=True)
-                qq = q / jnp.where(qn == 0, 1.0, qn)
+                # host-side on purpose: jnp here would be two extra device
+                # dispatches per call (norm + divide) outside the jit
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0] = 1.0
+                qq = np.ascontiguousarray(q / qn)
             psidx = db.ann_index
             if (
                 getattr(psidx, "kind", None) == "projscan"
