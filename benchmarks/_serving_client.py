@@ -108,7 +108,7 @@ def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
     counts = [0]
     lats = []
 
-    if ctype == "application/octet-stream":
+    if ctype in ("application/octet-stream", "text/plain"):
         loop = _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
                                  count_lock, counts, lats, ramp, seconds)
         threads = [threading.Thread(target=loop, args=(t,))

@@ -111,8 +111,11 @@ def main():
     parser.add_argument("--window-ms", type=float, default=4.0)
     parser.add_argument("--concurrency", type=int, nargs="*",
                         default=[32, 128, 512])
-    parser.add_argument("--mode", choices=["json", "binary"],
-                        default="binary")
+    parser.add_argument("--mode", choices=["json", "binary", "text"],
+                        default="binary",
+                        help="text = text/plain bodies through the text hot "
+                             "path (server embeds each flush in one encoder "
+                             "pass)")
     parser.add_argument("--server", choices=["python", "native"],
                         default="python",
                         help="python = stdlib ThreadingHTTPServer + "
@@ -139,6 +142,40 @@ def main():
         b *= 2
     print(f"warmed {args.max_batch.bit_length()} batch buckets in "
           f"{time.time() - t0:.1f}s", flush=True)
+
+    if args.mode == "text":
+        # warm the encoder's (seq bucket, pow2 batch) program shapes the
+        # text flushes will hit (the encoder slices batches at 512)
+        from hyperdb_tpu.query.engine import generate_query_vectors_batch
+
+        t0 = time.time()
+        sent = "the quick brown fox jumps over the lazy dog again and again"
+        b = 1
+        while b <= min(args.max_batch, 512):
+            generate_query_vectors_batch(db, [sent] * b)
+            b *= 2
+        print(f"warmed text-encode buckets in {time.time() - t0:.1f}s",
+              flush=True)
+        rng0 = np.random.default_rng(3)
+        for b in sorted({32, 256, min(args.max_batch, 512)}):
+            texts = [sent + f" {i}" for i in range(b)]
+            generate_query_vectors_batch(db, texts)  # warm exact shape
+            trials = []
+            for _ in range(5):
+                t1 = time.perf_counter()
+                qb = generate_query_vectors_batch(db, texts)
+                db.query_batch_arrays(
+                    qb + 0.001 * rng0.standard_normal(qb.shape).astype(
+                        np.float32),
+                    top_k=10,
+                )
+                trials.append(time.perf_counter() - t1)
+            best = min(trials)
+            emit({
+                "loopback_text_flush": b,
+                "best_ms": round(best * 1e3, 2),
+                "engine_qps_at_flush": round(b / best, 1),
+            })
 
     # No-HTTP floor first: what one engine call costs per flush size.
     loopback_probe(db, v, sorted({32, 256, args.max_batch}))
@@ -170,6 +207,14 @@ def main():
     if args.mode == "binary":
         bodies = [q.tobytes() for q in qvecs]
         path, ctype = "/query?top_k=10", "application/octet-stream"
+    elif args.mode == "text":
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+        bodies = [
+            (" ".join(rng.choice(words, size=10))).encode()
+            for _ in range(256)
+        ]
+        path, ctype = "/query?top_k=10", "text/plain"
     else:
         bodies = [
             json.dumps({"vector": q.astype(float).round(5).tolist(),

@@ -18,8 +18,10 @@
 //                        --gen queue-->  hdb_srv_next() == 2 (/stats, JSON)
 //                       <--resp queue--  hdb_srv_req_respond(...)
 //
-// Hot path: POST /query?top_k=K&metric=M with Content-Type
-// application/octet-stream and a raw little-endian f32 vector body.
+// Hot paths: POST /query?top_k=K&metric=M with Content-Type
+// application/octet-stream (raw little-endian f32 vector body) or
+// text/plain (query text body; the worker embeds the whole batch in one
+// encoder pass).
 // Requests are grouped by metric; a group flushes when max_batch requests
 // are waiting or window_us elapsed since the first arrival (same policy as
 // server._DynamicBatcher, moved off the GIL). Responses are JSON
@@ -67,7 +69,9 @@ struct HotReq {
   uint64_t gen = 0;
   int top_k = 5;
   bool binary_out = false;
+  bool is_text = false;  // text/plain query: `text` set, `vec` empty
   std::vector<float> vec;
+  std::string text;
 };
 
 struct GenReq {
@@ -373,6 +377,42 @@ int try_parse_request(Server* s, int fd) {
     return 1;
   }
 
+  // hot path: text query (embedded + scored batched by the worker).
+  // Group key gets a "\x01t" suffix so text and vector batches with the
+  // same metric never mix in one flush.
+  if (method == "POST" && path == "/query" &&
+      ctype.rfind("text/plain", 0) == 0) {
+    if (body.empty()) {
+      c.out += json_error(400, "empty query text", keep_alive);
+      return flush_out(s, fd) ? 1 : -1;
+    }
+    HotReq req;
+    req.fd = fd;
+    req.gen = c.gen;
+    req.is_text = true;
+    req.binary_out = accept.find("application/octet-stream") !=
+                     std::string::npos;
+    std::string metric = "cosine_similarity";
+    parse_query_string(qs, &req.top_k, &metric);
+    if (req.top_k <= 0) {
+      c.out += json_error(400, "top_k must be positive", keep_alive);
+      return flush_out(s, fd) ? 1 : -1;
+    }
+    req.text = std::move(body);
+    c.busy = true;
+    {
+      std::lock_guard<std::mutex> lk(s->mu);
+      auto& group = s->hot[metric + "\x01t"];
+      if (!s->hot_any) {
+        s->hot_first = Clock::now();
+        s->hot_any = true;
+      }
+      group.push_back(std::move(req));
+    }
+    s->cv.notify_one();
+    return 1;
+  }
+
   // everything else goes to the Python dispatcher
   GenReq req;
   req.fd = fd;
@@ -551,8 +591,8 @@ void* hdb_srv_create(const char* host, int port, int dim, int max_batch,
 
 int hdb_srv_port(void* sp) { return ((Server*)sp)->port; }
 
-// Blocks until work is available. 1 = hot batch, 2 = generic request,
-// 0 = shutdown.
+// Blocks until work is available. 1 = hot vector batch, 2 = generic
+// request, 3 = hot text batch, 0 = shutdown.
 int hdb_srv_next(void* sp) {
   Server* s = (Server*)sp;
   std::unique_lock<std::mutex> lk(s->mu);
@@ -586,15 +626,20 @@ int hdb_srv_next(void* sp) {
                             std::make_move_iterator(group.begin() + take));
         group.erase(group.begin(), group.begin() + take);
         s->cur_metric = *key;
+        size_t sep = s->cur_metric.find('\x01');
+        bool is_text = sep != std::string::npos;
+        if (is_text) s->cur_metric.resize(sep);
         if (group.empty()) s->hot.erase(it);
         s->hot_any = !s->hot.empty();
         if (s->hot_any) s->hot_first = now;  // restart window for leftovers
-        s->cur_vecs.resize(s->cur_batch.size() * (size_t)s->dim);
         s->cur_topks.resize(s->cur_batch.size());
+        for (size_t i = 0; i < s->cur_batch.size(); ++i)
+          s->cur_topks[i] = s->cur_batch[i].top_k;
+        if (is_text) return 3;
+        s->cur_vecs.resize(s->cur_batch.size() * (size_t)s->dim);
         for (size_t i = 0; i < s->cur_batch.size(); ++i) {
           memcpy(s->cur_vecs.data() + i * (size_t)s->dim,
                  s->cur_batch[i].vec.data(), (size_t)s->dim * 4);
-          s->cur_topks[i] = s->cur_batch[i].top_k;
         }
         return 1;
       }
@@ -618,6 +663,11 @@ const int32_t* hdb_srv_batch_topks(void* sp) {
 }
 const char* hdb_srv_batch_metric(void* sp) {
   return ((Server*)sp)->cur_metric.c_str();
+}
+const char* hdb_srv_batch_text(void* sp, int i) {
+  Server* s = (Server*)sp;
+  if (i < 0 || (size_t)i >= s->cur_batch.size()) return "";
+  return s->cur_batch[(size_t)i].text.c_str();
 }
 
 // ids/scores are (B, k) row-major; each request gets its own top_k prefix.

@@ -42,8 +42,10 @@ def _bind(lib) -> bool:
     global _bound
     if _bound:
         return True
-    if not hasattr(lib, "hdb_srv_create"):
-        return False  # stale .so built before server.cc existed
+    if not hasattr(lib, "hdb_srv_create") or not hasattr(
+        lib, "hdb_srv_batch_text"
+    ):
+        return False  # stale .so predating server.cc / the text hot path
     lib.hdb_srv_create.restype = ctypes.c_void_p
     lib.hdb_srv_create.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -61,6 +63,8 @@ def _bind(lib) -> bool:
     lib.hdb_srv_batch_topks.argtypes = [ctypes.c_void_p]
     lib.hdb_srv_batch_metric.restype = ctypes.c_char_p
     lib.hdb_srv_batch_metric.argtypes = [ctypes.c_void_p]
+    lib.hdb_srv_batch_text.restype = ctypes.c_char_p
+    lib.hdb_srv_batch_text.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.hdb_srv_batch_complete.restype = None
     lib.hdb_srv_batch_complete.argtypes = [
         ctypes.c_void_p, _P_LL, _P_FLOAT, ctypes.c_int,
@@ -187,6 +191,8 @@ class NativeQueryServer:
                 return
             if tag == 1:
                 self._handle_batch(lib, srv)
+            elif tag == 3:
+                self._handle_text_batch(lib, srv)
             else:
                 self._handle_generic(lib, srv)
 
@@ -204,6 +210,42 @@ class NativeQueryServer:
                     np.array(vecs),  # own the buffer before the C++ side
                     top_k=int(topks.max()),
                     metric=metric,
+                )
+        except Exception as e:  # noqa: BLE001 — delivered per request
+            lib.hdb_srv_batch_fail(srv, 400, str(e).encode())
+            return
+        self.engine_s += time.perf_counter() - t0
+        self.flushes += 1
+        self.flushed_queries += n
+        self.max_flush = max(self.max_flush, n)
+        k = int(ids.shape[1])
+        ids64 = np.ascontiguousarray(ids, dtype=np.int64)
+        sc32 = np.ascontiguousarray(scores, dtype=np.float32)
+        lib.hdb_srv_batch_complete(
+            srv,
+            ids64.ctypes.data_as(_P_LL),
+            sc32.ctypes.data_as(_P_FLOAT),
+            k,
+        )
+
+    def _handle_text_batch(self, lib, srv):
+        """tag == 3: a flush of text/plain queries — ONE encoder pass embeds
+        the whole batch, then the same array-level engine call as tag 1."""
+        from hyperdb_tpu.query.engine import generate_query_vectors_batch
+
+        n = lib.hdb_srv_batch_size(srv)
+        texts = [
+            lib.hdb_srv_batch_text(srv, i).decode("utf-8", "replace")
+            for i in range(n)
+        ]
+        topks = np.ctypeslib.as_array(lib.hdb_srv_batch_topks(srv), shape=(n,))
+        metric = lib.hdb_srv_batch_metric(srv).decode()
+        t0 = time.perf_counter()
+        try:
+            with self.lock:
+                q_block = generate_query_vectors_batch(self.host_db, texts)
+                ids, scores = self.db.query_batch_arrays(
+                    q_block, top_k=int(topks.max()), metric=metric
                 )
         except Exception as e:  # noqa: BLE001 — delivered per request
             lib.hdb_srv_batch_fail(srv, 400, str(e).encode())

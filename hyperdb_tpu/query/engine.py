@@ -127,6 +127,37 @@ def generate_and_validate_query_vector(db, query_input) -> np.ndarray:
         raise
 
 
+def generate_query_vectors_batch(db, texts) -> np.ndarray:
+    """Embed a BLOCK of query texts in one encoder pass -> (B, d) f32.
+
+    The batched twin of the string branch of
+    :func:`generate_and_validate_query_vector` (reference hyperdb.py:1112-1117
+    embeds one query at a time): one tokenizer pass + one bucketed encoder
+    forward for the whole block, with long queries (>510 tokens) averaged
+    over their chunks exactly like the single-query path. Serving
+    front-ends batch text queries through this (native/server.py tag 3).
+    """
+    if not isinstance(texts, (list, tuple)) or not all(
+        isinstance(t, str) for t in texts
+    ):
+        raise ValueError("texts must be a list of strings")
+    if not texts:
+        return np.zeros((0, db.dim or 0), dtype=np.float32)
+    emb, src, _ = db.embedding_function(list(texts))
+    emb = np.asarray(emb, dtype=np.float32)
+    src = np.asarray(src, dtype=np.int64)
+    if emb.shape[0] == len(texts) and np.array_equal(
+        src, np.arange(len(texts))
+    ):
+        return emb
+    # chunked long queries: mean over each text's chunk vectors (parity
+    # with generate_and_validate_query_vector's 2-D mean)
+    out = np.zeros((len(texts), emb.shape[1]), dtype=np.float32)
+    np.add.at(out, src, emb)
+    counts = np.bincount(src, minlength=len(texts)).astype(np.float32)
+    return out / np.maximum(counts, 1.0)[:, None]
+
+
 def handle_timestamps(db, recency_bias, timestamp_key, doc_indices) -> np.ndarray | None:
     """Recency term over surviving documents (reference hyperdb.py:1310-1346).
 

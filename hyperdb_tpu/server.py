@@ -60,8 +60,10 @@ class _DynamicBatcher:
     an engine error fails every request of its group with the message.
     """
 
-    def __init__(self, db, lock, max_batch: int = 64, window_ms: float = 4.0):
+    def __init__(self, db, lock, max_batch: int = 64, window_ms: float = 4.0,
+                 host_db=None):
         self._db = db
+        self._host_db = host_db if host_db is not None else db
         self._lock = lock
         self.max_batch = max_batch
         self.window_ms = window_ms
@@ -79,16 +81,20 @@ class _DynamicBatcher:
         self._thread.join(timeout=5.0)
 
     def submit(self, vector, top_k, metric, filters, recency_bias,
-               timestamp_key):
+               timestamp_key, text=None):
         import numpy as np
 
         # top_k is NOT part of the grouping key: the flush queries at the
         # group's max top_k and slices each request's prefix — identical
-        # results, wider coalescing under mixed-k workloads
+        # results, wider coalescing under mixed-k workloads. Text and
+        # vector requests share a group: texts embed in ONE encoder pass
+        # at flush time, then join the same scored block.
         fkey = json.dumps(filters, sort_keys=True) if filters else None
         key = (metric, fkey, float(recency_bias), timestamp_key)
         entry = {
-            "vector": np.asarray(vector, dtype=np.float32),
+            "vector": None if text is not None
+            else np.asarray(vector, dtype=np.float32),
+            "text": text,
             "top_k": int(top_k),
             "event": threading.Event(),
             "result": None,
@@ -107,9 +113,18 @@ class _DynamicBatcher:
             # appended now would never be flushed and this handler thread
             # would wait forever. Serve it directly instead.
             metric, filters, recency_bias, timestamp_key = entry["params"]
+            vec = entry["vector"]
+            if vec is None:
+                from hyperdb_tpu.query.engine import (
+                    generate_query_vectors_batch,
+                )
+
+                vec = generate_query_vectors_batch(
+                    self._host_db, [entry["text"]]
+                )[0]
             with self._lock:
                 rows = self._db.query_batch(
-                    entry["vector"][None, :], top_k=entry["top_k"],
+                    vec[None, :], top_k=entry["top_k"],
                     metric=metric, filters=filters,
                     recency_bias=recency_bias, timestamp_key=timestamp_key,
                 )
@@ -152,6 +167,18 @@ class _DynamicBatcher:
             return
         metric, filters, recency_bias, timestamp_key = group[0]["params"]
         try:
+            text_entries = [e for e in group if e["vector"] is None]
+            if text_entries:
+                from hyperdb_tpu.query.engine import (
+                    generate_query_vectors_batch,
+                )
+
+                with self._lock:  # one device user at a time (encoder too)
+                    embs = generate_query_vectors_batch(
+                        self._host_db, [e["text"] for e in text_entries]
+                    )
+                for e, v in zip(text_entries, embs):
+                    e["vector"] = v
             block = np.stack([e["vector"] for e in group])
             k_max = max(e["top_k"] for e in group)
             with self._lock:
@@ -209,24 +236,31 @@ def api_response(db, host_db, lock, batcher, method, path, body):
             filters = req.get("filters")
             if filters:
                 filters = [tuple(f) for f in filters]
+            batchable_text = (
+                "text" in req
+                and isinstance(req["text"], str)
+                and req["text"]
+            )
             if (
                 batcher is not None
-                and "text" not in req
+                and (batchable_text or "text" not in req)
                 and "ann_percent" not in req  # not in the batch key
             ):
                 import numpy as np
 
-                vec = np.asarray(req["vector"], dtype=np.float32)
-                dim = getattr(host_db, "dim", None)
-                if vec.ndim != 1 or (dim and vec.shape[0] != dim):
-                    # reject BEFORE coalescing: one malformed vector must
-                    # not 400 a whole group of valid requests
-                    return 400, {
-                        "error": (
-                            f"query vector shape {vec.shape} does not "
-                            f"match corpus dimension {dim}"
-                        )
-                    }
+                vec = None
+                if not batchable_text:
+                    vec = np.asarray(req["vector"], dtype=np.float32)
+                    dim = getattr(host_db, "dim", None)
+                    if vec.ndim != 1 or (dim and vec.shape[0] != dim):
+                        # reject BEFORE coalescing: one malformed vector
+                        # must not 400 a whole group of valid requests
+                        return 400, {
+                            "error": (
+                                f"query vector shape {vec.shape} does not "
+                                f"match corpus dimension {dim}"
+                            )
+                        }
                 result = batcher.submit(
                     vec,
                     int(req.get("top_k", 5)),
@@ -234,6 +268,7 @@ def api_response(db, host_db, lock, batcher, method, path, body):
                     filters,
                     req.get("recency_bias", 0) or 0,
                     req.get("timestamp_key"),
+                    text=req["text"] if batchable_text else None,
                 )
                 return 200, {"results": _result_rows(result)}
             kwargs = {}
@@ -282,15 +317,16 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
     :class:`~hyperdb_tpu.parallel.sharded_db.ShardedHyperDB` (same query
     surface; corpus statistics come from the wrapped host db).
 
-    ``dynamic_batch_ms`` > 0 enables dynamic batching: concurrent VECTOR
-    /query requests with identical parameters coalesce for up to that many
+    ``dynamic_batch_ms`` > 0 enables dynamic batching: concurrent /query
+    requests with identical parameters coalesce for up to that many
     milliseconds (or ``max_batch`` requests) into one ``query_batch`` device
-    call. Text queries and 0 keep the direct per-request path."""
+    call; text requests in a group embed together in one encoder pass.
+    0 keeps the direct per-request path."""
     lock = threading.Lock()
     host_db = getattr(db, "db", db)  # ShardedHyperDB wraps the host store
     batcher = (
         _DynamicBatcher(db, lock, max_batch=max_batch,
-                        window_ms=dynamic_batch_ms)
+                        window_ms=dynamic_batch_ms, host_db=host_db)
         if dynamic_batch_ms > 0
         else None
     )

@@ -273,3 +273,132 @@ def test_native_server_wraps_sharded_db():
         conn.close()
     finally:
         srv.close()
+
+
+# ---------------------------------------------------------------------------
+# text/plain hot path (tag 3): the worker embeds the whole flush in one
+# encoder pass, then runs the same array-level engine call as the binary path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def served_text():
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((512, 24)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+
+    calls = []  # one entry per encoder pass -> proves batching
+
+    def fake_embed(texts):
+        calls.append(len(texts))
+        out = np.stack([v[int(t.split()[-1])] for t in texts])
+        return out, list(range(len(texts))), {}
+
+    docs = [{"i": int(i)} for i in range(512)]
+    db = HyperDB(documents=docs, vectors=v, embedding_function=fake_embed)
+    srv = native_server.NativeQueryServer(db, port=0, max_batch=16,
+                                          window_ms=4.0)
+    yield {"db": db, "srv": srv, "vectors": v, "port": srv.port,
+           "calls": calls}
+    srv.close()
+
+
+def _text_query(conn, text, top_k=5, binary_out=False):
+    headers = {"Content-Type": "text/plain"}
+    if binary_out:
+        headers["Accept"] = "application/octet-stream"
+    conn.request("POST", f"/query?top_k={top_k}", text.encode(), headers)
+    resp = conn.getresponse()
+    body = resp.read()
+    if resp.status != 200:
+        return resp.status, json.loads(body)
+    if binary_out:
+        k = struct.unpack("<I", body[:4])[0]
+        ids = np.frombuffer(body[4:4 + 8 * k], dtype=np.int64)
+        scores = np.frombuffer(body[4 + 8 * k:], dtype=np.float32)
+        return 200, {"ids": ids.tolist(), "scores": scores.tolist()}
+    return 200, json.loads(body)
+
+
+def test_text_query_roundtrip(served_text):
+    v = served_text["vectors"]
+    conn = http.client.HTTPConnection("127.0.0.1", served_text["port"],
+                                      timeout=30)
+    status, out = _text_query(conn, "doc 37", top_k=3)
+    assert status == 200
+    assert out["ids"][0] == 37
+    assert out["ids"] == _oracle_ids(v, v[37], 3).tolist()
+    status, out = _text_query(conn, "doc 99", top_k=2, binary_out=True)
+    assert status == 200 and out["ids"][0] == 99
+    conn.close()
+
+
+def test_text_queries_coalesce_one_encoder_pass(served_text):
+    """Concurrent text queries must flush as ONE batch: a single encoder
+    call and per-query exact answers."""
+    v = served_text["vectors"]
+    served_text["calls"].clear()
+    results = {}
+
+    def one(i):
+        conn = http.client.HTTPConnection("127.0.0.1", served_text["port"],
+                                          timeout=30)
+        results[i] = _text_query(conn, f"doc {i}", top_k=1)
+        conn.close()
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(12):
+        status, out = results[i]
+        assert status == 200 and out["ids"][0] == i
+    # 12 requests, far fewer encoder passes than requests (batched flushes)
+    assert len(served_text["calls"]) < 12
+    assert sum(served_text["calls"]) == 12
+
+
+def test_text_query_errors(served_text):
+    conn = http.client.HTTPConnection("127.0.0.1", served_text["port"],
+                                      timeout=30)
+    conn.request("POST", "/query?top_k=3", b"", {"Content-Type": "text/plain"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
+    # an embed failure (unparseable text) must 400 the batch, not kill it
+    status, out = _text_query(conn, "not a number")
+    assert status == 400 and "error" in out
+    status, out = _text_query(conn, "doc 5", top_k=1)
+    assert status == 200 and out["ids"] == [5]
+    conn.close()
+
+
+def test_generate_query_vectors_batch_chunk_mean():
+    """Long queries (multi-chunk embeddings) average their chunks exactly
+    like the single-query path (engine.generate_and_validate_query_vector)."""
+    from hyperdb_tpu.query.engine import generate_query_vectors_batch
+
+    d = 8
+
+    def fake_embed(texts):
+        # text "a" -> one chunk of ones; "b" -> two chunks (2s and 4s)
+        rows, src = [], []
+        for i, t in enumerate(texts):
+            if t == "b":
+                rows += [np.full(d, 2.0), np.full(d, 4.0)]
+                src += [i, i]
+            else:
+                rows.append(np.ones(d))
+                src.append(i)
+        return np.stack(rows).astype(np.float32), src, {}
+
+    class FakeDB:
+        dim = d
+        embedding_function = staticmethod(fake_embed)
+
+    out = generate_query_vectors_batch(FakeDB, ["a", "b", "a"])
+    assert out.shape == (3, d)
+    np.testing.assert_allclose(out[0], np.ones(d))
+    np.testing.assert_allclose(out[1], np.full(d, 3.0))  # mean of 2 and 4
+    np.testing.assert_allclose(out[2], np.ones(d))

@@ -336,3 +336,55 @@ def test_binary_query_through_dynamic_batcher():
         httpd.shutdown()
         httpd.batcher.close()
         httpd.server_close()
+
+
+def test_text_queries_batch_through_dynamic_batcher():
+    """Text /query requests coalesce: one encoder pass per flush, answers
+    exact per request, and text+vector requests may share a device batch."""
+    rng = np.random.default_rng(9)
+    n, d = 64, 12
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    calls = []
+
+    def fake_embed(texts):
+        calls.append(len(texts))
+        return (
+            np.stack([v[int(t.split()[-1])] for t in texts]),
+            list(range(len(texts))),
+            {},
+        )
+
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v,
+                 embedding_function=fake_embed)
+    httpd = make_server(db, port=0, dynamic_batch_ms=20.0, max_batch=32)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        results = {}
+
+        def one(i):
+            if i % 3 == 0:  # mixed: some vector, some text requests
+                payload = {"vector": v[i].tolist(), "top_k": 1}
+            else:
+                payload = {"text": f"doc {i}", "top_k": 1}
+            results[i] = _post(base, "/query", payload)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(12):
+            status, out = results[i]
+            assert status == 200
+            assert out["results"][0]["index"] == i
+        # fewer encoder passes than text requests -> they coalesced
+        n_text = sum(1 for i in range(12) if i % 3 != 0)
+        assert sum(calls) == n_text
+        assert len(calls) < n_text
+    finally:
+        httpd.shutdown()
+        httpd.batcher.close()
+        httpd.server_close()
