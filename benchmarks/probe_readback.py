@@ -154,6 +154,23 @@ def main():
     best, med = best_ms(pipelined_pair)
     emit({"pattern": "pipelined_pair", "best_ms": best, "median_ms": med})
 
+    # upload ladder: what does shipping the query block cost per size and
+    # dtype? (serving flushes upload (B, 384) per call; loopback deltas
+    # suggest ~35 ms for 1.5 MB — if so, f16 halves it)
+    @jax.jit
+    def g(q):
+        return (q.astype(jnp.float32) @ w)[0, 0]
+
+    for rows in (256, 1024, 4096):
+        qb32 = rng.standard_normal((rows, D)).astype(np.float32)
+        qb16 = qb32.astype(np.float16)
+        best, med = best_ms(lambda: float(g(qb32)), iters=15)
+        emit({"pattern": f"upload_f32_{rows}", "bytes": qb32.nbytes,
+              "best_ms": best, "median_ms": med})
+        best, med = best_ms(lambda: float(g(qb16)), iters=15)
+        emit({"pattern": f"upload_f16_{rows}", "bytes": qb16.nbytes,
+              "best_ms": best, "median_ms": med})
+
 
 if __name__ == "__main__":
     main()
