@@ -81,24 +81,28 @@ def loopback_probe(db, v, sizes, seconds_budget=60.0):
     call is slow over the tunnel' from 'the HTTP plane is slow'."""
     rng = np.random.default_rng(7)
     for b in sizes:
-        q = (v[rng.integers(0, len(v), size=b)]
-             + 0.01 * rng.standard_normal((b, v.shape[1]))).astype(np.float32)
-        db.query_batch_arrays(q, top_k=10)  # warm this exact shape
-        trials = []
-        deadline = time.perf_counter() + seconds_budget
-        for _ in range(7):
-            t0 = time.perf_counter()
-            db.query_batch_arrays(q, top_k=10)
-            trials.append(time.perf_counter() - t0)
-            if time.perf_counter() > deadline:
-                break
-        best = min(trials)
-        emit({
-            "loopback_flush": b,
-            "best_ms": round(best * 1e3, 2),
-            "median_ms": round(sorted(trials)[len(trials) // 2] * 1e3, 2),
-            "engine_qps_at_flush": round(b / best, 1),
-        })
+        q32 = (v[rng.integers(0, len(v), size=b)]
+               + 0.01 * rng.standard_normal((b, v.shape[1]))
+               ).astype(np.float32)
+        for dt in (np.float32, np.float16):
+            q = q32.astype(dt)
+            db.query_batch_arrays(q, top_k=10)  # warm this exact shape
+            trials = []
+            deadline = time.perf_counter() + seconds_budget
+            for _ in range(7):
+                t0 = time.perf_counter()
+                db.query_batch_arrays(q, top_k=10)
+                trials.append(time.perf_counter() - t0)
+                if time.perf_counter() > deadline:
+                    break
+            best = min(trials)
+            emit({
+                "loopback_flush": b,
+                "wire": np.dtype(dt).name,
+                "best_ms": round(best * 1e3, 2),
+                "median_ms": round(sorted(trials)[len(trials) // 2] * 1e3, 2),
+                "engine_qps_at_flush": round(b / best, 1),
+            })
 
 
 def main():

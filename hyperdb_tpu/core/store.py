@@ -90,6 +90,15 @@ class VectorStore:
     # ---------------- host mutation ----------------
 
     @property
+    def low_precision_device(self) -> bool:
+        """True when the device plane is bf16/int8 — i.e. device math
+        already rounds/quantizes queries below f32, so an f16 query wire
+        (serving upload optimization) costs no additional precision."""
+        if self.precision in ("int8", "int8-pure"):
+            return True
+        return self.fp_dtype == np.float16
+
+    @property
     def num_rows(self) -> int:
         return 0 if self.vectors is None else int(self.vectors.shape[0])
 

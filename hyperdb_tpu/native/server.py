@@ -119,7 +119,8 @@ class NativeQueryServer:
     """
 
     def __init__(self, db, host: str = "127.0.0.1", port: int = 8901,
-                 max_batch: int = 256, window_ms: float = 2.0):
+                 max_batch: int = 256, window_ms: float = 2.0,
+                 wire_dtype: str = "auto"):
         lib = _host_lib._load()
         if lib is None or not _bind(lib):
             if not available():
@@ -134,6 +135,21 @@ class NativeQueryServer:
         self.host_db = getattr(db, "db", db)  # ShardedHyperDB wraps host db
         self.dim = int(self.host_db.dim)
         self.lock = threading.Lock()  # hold this to mutate db while serving
+        # Low-precision wire: host->device upload runs ~30-60 MB/s on the
+        # tunnel (probe_readback.py), so f16 query blocks save ~36 ms per
+        # 1024-query flush. "auto" casts when the corpus itself is low
+        # precision (f16 stores already round the query to f16 on device;
+        # int8 stores quantize it) — full-precision stores keep f32 wire.
+        if wire_dtype not in ("auto", "float32", "float16"):
+            raise ValueError(f"invalid wire_dtype {wire_dtype!r}")
+        low = getattr(
+            getattr(self.host_db, "_store", None),
+            "low_precision_device",
+            False,
+        )
+        self.wire_f16 = wire_dtype == "float16" or (
+            wire_dtype == "auto" and low
+        )
         self._srv = lib.hdb_srv_create(
             host.encode(), int(port), self.dim, int(max_batch),
             int(window_ms * 1000), 8 << 20,
@@ -203,11 +219,14 @@ class NativeQueryServer:
         )
         topks = np.ctypeslib.as_array(lib.hdb_srv_batch_topks(srv), shape=(n,))
         metric = lib.hdb_srv_batch_metric(srv).decode()
+        block = np.array(vecs)  # own the buffer before the C++ side reuses it
+        if self.wire_f16:
+            block = block.astype(np.float16)
         t0 = time.perf_counter()
         try:
             with self.lock:
                 ids, scores = self.db.query_batch_arrays(
-                    np.array(vecs),  # own the buffer before the C++ side
+                    block,
                     top_k=int(topks.max()),
                     metric=metric,
                 )
@@ -244,6 +263,8 @@ class NativeQueryServer:
         try:
             with self.lock:
                 q_block = generate_query_vectors_batch(self.host_db, texts)
+                if self.wire_f16:
+                    q_block = q_block.astype(np.float16)
                 ids, scores = self.db.query_batch_arrays(
                     q_block, top_k=int(topks.max()), metric=metric
                 )

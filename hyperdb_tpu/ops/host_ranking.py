@@ -143,6 +143,8 @@ def rank_block_host(
     recency add, then mask. ``rows_norm`` (the store's cached unit-norm
     corpus) skips the per-call corpus normalization for cosine.
     """
+    # f16 wire blocks (serving upload opt-in) score in f32 on the host path
+    q_block = np.asarray(q_block, dtype=np.float32)
     if metric == "cosine_similarity" and rows_norm is not None:
         # rows_norm carries the master dtype (f64 masters stay f64 —
         # ADVICE r2); the f32 query is promoted by the matmul

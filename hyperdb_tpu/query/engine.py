@@ -398,7 +398,18 @@ def execute_query_batch_arrays(
         raise ValueError(f"Invalid metric '{metric}'.")
 
     if isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
-        q_block = query_inputs.astype(np.float32)
+        # float16 blocks are preserved end-to-end (low-precision wire
+        # opt-in, serving front-ends): host->device upload measures
+        # ~30-60 MB/s on this platform, so halving the query bytes saves
+        # ~36 ms per 1024-query flush (benchmarks/probe_readback.py
+        # upload_f16_1024). Device math is unchanged — norms accumulate in
+        # f32 and matmuls keep f32 accumulation; an f16 corpus already
+        # rounds the query to f16 before the matmul (_match_low_precision).
+        q_block = (
+            query_inputs
+            if query_inputs.dtype == np.float16
+            else query_inputs.astype(np.float32)
+        )
     else:
         q_block = np.stack(
             [generate_and_validate_query_vector(db, q) for q in query_inputs]
@@ -596,8 +607,13 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
 
     # host array on purpose: a jit argument's upload rides the dispatch
     # (measured ~3-12 ms cheaper per call than an explicit jnp.asarray
-    # round — benchmarks/probe_readback.py arg_np vs arg_explicit)
-    q = np.ascontiguousarray(np.asarray(q_block, dtype=np.float32))
+    # round — benchmarks/probe_readback.py arg_np vs arg_explicit).
+    # f16 blocks stay f16 (halved upload bytes; see
+    # execute_query_batch_arrays), everything else is canonical f32.
+    q = np.asarray(q_block)
+    if q.dtype != np.float16:
+        q = np.asarray(q, dtype=np.float32)
+    q = np.ascontiguousarray(q)
     k_pad = min(_pad_pow2(top_k), bucket_size(num_docs))
 
     # IVF fast path: gather + score only the candidate rows. Applies to the
@@ -691,10 +707,12 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             qq = q
             if prenorm:
                 # host-side on purpose: jnp here would be two extra device
-                # dispatches per call (norm + divide) outside the jit
-                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                # dispatches per call (norm + divide) outside the jit;
+                # f32 accumulation, result back at the wire dtype
+                q32 = np.asarray(q, dtype=np.float32)
+                qn = np.linalg.norm(q32, axis=1, keepdims=True)
                 qn[qn == 0] = 1.0
-                qq = np.ascontiguousarray(q / qn)
+                qq = np.ascontiguousarray((q32 / qn).astype(q.dtype))
             psidx = db.ann_index
             if (
                 getattr(psidx, "kind", None) == "projscan"

@@ -61,10 +61,21 @@ class _DynamicBatcher:
     """
 
     def __init__(self, db, lock, max_batch: int = 64, window_ms: float = 4.0,
-                 host_db=None):
+                 host_db=None, wire_dtype: str = "auto"):
         self._db = db
         self._host_db = host_db if host_db is not None else db
         self._lock = lock
+        # f16 flush blocks for low-precision corpora: halves the
+        # host->device upload (~30-60 MB/s on the tunnel; the device math
+        # already rounds/quantizes the query — see native/server.py)
+        low = getattr(
+            getattr(self._host_db, "_store", None),
+            "low_precision_device",
+            False,
+        )
+        self._wire_f16 = wire_dtype == "float16" or (
+            wire_dtype == "auto" and low
+        )
         self.max_batch = max_batch
         self.window_ms = window_ms
         self._mutex = threading.Lock()
@@ -180,6 +191,8 @@ class _DynamicBatcher:
                 for e, v in zip(text_entries, embs):
                     e["vector"] = v
             block = np.stack([e["vector"] for e in group])
+            if self._wire_f16:
+                block = block.astype(np.float16)
             k_max = max(e["top_k"] for e in group)
             with self._lock:
                 rows = self._db.query_batch(
@@ -310,7 +323,8 @@ def api_response(db, host_db, lock, batcher, method, path, body):
 
 
 def make_server(db, host: str = "127.0.0.1", port: int = 8901,
-                dynamic_batch_ms: float = 0.0, max_batch: int = 64):
+                dynamic_batch_ms: float = 0.0, max_batch: int = 64,
+                wire_dtype: str = "auto"):
     """Build (but do not start) a ThreadingHTTPServer serving ``db``.
 
     ``db`` may be a :class:`~hyperdb_tpu.HyperDB` or a
@@ -326,7 +340,8 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
     host_db = getattr(db, "db", db)  # ShardedHyperDB wraps the host store
     batcher = (
         _DynamicBatcher(db, lock, max_batch=max_batch,
-                        window_ms=dynamic_batch_ms, host_db=host_db)
+                        window_ms=dynamic_batch_ms, host_db=host_db,
+                        wire_dtype=wire_dtype)
         if dynamic_batch_ms > 0
         else None
     )

@@ -402,3 +402,51 @@ def test_generate_query_vectors_batch_chunk_mean():
     np.testing.assert_allclose(out[0], np.ones(d))
     np.testing.assert_allclose(out[1], np.full(d, 3.0))  # mean of 2 and 4
     np.testing.assert_allclose(out[2], np.ones(d))
+
+
+def test_f16_wire_auto_on_f16_store_exact():
+    """An f16 store flips the server to f16 wire blocks (halved upload);
+    with f16-representable corpus and queries the results stay EXACT."""
+    rng = np.random.default_rng(21)
+    v16 = rng.standard_normal((1024, 32)).astype(np.float16)
+    v = v16.astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(1024)], vectors=v,
+                 fp_precision="float16")
+    srv = native_server.NativeQueryServer(db, port=0, max_batch=8)
+    try:
+        assert srv.wire_f16 is True
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        for i in (5, 700):
+            q = v16[i].astype(np.float32)  # f16-representable: cast lossless
+            status, out = _binary_query(conn, q, top_k=5)
+            assert status == 200
+            assert out["ids"][0] == i
+        conn.close()
+    finally:
+        srv.close()
+
+
+def test_f32_store_keeps_f32_wire():
+    rng = np.random.default_rng(22)
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v)
+    srv = native_server.NativeQueryServer(db, port=0)
+    try:
+        assert srv.wire_f16 is False
+    finally:
+        srv.close()
+
+
+def test_engine_accepts_f16_block():
+    """query_batch_arrays preserves an f16 block end-to-end and matches the
+    f32 result when the block is f16-representable."""
+    rng = np.random.default_rng(23)
+    v16 = rng.standard_normal((2048, 16)).astype(np.float16)
+    v = v16.astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(2048)], vectors=v,
+                 fp_precision="float16")
+    q16 = v16[[3, 900, 1500]]
+    ids16, sc16 = db.query_batch_arrays(q16, top_k=4)
+    ids32, sc32 = db.query_batch_arrays(q16.astype(np.float32), top_k=4)
+    np.testing.assert_array_equal(ids16, ids32)
+    np.testing.assert_allclose(sc16, sc32, rtol=2e-3)
