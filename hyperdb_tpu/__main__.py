@@ -140,13 +140,15 @@ def cmd_serve(args):
 
         window = args.dynamic_batch_ms if args.dynamic_batch_ms > 0 else 2.0
         srv = NativeQueryServer(db, host=args.host, port=args.port,
-                                max_batch=args.max_batch, window_ms=window)
+                                max_batch=args.max_batch, window_ms=window,
+                                wire_dtype=args.wire_dtype)
         print(f"serving (native) on http://{args.host}:{srv.port}",
               flush=True)
         srv.serve_forever()
         return 0
     return serve(db, host=args.host, port=args.port,
-                 dynamic_batch_ms=args.dynamic_batch_ms)
+                 dynamic_batch_ms=args.dynamic_batch_ms,
+                 wire_dtype=args.wire_dtype)
 
 
 def main(argv=None):
@@ -201,6 +203,10 @@ def main(argv=None):
                         "GIL; one engine call per batch)")
     p.add_argument("--max-batch", type=int, default=256,
                    help="native front-end flush size cap")
+    p.add_argument("--wire-dtype", default="auto",
+                   choices=["auto", "float32", "float16"],
+                   help="query-block upload dtype: auto casts f16 when the "
+                        "corpus itself is low precision (f16/int8)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="batched-query throughput on a corpus")

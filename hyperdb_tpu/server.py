@@ -448,9 +448,10 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
 
 
 def serve(db, host: str = "127.0.0.1", port: int = 8901,
-          dynamic_batch_ms: float = 0.0):
+          dynamic_batch_ms: float = 0.0, wire_dtype: str = "auto"):
     """Serve ``db`` until interrupted (the CLI `serve` entrypoint)."""
-    httpd = make_server(db, host, port, dynamic_batch_ms=dynamic_batch_ms)
+    httpd = make_server(db, host, port, dynamic_batch_ms=dynamic_batch_ms,
+                        wire_dtype=wire_dtype)
     print(f"serving on http://{host}:{httpd.server_address[1]}", flush=True)
     try:
         httpd.serve_forever()
