@@ -404,7 +404,16 @@ class ShardedHyperDB:
         db = self.db
         self._check_fingerprint()
         if isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
-            q = query_inputs.astype(np.float32)
+            # f16 blocks pass through like the single-chip engine
+            # (query/engine.execute_query_batch_arrays): the replicated
+            # query upload to every shard halves, and low-precision device
+            # planes round the query anyway. Host-side norm math below
+            # accumulates in f32 regardless.
+            q = (
+                query_inputs
+                if query_inputs.dtype == np.float16
+                else query_inputs.astype(np.float32)
+            )
         else:
             q = np.stack(
                 [
@@ -484,7 +493,7 @@ class ShardedHyperDB:
         mask_dev = jax.device_put(row_mask, self._mask_sharding)
         dev_metric = "dot_product" if prenorm else metric
 
-        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn = np.linalg.norm(q.astype(np.float32), axis=1, keepdims=True)
         qn[qn == 0] = 1.0
 
         # Exact doc-level results via iterative refill: candidates arrive in
@@ -505,7 +514,7 @@ class ShardedHyperDB:
                     sharded_rank_top_k_int8,
                 )
 
-                qq = q / qn if prenorm else q
+                qq = (q / qn).astype(q.dtype) if prenorm else q
                 vals, idx = sharded_rank_top_k_int8(
                     self.mesh,
                     jnp.asarray(qq),
@@ -523,7 +532,7 @@ class ShardedHyperDB:
                 # directly instead (one extra normalization, still exact).
                 vals, idx = sharded_rank_top_k(
                     self.mesh,
-                    jnp.asarray(q / qn),
+                    jnp.asarray((q / qn).astype(q.dtype)),
                     rows_dev,
                     mask_dev,
                     k=k_fetch,

@@ -600,3 +600,24 @@ def test_sharded_batch_bucketing_pads_and_slices(mesh):
     assert len(res_f) == 3
     for row in res_f:
         assert len(row) == 1
+
+
+def test_sharded_f16_query_block_matches_f32():
+    """An f16 query block (serving wire opt-in) returns identical ids and
+    near-identical scores on the sharded path (f16-representable data)."""
+    mesh8 = make_mesh(8)
+    rng = np.random.default_rng(31)
+    v16 = rng.standard_normal((1024, 16)).astype(np.float16)
+    v = v16.astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(1024)], vectors=v,
+                 fp_precision="float16")
+    sdb = ShardedHyperDB(db, mesh8)
+    q16 = v16[[7, 333, 900]]
+    r16 = sdb.query_batch(q16, top_k=5)
+    r32 = sdb.query_batch(q16.astype(np.float32), top_k=5)
+    for row16, row32 in zip(r16, r32):
+        assert [t[2] for t in row16] == [t[2] for t in row32]
+        for a, b in zip(row16, row32):
+            assert abs(a[1] - b[1]) < 2e-3
+    ids, scores = sdb.query_batch_arrays(q16, top_k=5)
+    assert ids[0][0] == 7 and ids[1][0] == 333 and ids[2][0] == 900
