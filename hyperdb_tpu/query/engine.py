@@ -392,6 +392,7 @@ def execute_query_batch_arrays(
     the whole device dispatch at serving batch sizes, and a wire protocol
     only needs the ids and scores (documents hydrate separately by id)."""
     num_docs = len(db.documents)
+    start_time = _time.perf_counter()
     if db.vectors is None or len(db.vectors) == 0 or not db.documents:
         raise Exception("The database is empty. Cannot proceed with the query.")
     if metric not in METRICS:
@@ -490,6 +491,8 @@ def execute_query_batch_arrays(
             db, q_block, mask, override, recency, metric, k
         )
 
+    db.stats.record("query.batch_arrays", _time.perf_counter() - start_time)
+    db.stats.bump("query.batch_queries", b_real)
     # pad rows (batch bucketing) are dropped here
     return (
         np.asarray(doc_ids[:b_real], dtype=np.int64),
