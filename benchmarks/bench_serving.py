@@ -137,6 +137,32 @@ def main():
     db, v = build_db(args.n, args.d)
     print(f"built in {time.time() - t0:.1f}s", flush=True)
 
+    rng = np.random.default_rng(42)
+    qids = rng.integers(0, args.n, size=1024)
+    qvecs = [
+        (v[int(i)] + 0.01 * rng.standard_normal(args.d)).astype(np.float32)
+        for i in qids
+    ]
+    accept = "application/octet-stream" if args.accept_binary else None
+    if args.mode == "binary":
+        bodies = [q.tobytes() for q in qvecs]
+        path, ctype = "/query?top_k=10", "application/octet-stream"
+    elif args.mode == "text":
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+        bodies = [
+            (" ".join(rng.choice(words, size=10))).encode()
+            for _ in range(256)
+        ]
+        path, ctype = "/query?top_k=10", "text/plain"
+    else:
+        bodies = [
+            json.dumps({"vector": q.astype(float).round(5).tolist(),
+                        "top_k": 10}).encode()
+            for q in qvecs
+        ]
+        path, ctype = "/query", "application/json"
+
     # Warm every pow2 batch bucket the dynamic batcher can flush, so the
     # measured window contains zero remote compiles (30-90 s each).
     t0 = time.time()
@@ -153,16 +179,21 @@ def main():
         from hyperdb_tpu.query.engine import generate_query_vectors_batch
 
         t0 = time.time()
-        sent = "the quick brown fox jumps over the lazy dog again and again"
+        body_texts = [x.decode() for x in bodies]
         b = 1
         while b <= min(args.max_batch, 512):
-            generate_query_vectors_batch(db, [sent] * b)
+            # the bodies' own distribution => their exact WordPiece seq
+            # bucket (a fixed warm sentence warmed the WRONG bucket and the
+            # first chip run measured remote compiles instead of serving)
+            generate_query_vectors_batch(
+                db, [body_texts[i % len(body_texts)] for i in range(b)]
+            )
             b *= 2
         print(f"warmed text-encode buckets in {time.time() - t0:.1f}s",
               flush=True)
         rng0 = np.random.default_rng(3)
         for b in sorted({32, 256, min(args.max_batch, 512)}):
-            texts = [sent + f" {i}" for i in range(b)]
+            texts = [body_texts[i % len(body_texts)] for i in range(b)]
             generate_query_vectors_batch(db, texts)  # warm exact shape
             trials = []
             for _ in range(5):
@@ -200,32 +231,6 @@ def main():
         server_thread = threading.Thread(target=httpd.serve_forever,
                                          daemon=True)
         server_thread.start()
-
-    rng = np.random.default_rng(42)
-    qids = rng.integers(0, args.n, size=1024)
-    qvecs = [
-        (v[int(i)] + 0.01 * rng.standard_normal(args.d)).astype(np.float32)
-        for i in qids
-    ]
-    accept = "application/octet-stream" if args.accept_binary else None
-    if args.mode == "binary":
-        bodies = [q.tobytes() for q in qvecs]
-        path, ctype = "/query?top_k=10", "application/octet-stream"
-    elif args.mode == "text":
-        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
-                 "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
-        bodies = [
-            (" ".join(rng.choice(words, size=10))).encode()
-            for _ in range(256)
-        ]
-        path, ctype = "/query?top_k=10", "text/plain"
-    else:
-        bodies = [
-            json.dumps({"vector": q.astype(float).round(5).tolist(),
-                        "top_k": 10}).encode()
-            for q in qvecs
-        ]
-        path, ctype = "/query", "application/json"
 
     import multiprocessing as mp
 
