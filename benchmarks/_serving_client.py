@@ -16,6 +16,91 @@ import threading
 import time
 
 
+def _pipelined_loop_factory(port, bodies, path, ctype, accept, stop_at,
+                            count_lock, counts, lats, ramp, seconds, depth):
+    """Raw-socket client with HTTP/1.1 pipelining: keeps ``depth`` requests
+    outstanding per connection (responses return in request order, so a
+    FIFO of send timestamps gives exact per-request latency). A few
+    pipelined connections drive flush depths that would otherwise need
+    thousands of client threads."""
+    from collections import deque
+
+    head_tmpl = (f"POST {path} HTTP/1.1\r\nHost: x\r\n"
+                 f"Content-Type: {ctype}\r\n"
+                 + (f"Accept: {accept}\r\n" if accept else "")
+                 + "Content-Length: %d\r\n\r\n")
+    reqs = [(head_tmpl % len(b)).encode() + b for b in bodies]
+
+    def connect():
+        sock = socket.create_connection(("127.0.0.1", port))
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return sock
+
+    def read_response(sock, buf):
+        while True:
+            hdr_end = buf.find(b"\r\n\r\n")
+            if hdr_end >= 0:
+                break
+            chunk = sock.recv(262144)
+            if not chunk:
+                raise ConnectionError("eof")
+            buf += chunk
+        head = buf[:hdr_end]
+        status = int(head.split(b" ", 2)[1])
+        clen = 0
+        for line in head.split(b"\r\n")[1:]:
+            if line[:15].lower() == b"content-length:":
+                clen = int(line[15:])
+                break
+        total = hdr_end + 4 + clen
+        while len(buf) < total:
+            chunk = sock.recv(262144)
+            if not chunk:
+                raise ConnectionError("eof")
+            buf += chunk
+        return status, buf[total:]
+
+    def loop(tid):
+        n = len(reqs)
+        while True:
+            if time.perf_counter() >= stop_at:
+                return
+            try:
+                sock = connect()
+            except OSError:
+                time.sleep(0.05)
+                continue
+            buf = b""
+            sent = deque()
+            i = tid
+            try:
+                while True:
+                    now = time.perf_counter()
+                    if now >= stop_at:
+                        return
+                    while len(sent) < depth:
+                        sock.sendall(reqs[i % n])
+                        sent.append(time.perf_counter())
+                        i += 1
+                    status, buf = read_response(sock, buf)
+                    t1 = time.perf_counter()
+                    t0 = sent.popleft()
+                    if status != 200:
+                        raise RuntimeError(status)
+                    if (t0 - (stop_at - ramp - seconds) >= ramp
+                            and t1 <= stop_at):
+                        with count_lock:
+                            counts[0] += 1
+                            lats.append(t1 - t0)
+            except Exception:
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+
+    return loop
+
+
 def _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
                       count_lock, counts, lats, ramp, seconds):
     """Raw-socket client loop: requests are PRE-SERIALIZED byte strings and
@@ -96,7 +181,8 @@ def _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
 
 
 def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
-                path="/query", ctype="application/json", accept=None):
+                path="/query", ctype="application/json", accept=None,
+                pipeline=1):
     """One CLIENT PROCESS: n_threads keep-alive connections hammering
     /query. Clients must not share the server process's GIL (an early cut
     ran 512 client threads in-process and measured python, not the server:
@@ -109,8 +195,14 @@ def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
     lats = []
 
     if ctype in ("application/octet-stream", "text/plain"):
-        loop = _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
-                                 count_lock, counts, lats, ramp, seconds)
+        if pipeline > 1:
+            loop = _pipelined_loop_factory(
+                port, bodies, path, ctype, accept, stop_at,
+                count_lock, counts, lats, ramp, seconds, pipeline)
+        else:
+            loop = _raw_loop_factory(
+                port, bodies, path, ctype, accept, stop_at,
+                count_lock, counts, lats, ramp, seconds)
         threads = [threading.Thread(target=loop, args=(t,))
                    for t in range(n_threads)]
         for t in threads:

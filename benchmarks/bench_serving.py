@@ -125,6 +125,10 @@ def main():
                         help="python = stdlib ThreadingHTTPServer + "
                              "_DynamicBatcher; native = C++ epoll front-end "
                              "(native/server.cc), one engine call per batch")
+    parser.add_argument("--pipeline", type=int, default=1,
+                        help="in-flight requests per client connection "
+                             "(HTTP/1.1 pipelining; binary/text modes). "
+                             "Outstanding total = concurrency * pipeline")
     parser.add_argument("--accept-binary", action="store_true",
                         help="ask for binary responses (native server only; "
                              "the python server ignores Accept)")
@@ -254,7 +258,8 @@ def main():
                 break
             p = ctx.Process(target=worker_main,
                             args=(args.port, bodies, t, args.seconds, ramp,
-                                  out_q, path, ctype, accept))
+                                  out_q, path, ctype, accept,
+                                  args.pipeline))
             p.start()
             workers.append(p)
         done, all_lats = 0, []
@@ -272,6 +277,7 @@ def main():
         p95 = all_lats[int(len(all_lats) * 0.95)] * 1e3
         rec = {
             "concurrency": conc,
+            "pipeline": args.pipeline,
             "mode": args.mode,
             "server": args.server,
             "qps": round(done / args.seconds, 1),

@@ -24,7 +24,11 @@
 // encoder pass).
 // Requests are grouped by metric; a group flushes when max_batch requests
 // are waiting or window_us elapsed since the first arrival (same policy as
-// server._DynamicBatcher, moved off the GIL). Responses are JSON
+// server._DynamicBatcher, moved off the GIL). Connections are fully
+// HTTP/1.1-pipelined: up to kMaxInflight requests per connection may be
+// in flight at once and responses return in request order (per-connection
+// sequence numbers + an out-of-order stash), so a handful of batched
+// client connections can keep whole flushes in the air. Responses are JSON
 // {"ids":[...],"scores":[...]} or, when the request carried
 // Accept: application/octet-stream, a binary body
 // [u32 k][k x i64 ids][k x f32 scores].
@@ -48,6 +52,7 @@
 
 #include <atomic>
 #include <chrono>
+#include <map>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -67,6 +72,7 @@ using Clock = std::chrono::steady_clock;
 struct HotReq {
   int fd = -1;
   uint64_t gen = 0;
+  uint64_t seq = 0;  // per-connection request order (HTTP/1.1 pipelining)
   int top_k = 5;
   bool binary_out = false;
   bool is_text = false;  // text/plain query: `text` set, `vec` empty
@@ -77,23 +83,35 @@ struct HotReq {
 struct GenReq {
   int fd = -1;
   uint64_t gen = 0;
+  uint64_t seq = 0;
   std::string method, path, ctype, body;
 };
 
 struct Response {
   int fd = -1;
   uint64_t gen = 0;
+  uint64_t seq = 0;
   std::string data;
 };
+
+// Max pipelined (in-flight) requests per connection before the parser
+// stops consuming its buffer. One batched client connection can keep a
+// whole flush in flight without one-thread-per-request client fleets.
+constexpr int kMaxInflight = 256;
 
 struct Conn {
   uint64_t gen = 0;
   std::string in;   // buffered unparsed bytes
   std::string out;  // pending unsent bytes
   bool open = false;
-  bool busy = false;        // a request is with the worker; don't parse more
-  bool want_close = false;  // close once out drains
+  bool want_close = false;  // close once out drains (after last response)
   bool epollout = false;
+  // HTTP/1.1 pipelining: responses must leave in request order even when
+  // requests complete out of order (different flushes / metric groups).
+  uint64_t seq_parse = 0;  // next sequence number to assign
+  uint64_t seq_write = 0;  // next sequence number allowed onto the wire
+  std::map<uint64_t, std::string> stash;  // completed out-of-order responses
+  int inflight = 0;
 };
 
 std::string lower(std::string s) {
@@ -175,10 +193,10 @@ struct Server {
     (void)r;
   }
 
-  void push_response(int fd, uint64_t gen, std::string data) {
+  void push_response(int fd, uint64_t gen, uint64_t seq, std::string data) {
     {
       std::lock_guard<std::mutex> lk(resp_mu);
-      resp_q.push_back(Response{fd, gen, std::move(data)});
+      resp_q.push_back(Response{fd, gen, seq, std::move(data)});
     }
     wake_io();
   }
@@ -200,7 +218,8 @@ void close_conn(Server* s, int fd) {
   c.open = false;
   c.in.clear();
   c.out.clear();
-  c.busy = false;
+  c.stash.clear();
+  c.inflight = 0;
   epoll_ctl(s->epoll_fd, EPOLL_CTL_DEL, fd, nullptr);
   close(fd);
 }
@@ -222,11 +241,37 @@ bool flush_out(Server* s, int fd) {
     return false;
   }
   epoll_mod(s, fd, false);
-  if (c.want_close) {
+  // close only after the LAST pipelined response left (responses for
+  // later sequence numbers may still be in flight with the worker)
+  if (c.want_close && c.seq_write == c.seq_parse) {
     close_conn(s, fd);
     return false;
   }
   return true;
+}
+
+// Hand a completed response (worker or inline) to its connection in
+// REQUEST order: HTTP/1.1 pipelining requires in-order responses, but
+// requests from one connection can complete out of order when they land
+// in different flushes. Out-of-order completions wait in c.stash.
+// Returns false if the connection died.
+bool deliver(Server* s, int fd, uint64_t seq, std::string data) {
+  Conn& c = s->conn(fd);
+  if (!c.open) return false;
+  if (c.inflight > 0) c.inflight--;
+  if (seq != c.seq_write) {
+    c.stash.emplace(seq, std::move(data));
+    return true;
+  }
+  c.out += data;
+  c.seq_write++;
+  auto it = c.stash.begin();
+  while (it != c.stash.end() && it->first == c.seq_write) {
+    c.out += it->second;
+    c.seq_write++;
+    it = c.stash.erase(it);
+  }
+  return flush_out(s, fd);
 }
 
 // decode %xx in query-string values (metric names are plain, but be correct)
@@ -323,7 +368,9 @@ int try_parse_request(Server* s, int fd) {
 
   std::string body = c.in.substr(hdr_end + 4, content_length);
   c.in.erase(0, total);
-  c.want_close = !keep_alive;
+  if (!keep_alive) c.want_close = true;
+  uint64_t seq = c.seq_parse++;
+  c.inflight++;
 
   std::string path = target, qs;
   size_t qmark = target.find('?');
@@ -332,11 +379,14 @@ int try_parse_request(Server* s, int fd) {
     qs = target.substr(qmark + 1);
   }
 
-  // answered inline, no Python
+  // answered inline, no Python (still sequenced: an inline answer must
+  // not overtake earlier pipelined responses still with the worker)
   if (method == "GET" && path == "/healthz") {
-    c.out += http_response(200, "application/json", "{\"ok\": true}",
-                           keep_alive);
-    return flush_out(s, fd) ? 1 : -1;
+    return deliver(s, fd, seq,
+                   http_response(200, "application/json", "{\"ok\": true}",
+                                 keep_alive))
+               ? 1
+               : -1;
   }
 
   // hot path: raw f32 vector query
@@ -347,23 +397,24 @@ int try_parse_request(Server* s, int fd) {
       snprintf(msg, sizeof(msg),
                "query vector has %zu bytes, corpus dimension %d needs %d",
                body.size(), s->dim, s->dim * 4);
-      c.out += json_error(400, msg, keep_alive);
-      return flush_out(s, fd) ? 1 : -1;
+      return deliver(s, fd, seq, json_error(400, msg, keep_alive)) ? 1 : -1;
     }
     HotReq req;
     req.fd = fd;
     req.gen = c.gen;
+    req.seq = seq;
     req.binary_out = accept.find("application/octet-stream") !=
                      std::string::npos;
     std::string metric = "cosine_similarity";
     parse_query_string(qs, &req.top_k, &metric);
     if (req.top_k <= 0) {
-      c.out += json_error(400, "top_k must be positive", keep_alive);
-      return flush_out(s, fd) ? 1 : -1;
+      return deliver(s, fd, seq,
+                     json_error(400, "top_k must be positive", keep_alive))
+                 ? 1
+                 : -1;
     }
     req.vec.resize(s->dim);
     memcpy(req.vec.data(), body.data(), body.size());
-    c.busy = true;
     {
       std::lock_guard<std::mutex> lk(s->mu);
       auto& group = s->hot[metric];
@@ -383,23 +434,27 @@ int try_parse_request(Server* s, int fd) {
   if (method == "POST" && path == "/query" &&
       ctype.rfind("text/plain", 0) == 0) {
     if (body.empty()) {
-      c.out += json_error(400, "empty query text", keep_alive);
-      return flush_out(s, fd) ? 1 : -1;
+      return deliver(s, fd, seq,
+                     json_error(400, "empty query text", keep_alive))
+                 ? 1
+                 : -1;
     }
     HotReq req;
     req.fd = fd;
     req.gen = c.gen;
+    req.seq = seq;
     req.is_text = true;
     req.binary_out = accept.find("application/octet-stream") !=
                      std::string::npos;
     std::string metric = "cosine_similarity";
     parse_query_string(qs, &req.top_k, &metric);
     if (req.top_k <= 0) {
-      c.out += json_error(400, "top_k must be positive", keep_alive);
-      return flush_out(s, fd) ? 1 : -1;
+      return deliver(s, fd, seq,
+                     json_error(400, "top_k must be positive", keep_alive))
+                 ? 1
+                 : -1;
     }
     req.text = std::move(body);
-    c.busy = true;
     {
       std::lock_guard<std::mutex> lk(s->mu);
       auto& group = s->hot[metric + "\x01t"];
@@ -417,17 +472,25 @@ int try_parse_request(Server* s, int fd) {
   GenReq req;
   req.fd = fd;
   req.gen = c.gen;
+  req.seq = seq;
   req.method = std::move(method);
   req.path = std::move(target);  // keep the query string for Python
   req.ctype = std::move(ctype);
   req.body = std::move(body);
-  c.busy = true;
   {
     std::lock_guard<std::mutex> lk(s->mu);
     s->gen_q.push_back(std::move(req));
   }
   s->cv.notify_one();
   return 1;
+}
+
+void parse_buffered(Server* s, int fd) {
+  Conn& c = s->conn(fd);
+  while (c.open && !c.want_close && c.inflight < kMaxInflight) {
+    int r = try_parse_request(s, fd);
+    if (r <= 0) break;
+  }
 }
 
 void handle_readable(Server* s, int fd) {
@@ -437,8 +500,8 @@ void handle_readable(Server* s, int fd) {
     ssize_t n = recv(fd, buf, sizeof(buf), 0);
     if (n > 0) {
       c.in.append(buf, (size_t)n);
-      if (c.busy && c.in.size() > (1u << 20)) {
-        close_conn(s, fd);  // pipelining flood while a request is in flight
+      if (c.in.size() > (8u << 20) + s->max_body) {
+        close_conn(s, fd);  // runaway buffer beyond any legal pipeline
         return;
       }
       if ((size_t)n < sizeof(buf)) break;
@@ -448,10 +511,7 @@ void handle_readable(Server* s, int fd) {
     close_conn(s, fd);
     return;
   }
-  while (c.open && !c.busy && !c.want_close) {
-    int r = try_parse_request(s, fd);
-    if (r <= 0) break;
-  }
+  parse_buffered(s, fd);
 }
 
 void drain_responses(Server* s) {
@@ -464,14 +524,9 @@ void drain_responses(Server* s) {
     if ((size_t)r.fd >= s->conns.size()) continue;
     Conn& c = s->conns[r.fd];
     if (!c.open || c.gen != r.gen) continue;  // conn died / fd reused
-    c.out += r.data;
-    c.busy = false;
-    if (!flush_out(s, r.fd)) continue;
-    // parse any pipelined request buffered while busy
-    while (c.open && !c.busy && !c.want_close) {
-      int pr = try_parse_request(s, r.fd);
-      if (pr <= 0) break;
-    }
+    if (!deliver(s, r.fd, r.seq, std::move(r.data))) continue;
+    // parse any pipelined requests buffered while at the inflight cap
+    parse_buffered(s, r.fd);
   }
 }
 
@@ -694,7 +749,7 @@ void hdb_srv_batch_complete(void* sp, const long long* ids,
       append_json_row(&body, row_ids, row_scores, ki);
       resp = http_response(200, "application/json", body, true);
     }
-    s->push_response(req.fd, req.gen, std::move(resp));
+    s->push_response(req.fd, req.gen, req.seq, std::move(resp));
   }
   s->cur_batch.clear();
 }
@@ -702,7 +757,8 @@ void hdb_srv_batch_complete(void* sp, const long long* ids,
 void hdb_srv_batch_fail(void* sp, int status, const char* msg) {
   Server* s = (Server*)sp;
   std::string resp = json_error(status, msg ? msg : "engine error", true);
-  for (HotReq& req : s->cur_batch) s->push_response(req.fd, req.gen, resp);
+  for (HotReq& req : s->cur_batch)
+    s->push_response(req.fd, req.gen, req.seq, resp);
   s->cur_batch.clear();
 }
 
@@ -725,7 +781,7 @@ void hdb_srv_req_respond(void* sp, int status, const char* ctype,
                          const char* body, long long len) {
   Server* s = (Server*)sp;
   std::string b(body ? body : "", body ? (size_t)len : 0);
-  s->push_response(s->cur_req.fd, s->cur_req.gen,
+  s->push_response(s->cur_req.fd, s->cur_req.gen, s->cur_req.seq,
                    http_response(status, ctype ? ctype : "application/json",
                                  b, true));
 }

@@ -450,3 +450,97 @@ def test_engine_accepts_f16_block():
     ids32, sc32 = db.query_batch_arrays(q16.astype(np.float32), top_k=4)
     np.testing.assert_array_equal(ids16, ids32)
     np.testing.assert_allclose(sc16, sc32, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# HTTP/1.1 pipelining: many in-flight requests per connection, responses in
+# request order even when they complete in different flushes
+# ---------------------------------------------------------------------------
+
+
+def test_pipelined_requests_ordered_and_exact(served):
+    """Write 40 binary queries back-to-back on ONE socket, then read 40
+    responses: order must match request order and every answer must match
+    the per-query oracle."""
+    import socket
+
+    v = served["vectors"]
+    rng = np.random.default_rng(77)
+    qids = rng.integers(0, N, size=40)
+
+    sock = socket.create_connection(("127.0.0.1", served["port"]))
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    payload = b""
+    for i in qids:
+        body = v[int(i)].astype(np.float32).tobytes()
+        payload += (
+            f"POST /query?top_k=3 HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: application/octet-stream\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+    sock.sendall(payload)
+
+    buf = b""
+    answers = []
+    for _ in range(len(qids)):
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(65536)
+            assert chunk, "server closed mid-pipeline"
+            buf += chunk
+        head, rest = buf.split(b"\r\n\r\n", 1)
+        clen = 0
+        for line in head.split(b"\r\n")[1:]:
+            if line[:15].lower() == b"content-length:":
+                clen = int(line[15:])
+        while len(rest) < clen:
+            chunk = sock.recv(65536)
+            assert chunk
+            rest += chunk
+        assert head.split(b" ", 2)[1] == b"200"
+        answers.append(json.loads(rest[:clen]))
+        buf = rest[clen:]
+    sock.close()
+
+    for i, out in zip(qids, answers):
+        assert out["ids"] == _oracle_ids(v, v[int(i)], 3).tolist()
+
+
+def test_pipelined_mixed_metrics_stay_ordered(served):
+    """Interleave two metrics on one pipelined socket: flushes are
+    per-metric (they complete at different times), but the connection's
+    responses must still come back in request order."""
+    import socket
+
+    v = served["vectors"]
+    ids = [3, 7, 11, 19, 23, 42]
+    sock = socket.create_connection(("127.0.0.1", served["port"]))
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    payload = b""
+    for j, i in enumerate(ids):
+        metric = "cosine_similarity" if j % 2 == 0 else "dot_product"
+        body = v[i].astype(np.float32).tobytes()
+        payload += (
+            f"POST /query?top_k=1&metric={metric} HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: application/octet-stream\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+    sock.sendall(payload)
+
+    buf = b""
+    got = []
+    for _ in ids:
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(65536)
+            assert chunk
+            buf += chunk
+        head, rest = buf.split(b"\r\n\r\n", 1)
+        clen = 0
+        for line in head.split(b"\r\n")[1:]:
+            if line[:15].lower() == b"content-length:":
+                clen = int(line[15:])
+        while len(rest) < clen:
+            rest += sock.recv(65536)
+        got.append(json.loads(rest[:clen])["ids"][0])
+        buf = rest[clen:]
+    sock.close()
+    assert got == ids  # unit rows: each query's top-1 is itself, in order
