@@ -544,3 +544,49 @@ def test_pipelined_mixed_metrics_stay_ordered(served):
         buf = rest[clen:]
     sock.close()
     assert got == ids  # unit rows: each query's top-1 is itself, in order
+
+
+def test_pipelined_error_midstream_keeps_order(served):
+    """A 400 (wrong byte count) in the middle of a pipeline must come back
+    in position and leave the connection usable for the rest."""
+    import socket
+
+    v = served["vectors"]
+    sock = socket.create_connection(("127.0.0.1", served["port"]))
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def req(body):
+        return (
+            f"POST /query?top_k=1 HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: application/octet-stream\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    good1 = v[5].astype(np.float32).tobytes()
+    bad = v[6].astype(np.float32).tobytes()[:-4]  # wrong byte count -> 400
+    good2 = v[9].astype(np.float32).tobytes()
+    sock.sendall(req(good1) + req(bad) + req(good2))
+
+    statuses, bodies = [], []
+    buf = b""
+    for _ in range(3):
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(65536)
+            assert chunk, "server closed mid-pipeline"
+            buf += chunk
+        head, rest = buf.split(b"\r\n\r\n", 1)
+        clen = 0
+        for line in head.split(b"\r\n")[1:]:
+            if line[:15].lower() == b"content-length:":
+                clen = int(line[15:])
+        while len(rest) < clen:
+            rest += sock.recv(65536)
+        statuses.append(int(head.split(b" ", 2)[1]))
+        bodies.append(json.loads(rest[:clen]))
+        buf = rest[clen:]
+    sock.close()
+
+    assert statuses == [200, 400, 200]
+    assert bodies[0]["ids"][0] == 5
+    assert "error" in bodies[1]
+    assert bodies[2]["ids"][0] == 9
