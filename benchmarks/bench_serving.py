@@ -1,26 +1,29 @@
 """End-to-end HTTP serving throughput: the full production stack on chip.
 
 Every engine number so far times device programs; this measures what a
-CLIENT of `python -m hyperdb_tpu serve` actually gets — HTTP parsing,
-JSON (de)serialization, the dynamic batcher's coalescing window, the
-engine lock, the device dispatch, and the tunnel readback, all included.
+CLIENT of `python -m hyperdb_tpu serve` actually gets — sockets, HTTP
+parsing, batching windows, the engine lock, device dispatch, and tunnel
+readback, all included.
 
 Setup: 1M x 384 f16 cosine corpus (the driver-headline config) served by
-`server.make_server` with dynamic batching; K client threads with
-keep-alive connections each POST single-vector /query requests as fast as
-they complete. Throughput = completed requests / wall time over a fixed
-window, per concurrency level; latency percentiles from per-request
-timing.
+either front-end (`--server python|native`); client worker PROCESSES
+(spawn — fork of the JAX parent deadlocks) drive `--concurrency`
+keep-alive connections of `--mode json|binary|text` requests, optionally
+HTTP/1.1-pipelined `--pipeline` deep (outstanding = concurrency x
+pipeline — a few pipelined connections exercise flush depths that would
+otherwise need thousands of client threads). A loopback probe first
+reports the raw engine call cost per flush size and wire dtype, so the
+HTTP numbers decompose against the no-HTTP floor.
 
-The platform model (BASELINE.md) predicts the shape: each flush is one
-device call costing ~1.5 ms dispatch + ~25-30 ms tunnel readback, so
-served q/s ~ flushed_batch / 30 ms — concurrency (and max_batch) is the
-lever, and the batch-bucketing knob (HYPERDB_BATCH_BUCKET) keeps the
+The platform model (BASELINE.md serving section) predicts the shape:
+each flush is one engine call costing ~25 ms round-trip floor + upload
+(~30-60 MB/s; f16 wire halves it) + compute, so served q/s ~ flush /
+W(flush) — flush depth is the only lever, and batch-dim bucketing keeps
 arbitrary flush sizes on a handful of compiled programs instead of
 recompiling 30-90 s per new size.
 
 Usage: python benchmarks/bench_serving.py [--n 1000000] [--seconds 20]
-       [--concurrency 32 128 512]
+       [--concurrency 32 128 512] [--server native] [--pipeline 128]
 """
 
 from __future__ import annotations
