@@ -430,6 +430,27 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                 })
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "") or ""
+            if path == "/query" and ctype.startswith("text/plain"):
+                # text hot path parity with the native front-end: the raw
+                # body IS the query text; top_k/metric ride the query
+                # string. Reuses the JSON dispatcher (and its batcher).
+                from urllib.parse import parse_qs
+
+                params = parse_qs(qs)
+                try:
+                    body = json.dumps({
+                        "text": body.decode("utf-8", "replace"),
+                        "top_k": int(params.get("top_k", ["5"])[0]),
+                        "metric": params.get(
+                            "metric", ["cosine_similarity"])[0],
+                    }).encode()
+                except (ValueError, TypeError) as e:
+                    return self._send(400, {"error": str(e)})
+                return self._send(
+                    *api_response(db, host_db, lock, batcher, "POST",
+                                  "/query", body)
+                )
             return self._send(
                 *api_response(db, host_db, lock, batcher, "POST", self.path,
                               body)

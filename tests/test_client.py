@@ -1,0 +1,100 @@
+"""HyperDBClient (hyperdb_tpu/client.py) against BOTH serving front-ends."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from hyperdb_tpu import HyperDB
+from hyperdb_tpu.client import HyperDBClient
+from hyperdb_tpu.server import make_server
+
+N, D = 1024, 24
+
+
+def _db():
+    rng = np.random.default_rng(13)
+    v = rng.standard_normal((N, D)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+
+    def fake_embed(texts):
+        return (
+            np.stack([v[int(t.split()[-1])] for t in texts]),
+            list(range(len(texts))),
+            {},
+        )
+
+    db = HyperDB(documents=[{"i": int(i)} for i in range(N)], vectors=v,
+                 embedding_function=fake_embed)
+    return db, v
+
+
+def _oracle(v, q, k):
+    qn = q / np.linalg.norm(q)
+    return np.argsort(-(v @ qn), kind="stable")[:k]
+
+
+@pytest.fixture(scope="module", params=["python", "native"])
+def endpoint(request):
+    db, v = _db()
+    if request.param == "native":
+        native_server = pytest.importorskip("hyperdb_tpu.native.server")
+        if not native_server.available():
+            pytest.skip("native host library unavailable")
+        srv = native_server.NativeQueryServer(db, port=0, max_batch=64,
+                                              window_ms=2.0)
+        yield {"port": srv.port, "vectors": v, "kind": "native"}
+        srv.close()
+    else:
+        httpd = make_server(db, port=0, dynamic_batch_ms=2.0)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield {"port": httpd.server_address[1], "vectors": v,
+               "kind": "python"}
+        httpd.shutdown()
+        if httpd.batcher is not None:
+            httpd.batcher.close()
+        httpd.server_close()
+
+
+def test_vector_query(endpoint):
+    v = endpoint["vectors"]
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        ids, scores = c.query(v[42], top_k=5)
+        assert ids.tolist() == _oracle(v, v[42], 5).tolist()
+        assert scores[0] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_text_query(endpoint):
+    v = endpoint["vectors"]
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        ids, _ = c.query("doc 99", top_k=3)
+        assert ids[0] == 99
+        assert ids.tolist() == _oracle(v, v[99], 3).tolist()
+
+
+def test_query_batch_pipelined(endpoint):
+    v = endpoint["vectors"]
+    qids = [3, 77, 500, 900]
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        ids, scores = c.query_batch(v[qids], top_k=4)
+        assert ids.shape == (4, 4) and scores.shape == (4, 4)
+        for row, i in zip(ids, qids):
+            assert row.tolist() == _oracle(v, v[i], 4).tolist()
+
+
+def test_stats_and_healthz(endpoint):
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        assert c.healthz() == {"ok": True}
+        st = c.stats()
+        assert st["documents"] == N and st["dim"] == D
+
+
+def test_error_maps_to_exception(endpoint):
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        with pytest.raises(RuntimeError, match="400|dimension"):
+            c.query(np.zeros(D + 3, dtype=np.float32), top_k=3)
+        # connection still usable afterwards
+        v = endpoint["vectors"]
+        ids, _ = c.query(v[1], top_k=1)
+        assert ids[0] == 1
