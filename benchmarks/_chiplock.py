@@ -42,6 +42,12 @@ def claim_chip(timeout_s: float = 3600.0):
     if os.environ.get("HYPERDB_CHIP_LOCK_BYPASS") == "1":
         return
     fh = open(LOCKFILE, "a+")
+    try:
+        # evidence of a recent previous holder, whether or not we end up
+        # blocking on its flock (it may have exited a second ago)
+        prev_holder_age = time.time() - os.fstat(fh.fileno()).st_mtime
+    except OSError:
+        prev_holder_age = float("inf")
     start = time.time()
     warned = False
     while True:
@@ -69,12 +75,13 @@ def claim_chip(timeout_s: float = 3600.0):
     fh.write(f"pid={os.getpid()} argv={' '.join(sys.argv)}\n")
     fh.flush()
     _handle = fh
-    if warned:
-        # We queued behind another benchmark: its tunnel-side chip claim
-        # can outlive its process exit by seconds, and a first device call
-        # issued into a lingering claim has been observed to wedge
-        # PERMANENTLY (no retry) rather than wait. A short grace window is
-        # noise against multi-minute benchmark runs.
+    if warned or prev_holder_age < 600:
+        # Another benchmark held the chip recently (we blocked on its
+        # flock, or its lockfile write is fresh): its tunnel-side chip
+        # claim can outlive its process exit by seconds, and a first
+        # device call issued into a lingering claim has been observed to
+        # wedge PERMANENTLY (no retry) rather than wait. A short grace
+        # window is noise against multi-minute benchmark runs.
         grace = float(os.environ.get("HYPERDB_CHIP_CLAIM_GRACE", "15"))
         if grace > 0:
             time.sleep(grace)

@@ -5,7 +5,11 @@ without re-running bench_serving's module top-level (which claims the chip
 lock and imports JAX — the original fork context deadlocked: forking a
 JAX-multithreaded parent wedges the child, which is exactly how the first
 native-server chip run died after its first concurrency level).
-Stdlib + nothing else: spawn startup stays milliseconds.
+Stdlib + nothing else: spawn startup stays milliseconds. The wire framing
+here deliberately does NOT reuse hyperdb_tpu.client (which would pull
+numpy into every spawn child and add per-call library overhead to the
+measurement): the formats are frozen by tests/test_native_server.py and
+tests/test_client.py, so drift shows up as test failures, not silent skew.
 """
 
 from __future__ import annotations

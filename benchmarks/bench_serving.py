@@ -171,14 +171,22 @@ def main():
         path, ctype = "/query", "application/json"
 
     # Warm every pow2 batch bucket the dynamic batcher can flush, so the
-    # measured window contains zero remote compiles (30-90 s each).
+    # measured window contains zero remote compiles (30-90 s each). Warm
+    # BOTH wire dtypes: the f16 corpus flips the servers to f16 flush
+    # blocks (wire_dtype='auto'), which are distinct jit signatures — an
+    # f32-only warm leaves every serving flush cold.
     t0 = time.time()
+    wire_dtypes = [np.float32]
+    if db._store.low_precision_device:
+        wire_dtypes.append(np.float16)
     b = 1
     while b <= args.max_batch:
-        db.query_batch(v[:b] + 0.01, top_k=10)
+        for dt in wire_dtypes:
+            db.query_batch_arrays((v[:b] + 0.01).astype(dt), top_k=10)
         b *= 2
-    print(f"warmed {args.max_batch.bit_length()} batch buckets in "
-          f"{time.time() - t0:.1f}s", flush=True)
+    print(f"warmed {args.max_batch.bit_length()} batch buckets "
+          f"x{len(wire_dtypes)} dtypes in {time.time() - t0:.1f}s",
+          flush=True)
 
     if args.mode == "text":
         # warm the encoder's (seq bucket, pow2 batch) program shapes the

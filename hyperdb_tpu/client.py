@@ -161,34 +161,59 @@ class HyperDBClient:
                 accept)
         return self._parse_result(status, ctype, body)
 
+    # In-flight cap for query_batch: below the native front-end's
+    # per-connection pipelining limit (kMaxInflight=256), and small enough
+    # that write-side and read-side buffers never mutually fill against a
+    # server that handles one request at a time (the stdlib front-end).
+    _PIPELINE_WINDOW = 128
+
     def query_batch(self, vectors, top_k: int = 5,
                     metric: str = "cosine_similarity"):
         """Pipeline a (B, d) block on one connection -> ((B, k) ids,
         (B, k) scores). The native front-end answers in request order and
-        coalesces the in-flight block into one device flush."""
+        coalesces the in-flight block into one device flush. Keeps at most
+        ``_PIPELINE_WINDOW`` requests outstanding (sliding window), so
+        arbitrary B neither deadlocks a sequential server on full socket
+        buffers nor trips the native front-end's in-flight cap.
+
+        On a non-200 response the remaining in-flight responses are
+        DRAINED before raising, so the keep-alive connection stays usable
+        (no stale responses bleeding into later calls)."""
         block = np.ascontiguousarray(vectors, dtype="<f4")
         if block.ndim != 2:
             raise ValueError("query_batch() takes a (B, d) block")
         accept = "application/octet-stream" if self.binary_responses else None
         path = f"/query?top_k={int(top_k)}&metric={metric}"
-        payload = b"".join(
+        reqs = [
             self._request_bytes("POST", path, row.tobytes(),
                                 "application/octet-stream", accept)
             for row in block
-        )
-        try:
-            sock = self._connect()
-            sock.sendall(payload)
-        except OSError:
-            self.close()
-            sock = self._connect()
-            sock.sendall(payload)
+        ]
+        sock = self._connect()
         ids_rows, score_rows = [], []
-        for _ in range(block.shape[0]):
-            status, ctype, body = self._read_response()
-            ids, scores = self._parse_result(status, ctype, body)
-            ids_rows.append(ids)
-            score_rows.append(scores)
+        first_error = None
+        sent = received = 0
+        try:
+            while received < len(reqs):
+                while (sent < len(reqs)
+                       and sent - received < self._PIPELINE_WINDOW):
+                    sock.sendall(reqs[sent])
+                    sent += 1
+                status, ctype, body = self._read_response()
+                received += 1
+                try:
+                    ids, scores = self._parse_result(status, ctype, body)
+                except RuntimeError as e:
+                    if first_error is None:
+                        first_error = e
+                    continue  # keep draining: connection must stay in sync
+                ids_rows.append(ids)
+                score_rows.append(scores)
+        except (OSError, ConnectionError):
+            self.close()  # desynced: don't reuse the socket
+            raise
+        if first_error is not None:
+            raise first_error
         k = min((len(r) for r in ids_rows), default=0)
         return (
             np.stack([r[:k] for r in ids_rows]) if k else

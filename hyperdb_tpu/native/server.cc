@@ -292,6 +292,16 @@ std::string url_decode(const std::string& v) {
   return out;
 }
 
+// Group keys are metric strings with a "\x01t" suffix marking text
+// batches; a %01-encoded byte in the metric parameter could forge that
+// marker (vector requests flushed as a bogus text batch), so metrics with
+// control bytes are rejected outright.
+bool metric_is_clean(const std::string& m) {
+  for (unsigned char ch : m)
+    if (ch < 0x20) return false;
+  return true;
+}
+
 void parse_query_string(const std::string& qs, int* top_k,
                         std::string* metric) {
   size_t pos = 0;
@@ -316,9 +326,13 @@ int try_parse_request(Server* s, int fd) {
   size_t hdr_end = c.in.find("\r\n\r\n");
   if (hdr_end == std::string::npos) {
     if (c.in.size() > 16384) {
-      c.out += json_error(400, "headers too large", false);
+      // fatal framing error: the byte stream is unrecoverable, but the
+      // error response still takes a sequence slot so it cannot overtake
+      // responses of earlier pipelined requests still with the worker
       c.want_close = true;
-      flush_out(s, fd);
+      uint64_t eseq = c.seq_parse++;
+      c.inflight++;
+      deliver(s, fd, eseq, json_error(400, "headers too large", false));
       return -1;
     }
     return 0;
@@ -329,9 +343,10 @@ int try_parse_request(Server* s, int fd) {
   size_t sp1 = line.find(' ');
   size_t sp2 = line.rfind(' ');
   if (sp1 == std::string::npos || sp2 == sp1) {
-    c.out += json_error(400, "malformed request line", false);
     c.want_close = true;
-    flush_out(s, fd);
+    uint64_t eseq = c.seq_parse++;
+    c.inflight++;
+    deliver(s, fd, eseq, json_error(400, "malformed request line", false));
     return -1;
   }
   std::string method = line.substr(0, sp1);
@@ -358,9 +373,10 @@ int try_parse_request(Server* s, int fd) {
     else if (name == "connection" && lower(value) == "close") keep_alive = false;
   }
   if (content_length > s->max_body) {
-    c.out += json_error(413, "body too large", false);
     c.want_close = true;
-    flush_out(s, fd);
+    uint64_t eseq = c.seq_parse++;
+    c.inflight++;
+    deliver(s, fd, eseq, json_error(413, "body too large", false));
     return -1;
   }
   size_t total = hdr_end + 4 + content_length;
@@ -413,6 +429,12 @@ int try_parse_request(Server* s, int fd) {
                  ? 1
                  : -1;
     }
+    if (!metric_is_clean(metric)) {
+      return deliver(s, fd, seq,
+                     json_error(400, "invalid metric", keep_alive))
+                 ? 1
+                 : -1;
+    }
     req.vec.resize(s->dim);
     memcpy(req.vec.data(), body.data(), body.size());
     {
@@ -451,6 +473,12 @@ int try_parse_request(Server* s, int fd) {
     if (req.top_k <= 0) {
       return deliver(s, fd, seq,
                      json_error(400, "top_k must be positive", keep_alive))
+                 ? 1
+                 : -1;
+    }
+    if (!metric_is_clean(metric)) {
+      return deliver(s, fd, seq,
+                     json_error(400, "invalid metric", keep_alive))
                  ? 1
                  : -1;
     }
@@ -719,10 +747,15 @@ const int32_t* hdb_srv_batch_topks(void* sp) {
 const char* hdb_srv_batch_metric(void* sp) {
   return ((Server*)sp)->cur_metric.c_str();
 }
-const char* hdb_srv_batch_text(void* sp, int i) {
+const char* hdb_srv_batch_text(void* sp, int i, long long* len) {
   Server* s = (Server*)sp;
-  if (i < 0 || (size_t)i >= s->cur_batch.size()) return "";
-  return s->cur_batch[(size_t)i].text.c_str();
+  if (i < 0 || (size_t)i >= s->cur_batch.size()) {
+    if (len) *len = 0;
+    return "";
+  }
+  const std::string& t = s->cur_batch[(size_t)i].text;
+  if (len) *len = (long long)t.size();  // NUL bytes in the body survive
+  return t.data();
 }
 
 // ids/scores are (B, k) row-major; each request gets its own top_k prefix.

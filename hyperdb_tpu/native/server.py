@@ -63,8 +63,12 @@ def _bind(lib) -> bool:
     lib.hdb_srv_batch_topks.argtypes = [ctypes.c_void_p]
     lib.hdb_srv_batch_metric.restype = ctypes.c_char_p
     lib.hdb_srv_batch_metric.argtypes = [ctypes.c_void_p]
-    lib.hdb_srv_batch_text.restype = ctypes.c_char_p
-    lib.hdb_srv_batch_text.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    # returns a pointer (NOT c_char_p): text bodies may legally contain
+    # NUL bytes, so the worker reads (ptr, len) via ctypes.string_at
+    lib.hdb_srv_batch_text.restype = ctypes.c_void_p
+    lib.hdb_srv_batch_text.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_longlong),
+    ]
     lib.hdb_srv_batch_complete.restype = None
     lib.hdb_srv_batch_complete.argtypes = [
         ctypes.c_void_p, _P_LL, _P_FLOAT, ctypes.c_int,
@@ -212,6 +216,33 @@ class NativeQueryServer:
             else:
                 self._handle_generic(lib, srv)
 
+    def _run_flush(self, lib, srv, n, engine_call):
+        """Shared tail of both hot-batch handlers: run the engine call,
+        fail the flush on error (400 for validation errors, 500 for
+        engine/device faults — clients must not be blamed for server-side
+        failures), else account and hand (ids, scores) back to C++."""
+        t0 = time.perf_counter()
+        try:
+            with self.lock:
+                ids, scores = engine_call()
+        except Exception as e:  # noqa: BLE001 — delivered per request
+            status = 400 if isinstance(e, (ValueError, TypeError)) else 500
+            lib.hdb_srv_batch_fail(srv, status, str(e).encode())
+            return
+        self.engine_s += time.perf_counter() - t0
+        self.flushes += 1
+        self.flushed_queries += n
+        self.max_flush = max(self.max_flush, n)
+        k = int(ids.shape[1])
+        ids64 = np.ascontiguousarray(ids, dtype=np.int64)
+        sc32 = np.ascontiguousarray(scores, dtype=np.float32)
+        lib.hdb_srv_batch_complete(
+            srv,
+            ids64.ctypes.data_as(_P_LL),
+            sc32.ctypes.data_as(_P_FLOAT),
+            k,
+        )
+
     def _handle_batch(self, lib, srv):
         n = lib.hdb_srv_batch_size(srv)
         vecs = np.ctypeslib.as_array(
@@ -222,29 +253,12 @@ class NativeQueryServer:
         block = np.array(vecs)  # own the buffer before the C++ side reuses it
         if self.wire_f16:
             block = block.astype(np.float16)
-        t0 = time.perf_counter()
-        try:
-            with self.lock:
-                ids, scores = self.db.query_batch_arrays(
-                    block,
-                    top_k=int(topks.max()),
-                    metric=metric,
-                )
-        except Exception as e:  # noqa: BLE001 — delivered per request
-            lib.hdb_srv_batch_fail(srv, 400, str(e).encode())
-            return
-        self.engine_s += time.perf_counter() - t0
-        self.flushes += 1
-        self.flushed_queries += n
-        self.max_flush = max(self.max_flush, n)
-        k = int(ids.shape[1])
-        ids64 = np.ascontiguousarray(ids, dtype=np.int64)
-        sc32 = np.ascontiguousarray(scores, dtype=np.float32)
-        lib.hdb_srv_batch_complete(
-            srv,
-            ids64.ctypes.data_as(_P_LL),
-            sc32.ctypes.data_as(_P_FLOAT),
-            k,
+        top_k = int(topks.max())
+        self._run_flush(
+            lib, srv, n,
+            lambda: self.db.query_batch_arrays(
+                block, top_k=top_k, metric=metric
+            ),
         )
 
     def _handle_text_batch(self, lib, srv):
@@ -253,37 +267,25 @@ class NativeQueryServer:
         from hyperdb_tpu.query.engine import generate_query_vectors_batch
 
         n = lib.hdb_srv_batch_size(srv)
-        texts = [
-            lib.hdb_srv_batch_text(srv, i).decode("utf-8", "replace")
-            for i in range(n)
-        ]
+        texts = []
+        tlen = ctypes.c_longlong(0)
+        for i in range(n):
+            ptr = lib.hdb_srv_batch_text(srv, i, ctypes.byref(tlen))
+            raw = ctypes.string_at(ptr, tlen.value) if tlen.value else b""
+            texts.append(raw.decode("utf-8", "replace"))
         topks = np.ctypeslib.as_array(lib.hdb_srv_batch_topks(srv), shape=(n,))
         metric = lib.hdb_srv_batch_metric(srv).decode()
-        t0 = time.perf_counter()
-        try:
-            with self.lock:
-                q_block = generate_query_vectors_batch(self.host_db, texts)
-                if self.wire_f16:
-                    q_block = q_block.astype(np.float16)
-                ids, scores = self.db.query_batch_arrays(
-                    q_block, top_k=int(topks.max()), metric=metric
-                )
-        except Exception as e:  # noqa: BLE001 — delivered per request
-            lib.hdb_srv_batch_fail(srv, 400, str(e).encode())
-            return
-        self.engine_s += time.perf_counter() - t0
-        self.flushes += 1
-        self.flushed_queries += n
-        self.max_flush = max(self.max_flush, n)
-        k = int(ids.shape[1])
-        ids64 = np.ascontiguousarray(ids, dtype=np.int64)
-        sc32 = np.ascontiguousarray(scores, dtype=np.float32)
-        lib.hdb_srv_batch_complete(
-            srv,
-            ids64.ctypes.data_as(_P_LL),
-            sc32.ctypes.data_as(_P_FLOAT),
-            k,
-        )
+        top_k = int(topks.max())
+
+        def call():
+            q_block = generate_query_vectors_batch(self.host_db, texts)
+            if self.wire_f16:
+                q_block = q_block.astype(np.float16)
+            return self.db.query_batch_arrays(
+                q_block, top_k=top_k, metric=metric
+            )
+
+        self._run_flush(lib, srv, n, call)
 
     def _handle_generic(self, lib, srv):
         from hyperdb_tpu.server import api_response

@@ -188,8 +188,25 @@ class _DynamicBatcher:
                     embs = generate_query_vectors_batch(
                         self._host_db, [e["text"] for e in text_entries]
                     )
+                dim = getattr(self._host_db, "dim", None)
+                rejected = []
                 for e, v in zip(text_entries, embs):
-                    e["vector"] = v
+                    if dim and v.shape[0] != dim:
+                        # fail THIS entry only: one bad text query must not
+                        # 400 the vector requests sharing its group (the
+                        # vector path validates dim before coalescing)
+                        e["error"] = ValueError(
+                            f"embedded query dimension {v.shape[0]} does "
+                            f"not match corpus dimension {dim}"
+                        )
+                        e["event"].set()
+                        rejected.append(id(e))
+                    else:
+                        e["vector"] = v
+                if rejected:
+                    group = [e for e in group if id(e) not in rejected]
+                    if not group:
+                        return
             block = np.stack([e["vector"] for e in group])
             if self._wire_f16:
                 block = block.astype(np.float16)

@@ -98,3 +98,24 @@ def test_error_maps_to_exception(endpoint):
         v = endpoint["vectors"]
         ids, _ = c.query(v[1], top_k=1)
         assert ids[0] == 1
+
+
+def test_query_batch_error_leaves_connection_usable(endpoint):
+    """A failing batch drains all pipelined responses before raising; the
+    next call on the same connection must return correct results."""
+    v = endpoint["vectors"]
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        with pytest.raises(RuntimeError):
+            c.query_batch(v[[1, 2, 3]], top_k=2, metric="bogus_metric")
+        ids, _ = c.query_batch(v[[7, 8]], top_k=1)
+        assert ids[:, 0].tolist() == [7, 8]
+
+
+def test_query_batch_larger_than_window(endpoint):
+    """B > _PIPELINE_WINDOW exercises the sliding send/read window."""
+    v = endpoint["vectors"]
+    qids = list(range(0, 300, 2))[:150]
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        assert len(qids) > c._PIPELINE_WINDOW
+        ids, _ = c.query_batch(v[qids], top_k=1)
+        assert ids[:, 0].tolist() == qids

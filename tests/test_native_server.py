@@ -590,3 +590,33 @@ def test_pipelined_error_midstream_keeps_order(served):
     assert bodies[0]["ids"][0] == 5
     assert "error" in bodies[1]
     assert bodies[2]["ids"][0] == 9
+
+
+def test_text_with_nul_byte_embeds_full_body(served_text):
+    """NUL bytes in a text body must reach the embedder intact (the
+    accessor is (ptr, len), not a NUL-terminated string)."""
+    v = served_text["vectors"]
+    conn = http.client.HTTPConnection("127.0.0.1", served_text["port"],
+                                      timeout=30)
+    # fake embedder keys on the LAST whitespace token — a NUL in the middle
+    # must not truncate the text before it
+    body = b"doc\x00ignored 44"
+    conn.request("POST", "/query?top_k=1", body,
+                 {"Content-Type": "text/plain"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    assert resp.status == 200 and out["ids"][0] == 44
+    conn.close()
+
+
+def test_control_byte_metric_rejected(served):
+    """A %01 byte in the metric param must 400, not forge the internal
+    text-batch group marker."""
+    conn = _conn(served)
+    vec = served["vectors"][0].astype(np.float32).tobytes()
+    conn.request("POST", "/query?top_k=3&metric=cosine_similarity%01t", vec,
+                 {"Content-Type": "application/octet-stream"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    assert resp.status == 400 and "metric" in out["error"]
+    conn.close()

@@ -388,3 +388,48 @@ def test_text_queries_batch_through_dynamic_batcher():
         httpd.shutdown()
         httpd.batcher.close()
         httpd.server_close()
+
+
+def test_text_dim_mismatch_fails_only_that_entry():
+    """A text query whose embedding dimension mismatches the corpus must
+    400 alone — vector requests sharing its coalesced group still answer."""
+    rng = np.random.default_rng(17)
+    n, d = 32, 12
+    v = rng.standard_normal((n, d)).astype(np.float32)
+
+    def bad_embed(texts):
+        return (np.zeros((len(texts), d + 5), dtype=np.float32),
+                list(range(len(texts))), {})
+
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v,
+                 embedding_function=bad_embed)
+    httpd = make_server(db, port=0, dynamic_batch_ms=30.0, max_batch=8)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        results = {}
+
+        def one(i):
+            if i == 0:
+                results[i] = _post(base, "/query",
+                                   {"text": "anything", "top_k": 1})
+            else:
+                results[i] = _post(base, "/query",
+                                   {"vector": v[i].tolist(), "top_k": 1})
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        status0, out0 = results[0]
+        assert status0 == 400 and "dimension" in out0["error"]
+        for i in range(1, 4):
+            status, out = results[i]
+            assert status == 200
+            assert out["results"][0]["index"] == i
+    finally:
+        httpd.shutdown()
+        httpd.batcher.close()
+        httpd.server_close()
