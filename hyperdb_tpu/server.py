@@ -328,6 +328,31 @@ def api_response(db, host_db, lock, batcher, method, path, body):
                     metric=req.get("metric", "cosine_similarity"),
                 )
             return 200, {"results": [_result_rows(r) for r in rows]}
+        if bare == "/add":
+            # reference add() over HTTP (hyperdb.py:548-566): documents
+            # embed server-side unless precomputed vectors ride along.
+            # Single-chip stores re-upload the device view lazily at the
+            # next query; the sharded path absorbs appends in place.
+            import numpy as np
+
+            documents = req["documents"]
+            vectors = req.get("vectors")
+            vec = (
+                np.asarray(vectors, dtype=np.float32)
+                if vectors is not None
+                else None
+            )
+            with lock:
+                before = host_db.size()
+                db.add(documents, vectors=vec,
+                       add_timestamp=bool(req.get("add_timestamp", False)))
+                after = host_db.size()
+            return 200, {"added": after - before, "documents": after}
+        if bare == "/remove":
+            # reference remove_document() over HTTP (hyperdb.py:692-766)
+            with lock:
+                db.remove_document(req["indices"])
+                return 200, {"documents": host_db.size()}
     except KeyError as e:
         return 400, {"error": f"missing field {e}"}
     except (ValueError, TypeError) as e:

@@ -433,3 +433,63 @@ def test_text_dim_mismatch_fails_only_that_entry():
         httpd.shutdown()
         httpd.batcher.close()
         httpd.server_close()
+
+
+def test_add_and_remove_over_http():
+    """/add and /remove mutate the corpus; queries see the change."""
+    rng = np.random.default_rng(23)
+    n, d = 16, 8
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v)
+    httpd = make_server(db, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        new_vec = rng.standard_normal(d).astype(np.float32)
+        new_vec /= np.linalg.norm(new_vec)
+        status, out = _post(base, "/add", {
+            "documents": [{"i": 999}],
+            "vectors": [new_vec.tolist()],
+        })
+        assert status == 200 and out == {"added": 1, "documents": n + 1}
+        status, out = _post(base, "/query",
+                            {"vector": new_vec.tolist(), "top_k": 1})
+        assert status == 200
+        assert out["results"][0]["document"]["i"] == 999
+
+        status, out = _post(base, "/remove", {"indices": [n]})
+        assert status == 200 and out == {"documents": n}
+        status, out = _post(base, "/query",
+                            {"vector": new_vec.tolist(), "top_k": 1})
+        assert out["results"][0]["document"]["i"] != 999
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_add_over_http_native_front_end():
+    native_server = pytest.importorskip("hyperdb_tpu.native.server")
+    if not native_server.available():
+        pytest.skip("native host library unavailable")
+    rng = np.random.default_rng(29)
+    n, d = 16, 8
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v)
+    srv = native_server.NativeQueryServer(db, port=0)
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        vec = rng.standard_normal(d).astype(np.float32)
+        payload = json.dumps({"documents": [{"i": 777}],
+                              "vectors": [vec.tolist()]}).encode()
+        conn.request("POST", "/add", payload,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 200 and out["documents"] == n + 1
+        conn.close()
+    finally:
+        srv.close()
