@@ -167,11 +167,12 @@ class HyperDBClient:
     # server that handles one request at a time (the stdlib front-end).
     _PIPELINE_WINDOW = 128
 
-    def query_batch(self, vectors, top_k: int = 5,
+    def query_batch(self, queries, top_k: int = 5,
                     metric: str = "cosine_similarity"):
-        """Pipeline a (B, d) block on one connection -> ((B, k) ids,
-        (B, k) scores). The native front-end answers in request order and
-        coalesces the in-flight block into one device flush. Keeps at most
+        """Pipeline a (B, d) float block OR a list of B text strings on one
+        connection -> ((B, k) ids, (B, k) scores). The native front-end
+        answers in request order and coalesces the in-flight block into one
+        device flush (texts: one encoder pass per flush). Keeps at most
         ``_PIPELINE_WINDOW`` requests outstanding (sliding window), so
         arbitrary B neither deadlocks a sequential server on full socket
         buffers nor trips the native front-end's in-flight cap.
@@ -179,16 +180,28 @@ class HyperDBClient:
         On a non-200 response the remaining in-flight responses are
         DRAINED before raising, so the keep-alive connection stays usable
         (no stale responses bleeding into later calls)."""
-        block = np.ascontiguousarray(vectors, dtype="<f4")
-        if block.ndim != 2:
-            raise ValueError("query_batch() takes a (B, d) block")
         accept = "application/octet-stream" if self.binary_responses else None
         path = f"/query?top_k={int(top_k)}&metric={metric}"
-        reqs = [
-            self._request_bytes("POST", path, row.tobytes(),
-                                "application/octet-stream", accept)
-            for row in block
-        ]
+        if (isinstance(queries, (list, tuple)) and queries
+                and all(isinstance(t, str) for t in queries)):
+            n_queries = len(queries)
+            reqs = [
+                self._request_bytes("POST", path, t.encode(), "text/plain",
+                                    accept)
+                for t in queries
+            ]
+        else:
+            block = np.ascontiguousarray(queries, dtype="<f4")
+            if block.ndim != 2:
+                raise ValueError(
+                    "query_batch() takes a (B, d) block or a list of strings"
+                )
+            n_queries = block.shape[0]
+            reqs = [
+                self._request_bytes("POST", path, row.tobytes(),
+                                    "application/octet-stream", accept)
+                for row in block
+            ]
         sock = self._connect()
         ids_rows, score_rows = [], []
         first_error = None
@@ -217,9 +230,9 @@ class HyperDBClient:
         k = min((len(r) for r in ids_rows), default=0)
         return (
             np.stack([r[:k] for r in ids_rows]) if k else
-            np.zeros((block.shape[0], 0), dtype=np.int64),
+            np.zeros((n_queries, 0), dtype=np.int64),
             np.stack([r[:k] for r in score_rows]) if k else
-            np.zeros((block.shape[0], 0), dtype=np.float32),
+            np.zeros((n_queries, 0), dtype=np.float32),
         )
 
     def _get_json(self, path: str) -> dict:

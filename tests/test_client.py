@@ -119,3 +119,13 @@ def test_query_batch_larger_than_window(endpoint):
         assert len(qids) > c._PIPELINE_WINDOW
         ids, _ = c.query_batch(v[qids], top_k=1)
         assert ids[:, 0].tolist() == qids
+
+
+def test_query_batch_texts(endpoint):
+    """A list of text queries pipelines through the text hot path."""
+    v = endpoint["vectors"]
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        ids, scores = c.query_batch([f"doc {i}" for i in (4, 40, 400)],
+                                    top_k=2)
+        assert ids.shape == (3, 2)
+        assert ids[:, 0].tolist() == [4, 40, 400]
