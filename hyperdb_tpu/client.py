@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import socket
 import struct
+from urllib.parse import quote
 
 import numpy as np
 
@@ -142,12 +143,23 @@ class HyperDBClient:
         )
 
     # ------------------------------------------------------------ public
-    def query(self, query_input, top_k: int = 5,
-              metric: str = "cosine_similarity"):
-        """One query: a (d,) float vector or a text string ->
-        (ids (k,), scores (k,))."""
-        accept = "application/octet-stream" if self.binary_responses else None
+    @staticmethod
+    def _query_path(top_k, metric, filters):
         path = f"/query?top_k={int(top_k)}&metric={metric}"
+        if filters:
+            spec = json.dumps([list(f) for f in filters],
+                              separators=(",", ":"))
+            path += "&filters=" + quote(spec, safe="")
+        return path
+
+    def query(self, query_input, top_k: int = 5,
+              metric: str = "cosine_similarity", filters=None):
+        """One query: a (d,) float vector or a text string ->
+        (ids (k,), scores (k,)). ``filters`` is the engine's
+        [(name, params), ...] spec; it rides the query string so filtered
+        queries still batch on the native hot path."""
+        accept = "application/octet-stream" if self.binary_responses else None
+        path = self._query_path(top_k, metric, filters)
         if isinstance(query_input, str):
             status, ctype, body = self._roundtrip(
                 "POST", path, query_input.encode(), "text/plain", accept)
@@ -168,7 +180,7 @@ class HyperDBClient:
     _PIPELINE_WINDOW = 128
 
     def query_batch(self, queries, top_k: int = 5,
-                    metric: str = "cosine_similarity"):
+                    metric: str = "cosine_similarity", filters=None):
         """Pipeline a (B, d) float block OR a list of B text strings on one
         connection -> ((B, k) ids, (B, k) scores). The native front-end
         answers in request order and coalesces the in-flight block into one
@@ -181,7 +193,7 @@ class HyperDBClient:
         DRAINED before raising, so the keep-alive connection stays usable
         (no stale responses bleeding into later calls)."""
         accept = "application/octet-stream" if self.binary_responses else None
-        path = f"/query?top_k={int(top_k)}&metric={metric}"
+        path = self._query_path(top_k, metric, filters)
         if (isinstance(queries, (list, tuple)) and queries
                 and all(isinstance(t, str) for t in queries)):
             n_queries = len(queries)

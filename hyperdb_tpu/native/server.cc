@@ -78,6 +78,7 @@ struct HotReq {
   bool is_text = false;  // text/plain query: `text` set, `vec` empty
   std::vector<float> vec;
   std::string text;
+  std::string filters;  // raw JSON filter spec (part of the group key)
 };
 
 struct GenReq {
@@ -174,6 +175,7 @@ struct Server {
   // the single in-flight item handed to the worker
   std::vector<HotReq> cur_batch;
   std::string cur_metric;
+  std::string cur_filters;
   std::vector<float> cur_vecs;
   std::vector<int32_t> cur_topks;
   GenReq cur_req;
@@ -296,6 +298,19 @@ std::string url_decode(const std::string& v) {
 // batches; a %01-encoded byte in the metric parameter could forge that
 // marker (vector requests flushed as a bogus text batch), so metrics with
 // control bytes are rejected outright.
+// metric [+ "\x01t" text marker] [+ "\x02" raw filter JSON]: requests
+// coalesce only when EVERY batching-relevant parameter matches.
+std::string group_key(const std::string& metric, bool is_text,
+                      const std::string& filters) {
+  std::string k = metric;
+  if (is_text) k += "\x01t";
+  if (!filters.empty()) {
+    k += '\x02';
+    k += filters;
+  }
+  return k;
+}
+
 bool metric_is_clean(const std::string& m) {
   for (unsigned char ch : m)
     if (ch < 0x20) return false;
@@ -303,7 +318,7 @@ bool metric_is_clean(const std::string& m) {
 }
 
 void parse_query_string(const std::string& qs, int* top_k,
-                        std::string* metric) {
+                        std::string* metric, std::string* filters) {
   size_t pos = 0;
   while (pos < qs.size()) {
     size_t amp = qs.find('&', pos);
@@ -314,6 +329,7 @@ void parse_query_string(const std::string& qs, int* top_k,
       std::string k = kv.substr(0, eq), v = url_decode(kv.substr(eq + 1));
       if (k == "top_k") *top_k = atoi(v.c_str());
       if (k == "metric") *metric = v;
+      if (k == "filters" && filters) *filters = v;
     }
     pos = amp + 1;
   }
@@ -422,16 +438,16 @@ int try_parse_request(Server* s, int fd) {
     req.binary_out = accept.find("application/octet-stream") !=
                      std::string::npos;
     std::string metric = "cosine_similarity";
-    parse_query_string(qs, &req.top_k, &metric);
+    parse_query_string(qs, &req.top_k, &metric, &req.filters);
     if (req.top_k <= 0) {
       return deliver(s, fd, seq,
                      json_error(400, "top_k must be positive", keep_alive))
                  ? 1
                  : -1;
     }
-    if (!metric_is_clean(metric)) {
+    if (!metric_is_clean(metric) || !metric_is_clean(req.filters)) {
       return deliver(s, fd, seq,
-                     json_error(400, "invalid metric", keep_alive))
+                     json_error(400, "invalid metric or filters", keep_alive))
                  ? 1
                  : -1;
     }
@@ -439,7 +455,7 @@ int try_parse_request(Server* s, int fd) {
     memcpy(req.vec.data(), body.data(), body.size());
     {
       std::lock_guard<std::mutex> lk(s->mu);
-      auto& group = s->hot[metric];
+      auto& group = s->hot[group_key(metric, false, req.filters)];
       if (!s->hot_any) {
         s->hot_first = Clock::now();
         s->hot_any = true;
@@ -469,23 +485,23 @@ int try_parse_request(Server* s, int fd) {
     req.binary_out = accept.find("application/octet-stream") !=
                      std::string::npos;
     std::string metric = "cosine_similarity";
-    parse_query_string(qs, &req.top_k, &metric);
+    parse_query_string(qs, &req.top_k, &metric, &req.filters);
     if (req.top_k <= 0) {
       return deliver(s, fd, seq,
                      json_error(400, "top_k must be positive", keep_alive))
                  ? 1
                  : -1;
     }
-    if (!metric_is_clean(metric)) {
+    if (!metric_is_clean(metric) || !metric_is_clean(req.filters)) {
       return deliver(s, fd, seq,
-                     json_error(400, "invalid metric", keep_alive))
+                     json_error(400, "invalid metric or filters", keep_alive))
                  ? 1
                  : -1;
     }
     req.text = std::move(body);
     {
       std::lock_guard<std::mutex> lk(s->mu);
-      auto& group = s->hot[metric + "\x01t"];
+      auto& group = s->hot[group_key(metric, true, req.filters)];
       if (!s->hot_any) {
         s->hot_first = Clock::now();
         s->hot_any = true;
@@ -709,6 +725,10 @@ int hdb_srv_next(void* sp) {
                             std::make_move_iterator(group.begin() + take));
         group.erase(group.begin(), group.begin() + take);
         s->cur_metric = *key;
+        size_t fsep = s->cur_metric.find('\x02');
+        s->cur_filters =
+            fsep == std::string::npos ? "" : s->cur_metric.substr(fsep + 1);
+        if (fsep != std::string::npos) s->cur_metric.resize(fsep);
         size_t sep = s->cur_metric.find('\x01');
         bool is_text = sep != std::string::npos;
         if (is_text) s->cur_metric.resize(sep);
@@ -746,6 +766,9 @@ const int32_t* hdb_srv_batch_topks(void* sp) {
 }
 const char* hdb_srv_batch_metric(void* sp) {
   return ((Server*)sp)->cur_metric.c_str();
+}
+const char* hdb_srv_batch_filters(void* sp) {
+  return ((Server*)sp)->cur_filters.c_str();
 }
 const char* hdb_srv_batch_text(void* sp, int i, long long* len) {
   Server* s = (Server*)sp;

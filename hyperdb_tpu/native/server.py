@@ -43,9 +43,9 @@ def _bind(lib) -> bool:
     if _bound:
         return True
     if not hasattr(lib, "hdb_srv_create") or not hasattr(
-        lib, "hdb_srv_batch_text"
+        lib, "hdb_srv_batch_filters"
     ):
-        return False  # stale .so predating server.cc / the text hot path
+        return False  # stale .so predating server.cc / its current surface
     lib.hdb_srv_create.restype = ctypes.c_void_p
     lib.hdb_srv_create.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -63,6 +63,8 @@ def _bind(lib) -> bool:
     lib.hdb_srv_batch_topks.argtypes = [ctypes.c_void_p]
     lib.hdb_srv_batch_metric.restype = ctypes.c_char_p
     lib.hdb_srv_batch_metric.argtypes = [ctypes.c_void_p]
+    lib.hdb_srv_batch_filters.restype = ctypes.c_char_p
+    lib.hdb_srv_batch_filters.argtypes = [ctypes.c_void_p]
     # returns a pointer (NOT c_char_p): text bodies may legally contain
     # NUL bytes, so the worker reads (ptr, len) via ctypes.string_at
     lib.hdb_srv_batch_text.restype = ctypes.c_void_p
@@ -243,6 +245,16 @@ class NativeQueryServer:
             k,
         )
 
+    @staticmethod
+    def _batch_filters(lib, srv):
+        """The flush's shared filter spec (raw JSON from the query string;
+        part of the C++ group key, so one parse covers the whole batch)."""
+        raw = lib.hdb_srv_batch_filters(srv)
+        if not raw:
+            return None
+        spec = json.loads(raw.decode())
+        return [tuple(f) for f in spec] if spec else None
+
     def _handle_batch(self, lib, srv):
         n = lib.hdb_srv_batch_size(srv)
         vecs = np.ctypeslib.as_array(
@@ -254,12 +266,14 @@ class NativeQueryServer:
         if self.wire_f16:
             block = block.astype(np.float16)
         top_k = int(topks.max())
-        self._run_flush(
-            lib, srv, n,
-            lambda: self.db.query_batch_arrays(
-                block, top_k=top_k, metric=metric
-            ),
-        )
+
+        def call():
+            return self.db.query_batch_arrays(
+                block, top_k=top_k, metric=metric,
+                filters=self._batch_filters(lib, srv),
+            )
+
+        self._run_flush(lib, srv, n, call)
 
     def _handle_text_batch(self, lib, srv):
         """tag == 3: a flush of text/plain queries — ONE encoder pass embeds
@@ -282,7 +296,8 @@ class NativeQueryServer:
             if self.wire_f16:
                 q_block = q_block.astype(np.float16)
             return self.db.query_batch_arrays(
-                q_block, top_k=top_k, metric=metric
+                q_block, top_k=top_k, metric=metric,
+                filters=self._batch_filters(lib, srv),
             )
 
         self._run_flush(lib, srv, n, call)

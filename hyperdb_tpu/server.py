@@ -447,6 +447,12 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                     params = parse_qs(qs)
                     top_k = int(params.get("top_k", ["5"])[0])
                     metric = params.get("metric", ["cosine_similarity"])[0]
+                    filters = None
+                    if "filters" in params:
+                        filters = [
+                            tuple(f)
+                            for f in json.loads(params["filters"][0])
+                        ] or None
                 except (ValueError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
                 dim = getattr(host_db, "dim", None)
@@ -457,12 +463,13 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                     })
                 try:
                     if batcher is not None:
-                        rows = batcher.submit(vec, top_k, metric, None, 0,
-                                              None)
+                        rows = batcher.submit(vec, top_k, metric, filters,
+                                              0, None)
                     else:
                         with lock:
                             rows = db.query_batch(
-                                vec[None, :], top_k=top_k, metric=metric
+                                vec[None, :], top_k=top_k, metric=metric,
+                                filters=filters,
                             )[0]
                 except (ValueError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
@@ -481,12 +488,17 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
 
                 params = parse_qs(qs)
                 try:
-                    body = json.dumps({
+                    payload = {
                         "text": body.decode("utf-8", "replace"),
                         "top_k": int(params.get("top_k", ["5"])[0]),
                         "metric": params.get(
                             "metric", ["cosine_similarity"])[0],
-                    }).encode()
+                    }
+                    if "filters" in params:
+                        payload["filters"] = json.loads(
+                            params["filters"][0]
+                        )
+                    body = json.dumps(payload).encode()
                 except (ValueError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
                 return self._send(

@@ -24,8 +24,12 @@ def _db():
             {},
         )
 
-    db = HyperDB(documents=[{"i": int(i)} for i in range(N)], vectors=v,
-                 embedding_function=fake_embed)
+    db = HyperDB(
+        documents=[{"i": int(i), "grp": ["a", "b"][i % 2]} for i in range(N)],
+        vectors=v,
+        embedding_function=fake_embed,
+        metadata_keys=["grp"],
+    )
     return db, v
 
 
@@ -129,3 +133,17 @@ def test_query_batch_texts(endpoint):
                                     top_k=2)
         assert ids.shape == (3, 2)
         assert ids[:, 0].tolist() == [4, 40, 400]
+
+
+def test_filters_on_hot_path(endpoint):
+    """A metadata filter rides the query string; the native server batches
+    filtered queries per (metric, filters) group — results respect it."""
+    v = endpoint["vectors"]
+    with HyperDBClient("127.0.0.1", endpoint["port"]) as c:
+        flt = [("metadata", {"grp": "a"})]
+        ids, _ = c.query(v[3], top_k=6, filters=flt)
+        assert len(ids) == 6
+        assert all(i % 2 == 0 for i in ids)  # grp 'a' == even ids
+        ids2, _ = c.query_batch(v[[4, 8]], top_k=4, filters=flt)
+        assert (ids2 % 2 == 0).all()
+        assert ids2[0, 0] == 4 and ids2[1, 0] == 8
