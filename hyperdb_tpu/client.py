@@ -145,7 +145,9 @@ class HyperDBClient:
     # ------------------------------------------------------------ public
     @staticmethod
     def _query_path(top_k, metric, filters):
-        path = f"/query?top_k={int(top_k)}&metric={metric}"
+        # metric is quoted too: a space/&/# in a bad metric must arrive as
+        # a clean server-side 400, not a malformed request line
+        path = f"/query?top_k={int(top_k)}&metric={quote(str(metric), safe='')}"
         if filters:
             spec = json.dumps([list(f) for f in filters],
                               separators=(",", ":"))

@@ -802,7 +802,18 @@ class HyperDB:
         source_indices, shifted split_info and metadata)."""
         if isinstance(indices, int):
             indices = [indices]
-        removed = sorted(set(int(i) for i in indices))
+        num_docs = len(self.documents)
+        normalized = []
+        for i in indices:
+            i = int(i)
+            if i < 0:  # python-list semantics: -1 is the last document
+                i += num_docs
+            if not 0 <= i < num_docs:
+                raise IndexError(
+                    f"document index {i} out of range (0..{num_docs - 1})"
+                )
+            normalized.append(i)
+        removed = sorted(set(normalized))
         removed_set = set(removed)
 
         rows_to_remove = [

@@ -333,21 +333,46 @@ def api_response(db, host_db, lock, batcher, method, path, body):
             # embed server-side unless precomputed vectors ride along.
             # Single-chip stores re-upload the device view lazily at the
             # next query; the sharded path absorbs appends in place.
+            # The library's print-and-rollback ingest semantics become
+            # proper HTTP statuses here: validation 400s BEFORE mutating,
+            # and a rollback that still swallows docs reports 500 rather
+            # than a misleading 200.
             import numpy as np
 
             documents = req["documents"]
+            expected = len(documents) if isinstance(documents, list) else 1
             vectors = req.get("vectors")
-            vec = (
-                np.asarray(vectors, dtype=np.float32)
-                if vectors is not None
-                else None
-            )
+            vec = None
+            if vectors is not None:
+                vec = np.asarray(vectors, dtype=np.float32)
+                if vec.ndim == 1:
+                    vec = vec[None, :]
+                if vec.ndim != 2 or vec.shape[0] != expected:
+                    return 400, {
+                        "error": f"vectors shape {vec.shape} does not match "
+                                 f"{expected} document(s)"
+                    }
+                dim = getattr(host_db, "dim", None)
+                if dim and vec.shape[1] != dim:
+                    return 400, {
+                        "error": f"vector dimension {vec.shape[1]} does not "
+                                 f"match corpus dimension {dim}"
+                    }
             with lock:
                 before = host_db.size()
                 db.add(documents, vectors=vec,
                        add_timestamp=bool(req.get("add_timestamp", False)))
                 after = host_db.size()
-            return 200, {"added": after - before, "documents": after}
+            added = after - before
+            if added != expected:
+                # the library printed + rolled back (reference parity);
+                # surface it instead of a silent 200
+                return 500, {
+                    "error": "ingest failed and was rolled back "
+                             "(see server log)",
+                    "added": added,
+                }
+            return 200, {"added": added, "documents": after}
         if bare == "/remove":
             # reference remove_document() over HTTP (hyperdb.py:692-766)
             with lock:
@@ -355,12 +380,16 @@ def api_response(db, host_db, lock, batcher, method, path, body):
                 return 200, {"documents": host_db.size()}
     except KeyError as e:
         return 400, {"error": f"missing field {e}"}
-    except (ValueError, TypeError) as e:
-        # engine validation errors (bad metric, dim mismatch, ...) plus
-        # malformed-but-JSON-valid payloads like {"top_k": null} (int(None)
-        # raises TypeError) — the client should get a 400, not a dropped
-        # connection
+    except (ValueError, TypeError, IndexError) as e:
+        # engine validation errors (bad metric, dim mismatch, index out of
+        # range, ...) plus malformed-but-JSON-valid payloads like
+        # {"top_k": null} (int(None) raises TypeError) — the client should
+        # get a 400, not a dropped connection
         return 400, {"error": str(e)}
+    except Exception as e:  # noqa: BLE001 — the socket must get an answer
+        # operational faults (shard capacity exhausted, device errors):
+        # 500 with a payload beats a dead connection, on BOTH front-ends
+        return 500, {"error": str(e)}
     return 404, {"error": f"unknown path {path}"}
 
 

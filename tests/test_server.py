@@ -493,3 +493,56 @@ def test_add_over_http_native_front_end():
         conn.close()
     finally:
         srv.close()
+
+
+def test_remove_negative_and_out_of_range():
+    """-1 removes the LAST document (python-list semantics) with consistent
+    chunk bookkeeping; out-of-range returns 400, not a dropped connection."""
+    rng = np.random.default_rng(31)
+    n, d = 6, 8
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v)
+    httpd = make_server(db, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, out = _post(base, "/remove", {"indices": [-1]})
+        assert status == 200 and out == {"documents": n - 1}
+        assert len(db.documents) == n - 1
+        assert len(db.source_indices) == n - 1  # no dangling chunk rows
+        assert db.source_indices == list(range(n - 1))
+
+        status, out = _post(base, "/remove", {"indices": [99]})
+        assert status == 400 and "out of range" in out["error"]
+        assert len(db.documents) == n - 1  # unchanged
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_add_validation_and_failure_surface():
+    """Wrong-dimension or miscounted vectors 400 BEFORE mutating; an
+    engine-level rollback surfaces as 500, never a silent 200."""
+    rng = np.random.default_rng(37)
+    n, d = 4, 6
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v)
+    httpd = make_server(db, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, out = _post(base, "/add", {
+            "documents": [{"i": 10}], "vectors": [[1.0, 2.0]],
+        })
+        assert status == 400 and "dimension" in out["error"]
+        status, out = _post(base, "/add", {
+            "documents": [{"i": 10}, {"i": 11}],
+            "vectors": [np.zeros(d).tolist()],
+        })
+        assert status == 400 and "does not match 2 document" in out["error"]
+        assert len(db.documents) == n  # nothing mutated
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
