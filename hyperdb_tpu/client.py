@@ -144,7 +144,8 @@ class HyperDBClient:
 
     # ------------------------------------------------------------ public
     @staticmethod
-    def _query_path(top_k, metric, filters):
+    def _query_path(top_k, metric, filters, recency_bias=0,
+                    timestamp_key=None):
         # metric is quoted too: a space/&/# in a bad metric must arrive as
         # a clean server-side 400, not a malformed request line
         path = f"/query?top_k={int(top_k)}&metric={quote(str(metric), safe='')}"
@@ -152,16 +153,22 @@ class HyperDBClient:
             spec = json.dumps([list(f) for f in filters],
                               separators=(",", ":"))
             path += "&filters=" + quote(spec, safe="")
+        if recency_bias:
+            path += f"&recency_bias={float(recency_bias)}"
+        if timestamp_key:
+            path += "&timestamp_key=" + quote(str(timestamp_key), safe="")
         return path
 
     def query(self, query_input, top_k: int = 5,
-              metric: str = "cosine_similarity", filters=None):
+              metric: str = "cosine_similarity", filters=None,
+              recency_bias: float = 0, timestamp_key=None):
         """One query: a (d,) float vector or a text string ->
         (ids (k,), scores (k,)). ``filters`` is the engine's
         [(name, params), ...] spec; it rides the query string so filtered
         queries still batch on the native hot path."""
         accept = "application/octet-stream" if self.binary_responses else None
-        path = self._query_path(top_k, metric, filters)
+        path = self._query_path(top_k, metric, filters, recency_bias,
+                                timestamp_key)
         if isinstance(query_input, str):
             status, ctype, body = self._roundtrip(
                 "POST", path, query_input.encode(), "text/plain", accept)
@@ -182,7 +189,8 @@ class HyperDBClient:
     _PIPELINE_WINDOW = 128
 
     def query_batch(self, queries, top_k: int = 5,
-                    metric: str = "cosine_similarity", filters=None):
+                    metric: str = "cosine_similarity", filters=None,
+                    recency_bias: float = 0, timestamp_key=None):
         """Pipeline a (B, d) float block OR a list of B text strings on one
         connection -> ((B, k) ids, (B, k) scores). The native front-end
         answers in request order and coalesces the in-flight block into one
@@ -195,7 +203,8 @@ class HyperDBClient:
         DRAINED before raising, so the keep-alive connection stays usable
         (no stale responses bleeding into later calls)."""
         accept = "application/octet-stream" if self.binary_responses else None
-        path = self._query_path(top_k, metric, filters)
+        path = self._query_path(top_k, metric, filters, recency_bias,
+                                timestamp_key)
         if (isinstance(queries, (list, tuple)) and queries
                 and all(isinstance(t, str) for t in queries)):
             n_queries = len(queries)

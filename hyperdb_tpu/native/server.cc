@@ -79,6 +79,8 @@ struct HotReq {
   std::vector<float> vec;
   std::string text;
   std::string filters;  // raw JSON filter spec (part of the group key)
+  std::string recency;  // recency_bias as its raw decimal string
+  std::string tskey;    // timestamp_key
 };
 
 struct GenReq {
@@ -176,6 +178,8 @@ struct Server {
   std::vector<HotReq> cur_batch;
   std::string cur_metric;
   std::string cur_filters;
+  std::string cur_recency;
+  std::string cur_tskey;
   std::vector<float> cur_vecs;
   std::vector<int32_t> cur_topks;
   GenReq cur_req;
@@ -298,15 +302,23 @@ std::string url_decode(const std::string& v) {
 // batches; a %01-encoded byte in the metric parameter could forge that
 // marker (vector requests flushed as a bogus text batch), so metrics with
 // control bytes are rejected outright.
-// metric [+ "\x01t" text marker] [+ "\x02" raw filter JSON]: requests
-// coalesce only when EVERY batching-relevant parameter matches.
-std::string group_key(const std::string& metric, bool is_text,
-                      const std::string& filters) {
+// metric [+ "\x01t" text marker] [+ "\x02" filters JSON] [+ "\x03"
+// recency_bias] [+ "\x04" timestamp_key]: requests coalesce only when
+// EVERY batching-relevant parameter matches.
+std::string group_key(const std::string& metric, const HotReq& req) {
   std::string k = metric;
-  if (is_text) k += "\x01t";
-  if (!filters.empty()) {
+  if (req.is_text) k += "\x01t";
+  if (!req.filters.empty()) {
     k += '\x02';
-    k += filters;
+    k += req.filters;
+  }
+  if (!req.recency.empty()) {
+    k += '\x03';
+    k += req.recency;
+  }
+  if (!req.tskey.empty()) {
+    k += '\x04';
+    k += req.tskey;
   }
   return k;
 }
@@ -317,8 +329,8 @@ bool metric_is_clean(const std::string& m) {
   return true;
 }
 
-void parse_query_string(const std::string& qs, int* top_k,
-                        std::string* metric, std::string* filters) {
+void parse_query_string(const std::string& qs, HotReq* req,
+                        std::string* metric) {
   size_t pos = 0;
   while (pos < qs.size()) {
     size_t amp = qs.find('&', pos);
@@ -327,9 +339,11 @@ void parse_query_string(const std::string& qs, int* top_k,
     size_t eq = kv.find('=');
     if (eq != std::string::npos) {
       std::string k = kv.substr(0, eq), v = url_decode(kv.substr(eq + 1));
-      if (k == "top_k") *top_k = atoi(v.c_str());
+      if (k == "top_k") req->top_k = atoi(v.c_str());
       if (k == "metric") *metric = v;
-      if (k == "filters" && filters) *filters = v;
+      if (k == "filters") req->filters = v;
+      if (k == "recency_bias") req->recency = v;
+      if (k == "timestamp_key") req->tskey = v;
     }
     pos = amp + 1;
   }
@@ -438,16 +452,17 @@ int try_parse_request(Server* s, int fd) {
     req.binary_out = accept.find("application/octet-stream") !=
                      std::string::npos;
     std::string metric = "cosine_similarity";
-    parse_query_string(qs, &req.top_k, &metric, &req.filters);
+    parse_query_string(qs, &req, &metric);
     if (req.top_k <= 0) {
       return deliver(s, fd, seq,
                      json_error(400, "top_k must be positive", keep_alive))
                  ? 1
                  : -1;
     }
-    if (!metric_is_clean(metric) || !metric_is_clean(req.filters)) {
+    if (!metric_is_clean(metric) || !metric_is_clean(req.filters) ||
+        !metric_is_clean(req.recency) || !metric_is_clean(req.tskey)) {
       return deliver(s, fd, seq,
-                     json_error(400, "invalid metric or filters", keep_alive))
+                     json_error(400, "invalid query parameters", keep_alive))
                  ? 1
                  : -1;
     }
@@ -455,7 +470,7 @@ int try_parse_request(Server* s, int fd) {
     memcpy(req.vec.data(), body.data(), body.size());
     {
       std::lock_guard<std::mutex> lk(s->mu);
-      auto& group = s->hot[group_key(metric, false, req.filters)];
+      auto& group = s->hot[group_key(metric, req)];
       if (!s->hot_any) {
         s->hot_first = Clock::now();
         s->hot_any = true;
@@ -485,23 +500,24 @@ int try_parse_request(Server* s, int fd) {
     req.binary_out = accept.find("application/octet-stream") !=
                      std::string::npos;
     std::string metric = "cosine_similarity";
-    parse_query_string(qs, &req.top_k, &metric, &req.filters);
+    parse_query_string(qs, &req, &metric);
     if (req.top_k <= 0) {
       return deliver(s, fd, seq,
                      json_error(400, "top_k must be positive", keep_alive))
                  ? 1
                  : -1;
     }
-    if (!metric_is_clean(metric) || !metric_is_clean(req.filters)) {
+    if (!metric_is_clean(metric) || !metric_is_clean(req.filters) ||
+        !metric_is_clean(req.recency) || !metric_is_clean(req.tskey)) {
       return deliver(s, fd, seq,
-                     json_error(400, "invalid metric or filters", keep_alive))
+                     json_error(400, "invalid query parameters", keep_alive))
                  ? 1
                  : -1;
     }
     req.text = std::move(body);
     {
       std::lock_guard<std::mutex> lk(s->mu);
-      auto& group = s->hot[group_key(metric, true, req.filters)];
+      auto& group = s->hot[group_key(metric, req)];
       if (!s->hot_any) {
         s->hot_first = Clock::now();
         s->hot_any = true;
@@ -725,13 +741,24 @@ int hdb_srv_next(void* sp) {
                             std::make_move_iterator(group.begin() + take));
         group.erase(group.begin(), group.begin() + take);
         s->cur_metric = *key;
-        size_t fsep = s->cur_metric.find('\x02');
-        s->cur_filters =
-            fsep == std::string::npos ? "" : s->cur_metric.substr(fsep + 1);
-        if (fsep != std::string::npos) s->cur_metric.resize(fsep);
+        // strip group-key decorations innermost-first; per-field values
+        // come from the batch head (all members share the group)
+        for (char marker : {'\x04', '\x03', '\x02'}) {
+          size_t p = s->cur_metric.find(marker);
+          if (p != std::string::npos) s->cur_metric.resize(p);
+        }
         size_t sep = s->cur_metric.find('\x01');
         bool is_text = sep != std::string::npos;
         if (is_text) s->cur_metric.resize(sep);
+        if (!s->cur_batch.empty()) {
+          s->cur_filters = s->cur_batch[0].filters;
+          s->cur_recency = s->cur_batch[0].recency;
+          s->cur_tskey = s->cur_batch[0].tskey;
+        } else {
+          s->cur_filters.clear();
+          s->cur_recency.clear();
+          s->cur_tskey.clear();
+        }
         if (group.empty()) s->hot.erase(it);
         s->hot_any = !s->hot.empty();
         if (s->hot_any) s->hot_first = now;  // restart window for leftovers
@@ -769,6 +796,12 @@ const char* hdb_srv_batch_metric(void* sp) {
 }
 const char* hdb_srv_batch_filters(void* sp) {
   return ((Server*)sp)->cur_filters.c_str();
+}
+const char* hdb_srv_batch_recency(void* sp) {
+  return ((Server*)sp)->cur_recency.c_str();
+}
+const char* hdb_srv_batch_tskey(void* sp) {
+  return ((Server*)sp)->cur_tskey.c_str();
 }
 const char* hdb_srv_batch_text(void* sp, int i, long long* len) {
   Server* s = (Server*)sp;

@@ -65,6 +65,10 @@ def _bind(lib) -> bool:
     lib.hdb_srv_batch_metric.argtypes = [ctypes.c_void_p]
     lib.hdb_srv_batch_filters.restype = ctypes.c_char_p
     lib.hdb_srv_batch_filters.argtypes = [ctypes.c_void_p]
+    lib.hdb_srv_batch_recency.restype = ctypes.c_char_p
+    lib.hdb_srv_batch_recency.argtypes = [ctypes.c_void_p]
+    lib.hdb_srv_batch_tskey.restype = ctypes.c_char_p
+    lib.hdb_srv_batch_tskey.argtypes = [ctypes.c_void_p]
     # returns a pointer (NOT c_char_p): text bodies may legally contain
     # NUL bytes, so the worker reads (ptr, len) via ctypes.string_at
     lib.hdb_srv_batch_text.restype = ctypes.c_void_p
@@ -246,14 +250,20 @@ class NativeQueryServer:
         )
 
     @staticmethod
-    def _batch_filters(lib, srv):
-        """The flush's shared filter spec (raw JSON from the query string;
-        part of the C++ group key, so one parse covers the whole batch)."""
+    def _batch_params(lib, srv):
+        """The flush's shared query parameters (from the query string; part
+        of the C++ group key, so one parse covers the whole batch):
+        (filters, recency_bias, timestamp_key)."""
+        filters = None
         raw = lib.hdb_srv_batch_filters(srv)
-        if not raw:
-            return None
-        spec = json.loads(raw.decode())
-        return [tuple(f) for f in spec] if spec else None
+        if raw:
+            spec = json.loads(raw.decode())
+            filters = [tuple(f) for f in spec] if spec else None
+        raw = lib.hdb_srv_batch_recency(srv)
+        recency = float(raw) if raw else 0.0
+        raw = lib.hdb_srv_batch_tskey(srv)
+        tskey = raw.decode() if raw else None
+        return filters, recency, tskey
 
     def _handle_batch(self, lib, srv):
         n = lib.hdb_srv_batch_size(srv)
@@ -267,10 +277,12 @@ class NativeQueryServer:
             block = block.astype(np.float16)
         top_k = int(topks.max())
 
+        filters, recency, tskey = self._batch_params(lib, srv)
+
         def call():
             return self.db.query_batch_arrays(
-                block, top_k=top_k, metric=metric,
-                filters=self._batch_filters(lib, srv),
+                block, top_k=top_k, metric=metric, filters=filters,
+                recency_bias=recency, timestamp_key=tskey,
             )
 
         self._run_flush(lib, srv, n, call)
@@ -291,13 +303,15 @@ class NativeQueryServer:
         metric = lib.hdb_srv_batch_metric(srv).decode()
         top_k = int(topks.max())
 
+        filters, recency, tskey = self._batch_params(lib, srv)
+
         def call():
             q_block = generate_query_vectors_batch(self.host_db, texts)
             if self.wire_f16:
                 q_block = q_block.astype(np.float16)
             return self.db.query_batch_arrays(
-                q_block, top_k=top_k, metric=metric,
-                filters=self._batch_filters(lib, srv),
+                q_block, top_k=top_k, metric=metric, filters=filters,
+                recency_bias=recency, timestamp_key=tskey,
             )
 
         self._run_flush(lib, srv, n, call)

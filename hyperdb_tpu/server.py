@@ -482,6 +482,8 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                             tuple(f)
                             for f in json.loads(params["filters"][0])
                         ] or None
+                    recency = float(params.get("recency_bias", ["0"])[0])
+                    tskey = params.get("timestamp_key", [None])[0]
                 except (ValueError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
                 dim = getattr(host_db, "dim", None)
@@ -493,12 +495,13 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                 try:
                     if batcher is not None:
                         rows = batcher.submit(vec, top_k, metric, filters,
-                                              0, None)
+                                              recency, tskey)
                     else:
                         with lock:
                             rows = db.query_batch(
                                 vec[None, :], top_k=top_k, metric=metric,
-                                filters=filters,
+                                filters=filters, recency_bias=recency,
+                                timestamp_key=tskey,
                             )[0]
                 except (ValueError, TypeError) as e:
                     return self._send(400, {"error": str(e)})
@@ -527,6 +530,13 @@ def make_server(db, host: str = "127.0.0.1", port: int = 8901,
                         payload["filters"] = json.loads(
                             params["filters"][0]
                         )
+                    if "recency_bias" in params:
+                        payload["recency_bias"] = float(
+                            params["recency_bias"][0]
+                        )
+                    if "timestamp_key" in params:
+                        payload["timestamp_key"] = params[
+                            "timestamp_key"][0]
                     body = json.dumps(payload).encode()
                 except (ValueError, TypeError) as e:
                     return self._send(400, {"error": str(e)})

@@ -147,3 +147,33 @@ def test_filters_on_hot_path(endpoint):
         ids2, _ = c.query_batch(v[[4, 8]], top_k=4, filters=flt)
         assert (ids2 % 2 == 0).all()
         assert ids2[0, 0] == 4 and ids2[1, 0] == 8
+
+
+def test_recency_on_hot_path():
+    """recency_bias/timestamp_key ride the query string and batch on the
+    native hot path; results match the library's recency ranking."""
+    native_server = pytest.importorskip("hyperdb_tpu.native.server")
+    if not native_server.available():
+        pytest.skip("native host library unavailable")
+    rng = np.random.default_rng(41)
+    n, d = 128, 8
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    docs = [{"i": int(i), "ts": float(i)} for i in range(n)]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["ts"])
+    srv = native_server.NativeQueryServer(db, port=0, max_batch=16)
+    try:
+        q = v[10]
+        want_ids, want_scores = db.query_batch_arrays(
+            q[None, :], top_k=5, recency_bias=2.0, timestamp_key="ts"
+        )
+        with HyperDBClient("127.0.0.1", srv.port) as c:
+            ids, scores = c.query(q, top_k=5, recency_bias=2.0,
+                                  timestamp_key="ts")
+        assert ids.tolist() == want_ids[0].tolist()
+        np.testing.assert_allclose(scores, want_scores[0], rtol=1e-4)
+        # recency actually reordered: high-ts docs outrank pure cosine
+        plain, _ = db.query_batch_arrays(q[None, :], top_k=5)
+        assert ids.tolist() != plain[0].tolist()
+    finally:
+        srv.close()

@@ -618,5 +618,5 @@ def test_control_byte_metric_rejected(served):
                  {"Content-Type": "application/octet-stream"})
     resp = conn.getresponse()
     out = json.loads(resp.read())
-    assert resp.status == 400 and "metric" in out["error"]
+    assert resp.status == 400 and "invalid" in out["error"]
     conn.close()
