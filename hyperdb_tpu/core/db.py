@@ -144,6 +144,7 @@ class HyperDB:
         self._metadata_codes = _filters.MetadataCodes()
         self._key_embed_cache: dict = {}
         self._sentence_mask_cache: dict = {}
+        self._timestamp_cache: dict = {}  # timestamp_key -> (N,) f64 array
         self._tokenizer_obj = None
         self._embedder_obj = None
 
@@ -231,6 +232,7 @@ class HyperDB:
         self._metadata_codes.invalidate()
         self._key_embed_cache.clear()
         self._sentence_mask_cache.clear()
+        self._timestamp_cache.clear()
         self._store.invalidate()
 
     # ------------------------------------------------------------------

@@ -173,6 +173,29 @@ def handle_timestamps(db, recency_bias, timestamp_key, doc_indices) -> np.ndarra
             f"The timestamp_key '{timestamp_key}' must be present in "
             f"metadata_keys when recency_bias is not 0."
         )
+    num_docs = len(db.documents)
+    cache = getattr(db, "_timestamp_cache", None)
+    if len(doc_indices) == num_docs and cache is not None:
+        # Serving fast path (no filters => every doc): the per-doc nested
+        # lookup loop is seconds of host Python at 1M docs per call; the
+        # full-corpus timestamp vector is immutable between mutations
+        # (_on_mutation clears this cache). Partial index sets keep the
+        # loop — the reference's "missing timestamp raises" contract (Q16)
+        # must only consider the SURVIVING documents there.
+        t = cache.get(timestamp_key)
+        if t is None:
+            timestamps = [
+                get_nested_value(doc, [timestamp_key])
+                for doc in db.documents
+            ]
+            if any(ts is None for ts in timestamps):
+                raise ValueError(
+                    "All timestamps must be populated when recency_bias is "
+                    "not 0 or timestamp_key is provided."
+                )
+            t = np.asarray(timestamps, dtype=np.float64)
+            cache[timestamp_key] = t
+        return (recency_bias * np.exp(t - t.max())).astype(np.float32)
     timestamps = [
         get_nested_value(db.documents[i], [timestamp_key]) for i in doc_indices
     ]
