@@ -125,7 +125,10 @@ def cmd_serve(args):
 
     db = _load_db(args.db, args.metadata_keys.split(",") if args.metadata_keys else None)
     if args.warmup:
-        db.warmup()
+        # warm the SERVING profile: every pow2 flush bucket up to the
+        # batcher cap, in every wire dtype the server will use (a cold
+        # program is 30-90 s of remote compile on the serving path)
+        db.warmup(top_ks=(5, 10), max_batch=args.max_batch)
     if args.sharded:
         import jax
         import numpy as np

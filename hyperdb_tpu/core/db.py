@@ -1240,23 +1240,48 @@ class HyperDB:
             ann_percent=ann_percent,
         )
 
-    def warmup(self, top_ks=(5, 10), batch_sizes=(1,), metric="cosine_similarity"):
+    def warmup(self, top_ks=(5, 10), batch_sizes=(1,),
+               metric="cosine_similarity", max_batch=None, dtypes=None):
         """Precompile the query programs for the current corpus shape.
 
         Remote/first-time XLA compilation can take minutes per program
-        (one per (corpus bucket, k bucket, batch) combination); serving
-        deployments call this once after load/ingest so user queries never
-        hit a compile."""
+        (one per (corpus bucket, k bucket, batch, dtype) combination);
+        serving deployments call this once after load/ingest so user
+        queries never hit a compile ON the serving path.
+
+        ``max_batch`` warms every power-of-two batch bucket up to it (the
+        dynamic batchers flush arbitrary sizes, which pad to pow2), in
+        EVERY wire dtype the server will use: low-precision corpora get
+        f16 flush blocks (wire_dtype='auto'), a distinct jit signature.
+        ``dtypes`` overrides the dtype set explicitly."""
         if self.vectors is None or len(self.vectors) == 0 or not self.documents:
             return
+        if max_batch is not None:
+            sizes = []
+            b = 1
+            while b <= max_batch:
+                sizes.append(b)
+                b *= 2
+            batch_sizes = tuple(sizes)
+        if dtypes is None:
+            dtypes = ["float32"]
+            if self._store.low_precision_device:
+                dtypes.append("float16")
         rng = np.random.default_rng(0)
         for b in batch_sizes:
-            queries = rng.standard_normal((b, self.dim)).astype(np.float32)
-            for k in top_ks:
-                if b == 1:
-                    _engine.execute_query(self, queries[0], top_k=k, metric=metric)
-                else:
-                    _engine.execute_query_batch(self, queries, top_k=k, metric=metric)
+            base = rng.standard_normal((b, self.dim)).astype(np.float32)
+            for dt in dtypes:
+                queries = base.astype(dt)
+                for k in top_ks:
+                    if b == 1:
+                        _engine.execute_query(
+                            self, np.asarray(queries[0], dtype=np.float32),
+                            top_k=k, metric=metric,
+                        )
+                    else:
+                        _engine.execute_query_batch(
+                            self, queries, top_k=k, metric=metric
+                        )
 
     # ------------------------------------------------------------------
     # cache (C21)

@@ -826,3 +826,26 @@ def test_query_batch_bucketing_pads_pow2_and_slices(monkeypatch):
     assert [[(r[0]["i"], round(r[1], 5)) for r in row] for row in res] == [
         [(r[0]["i"], round(r[1], 5)) for r in row] for row in res_exact
     ]
+
+
+def test_warmup_serving_profile():
+    """warmup(max_batch=...) precompiles every pow2 flush bucket in every
+    wire dtype the server will use (f16 joins for low-precision stores)."""
+    import numpy as np
+
+    from hyperdb_tpu import HyperDB
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((64, 8)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v,
+                 fp_precision="float16")
+    calls = []
+    orig = db.query_batch_arrays
+
+    db.warmup(top_ks=(5,), max_batch=8)
+    # smoke: queries answer after warmup, both dtypes
+    ids, _ = db.query_batch_arrays(v[:3], top_k=5)
+    assert ids.shape == (3, 5)
+    ids16, _ = db.query_batch_arrays(v[:3].astype(np.float16), top_k=5)
+    assert ids16.shape == (3, 5)
+    del calls, orig
