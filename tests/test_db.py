@@ -839,13 +839,9 @@ def test_warmup_serving_profile():
     v = rng.standard_normal((64, 8)).astype(np.float32)
     db = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v,
                  fp_precision="float16")
-    calls = []
-    orig = db.query_batch_arrays
-
     db.warmup(top_ks=(5,), max_batch=8)
-    # smoke: queries answer after warmup, both dtypes
+    # smoke: queries answer after warmup, both wire dtypes
     ids, _ = db.query_batch_arrays(v[:3], top_k=5)
     assert ids.shape == (3, 5)
     ids16, _ = db.query_batch_arrays(v[:3].astype(np.float16), top_k=5)
     assert ids16.shape == (3, 5)
-    del calls, orig
