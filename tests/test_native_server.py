@@ -620,3 +620,68 @@ def test_control_byte_metric_rejected(served):
     out = json.loads(resp.read())
     assert resp.status == 400 and "invalid" in out["error"]
     conn.close()
+
+
+def test_mutation_amid_pipelined_queries():
+    """/add lands between pipelined query flushes (one worker serializes
+    them); queries before and after both answer, counts stay consistent."""
+    import socket
+
+    rng = np.random.default_rng(51)
+    n, d = 256, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(n)], vectors=v)
+    srv = native_server.NativeQueryServer(db, port=0, max_batch=16,
+                                          window_ms=2.0)
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port))
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        add_body = json.dumps({
+            "documents": [{"i": 1000}],
+            "vectors": [(-v[0]).tolist()],  # anti-parallel: unique top-1
+        }).encode()
+        payload = b""
+        for i in (3, 4):
+            body = v[i].astype(np.float32).tobytes()
+            payload += (
+                f"POST /query?top_k=1 HTTP/1.1\r\nHost: x\r\n"
+                f"Content-Type: application/octet-stream\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+        payload += (
+            f"POST /add HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(add_body)}\r\n\r\n"
+        ).encode() + add_body
+        q_new = (-v[0]).astype(np.float32).tobytes()
+        payload += (
+            f"POST /query?top_k=1 HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: application/octet-stream\r\n"
+            f"Content-Length: {len(q_new)}\r\n\r\n"
+        ).encode() + q_new
+        sock.sendall(payload)
+
+        outs = []
+        buf = b""
+        for _ in range(4):
+            while b"\r\n\r\n" not in buf:
+                chunk = sock.recv(65536)
+                assert chunk, "server closed mid-pipeline"
+                buf += chunk
+            head, rest = buf.split(b"\r\n\r\n", 1)
+            clen = 0
+            for line in head.split(b"\r\n")[1:]:
+                if line[:15].lower() == b"content-length:":
+                    clen = int(line[15:])
+            while len(rest) < clen:
+                rest += sock.recv(65536)
+            assert head.split(b" ", 2)[1] == b"200"
+            outs.append(json.loads(rest[:clen]))
+            buf = rest[clen:]
+        sock.close()
+        assert outs[0]["ids"][0] == 3 and outs[1]["ids"][0] == 4
+        assert outs[2] == {"added": 1, "documents": n + 1}
+        assert outs[3]["ids"][0] == n  # the freshly added document wins
+    finally:
+        srv.close()
