@@ -28,6 +28,34 @@ except ImportError:  # pragma: no cover - driver may relocate the script
 
 claim_chip()
 
+
+def _wait_for_tunnel() -> None:
+    """The axon tunnel relay can die (observed 2026-08-17); a first device
+    call issued without it blocks FOREVER rather than erroring. Wait for
+    the relay port, then fail loudly instead of hanging the driver.
+
+    NOTE: env JAX_PLATFORMS=cpu does NOT keep this process off the axon
+    platform (the image's sitecustomize overrides it, CLAUDE.md), so the
+    tunnel is required unless the axon site itself is absent."""
+    import socket
+
+    timeout_s = float(os.environ.get("HYPERDB_TUNNEL_WAIT_S", "1800"))
+    if not os.path.exists("/root/.axon_site"):  # non-tunnel host: CPU jax
+        return
+    start = time.time()
+    while time.time() - start < timeout_s:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=3):
+                return
+        except OSError:
+            time.sleep(10.0)
+    print("bench.py: axon tunnel port 8082 unreachable for "
+          f"{timeout_s:.0f}s — refusing to hang", file=sys.stderr)
+    sys.exit(2)
+
+
+_wait_for_tunnel()
+
 import numpy as np
 
 
