@@ -80,3 +80,19 @@ def test_deep_sizeof_object_arrays_count_elements():
     arr = np.empty(2, dtype=object)
     arr[0], arr[1] = big
     assert deep_sizeof(arr) > 20000  # elements, not 16 pointer bytes
+
+
+def test_devio_fetch_order_and_types():
+    """fetch() returns np arrays in argument order, passing host arrays
+    through and pulling device arrays in one device_get."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperdb_tpu.utils.devio import fetch
+
+    a = np.arange(6).reshape(2, 3)
+    b = jnp.ones((3,), dtype=jnp.float32)
+    out_a, out_b = fetch(a, b)
+    assert isinstance(out_a, np.ndarray) and isinstance(out_b, np.ndarray)
+    np.testing.assert_array_equal(out_a, a)
+    np.testing.assert_array_equal(out_b, np.ones(3, dtype=np.float32))
