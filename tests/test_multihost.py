@@ -36,3 +36,23 @@ def test_two_process_mesh_matches_oracle():
     # launcher prints only a tail of each worker's merged stdout+stderr, so
     # do not count "matches oracle" lines (shutdown logs can displace them)
     assert "MULTIHOST DRYRUN: OK" in out.stdout
+
+
+def test_two_process_serving_control_flow():
+    """Multi-host SERVING (parallel/multihost_serve.py): the leader relays
+    query blocks over the control channel, followers execute the same
+    collectives, results match the oracle across 3 repeated queries."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["HYPERDB_CHIP_LOCK_BYPASS"] = "1"
+    script = os.path.join(REPO, "benchmarks", "multihost_serve_dryrun.py")
+    out = subprocess.run(
+        [sys.executable, script, "--port", "9941", "--ctrl-port", "9943"],
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:]
+    assert "MULTIHOST SERVE DRYRUN: OK (launcher)" in out.stdout
