@@ -94,6 +94,29 @@ def worker(process_id: int, procs: int, port: int, ctrl_port: int) -> int:
             assert ids[b].tolist() == want.tolist(), (
                 trial, b, ids[b], want)
             np.testing.assert_allclose(scores[b], sims[want], rtol=1e-5)
+
+    # the full stack: the native C++ HTTP front-end serving the whole
+    # multi-process mesh through the leader
+    try:
+        from hyperdb_tpu.client import HyperDBClient
+        from hyperdb_tpu.native.server import NativeQueryServer, available
+
+        if available():
+            srv = NativeQueryServer(svc, port=0, max_batch=8)
+            with HyperDBClient("127.0.0.1", srv.port) as client:
+                h_ids, h_scores = client.query_batch(qs, top_k=K)
+                qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+                sims = qn @ vn.T
+                for b in range(B):
+                    want = np.argsort(-sims[b], kind="stable")[:K]
+                    assert h_ids[b].tolist() == want.tolist()
+                st = client.stats()
+                assert st["documents"] == N
+            srv.close()
+            print("HTTP-over-multihost: OK", flush=True)
+    except RuntimeError as e:  # no compiler on this host: direct path only
+        print(f"native front-end unavailable ({e}); direct path verified",
+              flush=True)
     svc.close()
     print("MULTIHOST SERVE DRYRUN: OK", flush=True)
     return 0

@@ -201,6 +201,39 @@ class MultihostQueryService:
             np.asarray(vals_h[:b_real, :k], dtype=np.float32),
         )
 
+    # ------------------------------------------------------- stats surface
+    # The minimum attribute surface the HTTP front-ends touch, so the
+    # leader can be fronted directly by NativeQueryServer/make_server:
+    #   NativeQueryServer(svc) serves the binary/text hot paths over the
+    #   whole multi-process mesh.
+    @property
+    def db(self):  # host_db unwrap: the service IS its own host surface
+        return self
+
+    def size(self, with_chunks=False, metadata_filter=None):
+        del with_chunks, metadata_filter
+        return self.num_rows
+
+    @property
+    def source_indices(self):
+        return range(self.num_rows)  # rows == docs in v1
+
+    ann_metric = "cosine"
+    ann_index = None
+
+    def get_cache_size_and_info(self):
+        return {"cache_info": {"hits": 0, "misses": 0, "maxsize": 0,
+                               "currsize": 0},
+                "cache_memory_size": "0 bytes"}
+
+    @property
+    def stats(self):
+        from hyperdb_tpu.utils.trace import Stats
+
+        if not hasattr(self, "_stats"):
+            self._stats = Stats()
+        return self._stats
+
     def close(self) -> None:
         if self.process_id == 0:
             for conn in self._conns:
