@@ -117,19 +117,37 @@ class MultihostQueryService:
                 self.control_port = control_port  # followers must be told
 
     # -------------------------------------------------------------- wiring
-    def accept_followers(self) -> None:
-        """Leader: block until every follower connected (call once)."""
+    def accept_followers(self, timeout_s: float = 180.0) -> None:
+        """Leader: block until every follower connected (call once).
+        Raises socket.timeout if a follower never arrives — better than
+        hanging the whole mesh."""
+        self._listener.settimeout(timeout_s)
         while len(self._conns) < self._procs - 1:
             conn, _ = self._listener.accept()
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             self._conns.append(conn)
+        self._listener.settimeout(None)
 
     def connect(self, port: int | None = None,
-                leader_host: str = "127.0.0.1") -> None:
-        """Follower: open the control channel to the leader."""
-        self._sock = socket.create_connection(
-            (leader_host, port or self.control_port), timeout=120.0
-        )
+                leader_host: str = "127.0.0.1",
+                retry_s: float = 120.0) -> None:
+        """Follower: open the control channel to the leader.
+
+        Retries on refusal: the leader binds its listener after the mesh
+        barrier, and under load a follower can reach this call first."""
+        import time as _time
+
+        deadline = _time.time() + retry_s
+        while True:
+            try:
+                self._sock = socket.create_connection(
+                    (leader_host, port or self.control_port), timeout=30.0
+                )
+                break
+            except OSError:
+                if _time.time() > deadline:
+                    raise
+                _time.sleep(0.5)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
 
     # -------------------------------------------------------------- compute
