@@ -167,11 +167,13 @@ struct Server {
   uint64_t gen_counter = 1;
 
   // worker-facing queues
+  struct Group {
+    std::vector<HotReq> reqs;
+    Clock::time_point first;  // oldest waiting request's arrival
+  };
   std::mutex mu;
   std::condition_variable cv;
-  std::unordered_map<std::string, std::vector<HotReq>> hot;  // metric -> reqs
-  Clock::time_point hot_first;
-  bool hot_any = false;
+  std::unordered_map<std::string, Group> hot;  // group key -> pending
   std::deque<GenReq> gen_q;
 
   // the single in-flight item handed to the worker
@@ -471,11 +473,8 @@ int try_parse_request(Server* s, int fd) {
     {
       std::lock_guard<std::mutex> lk(s->mu);
       auto& group = s->hot[group_key(metric, req)];
-      if (!s->hot_any) {
-        s->hot_first = Clock::now();
-        s->hot_any = true;
-      }
-      group.push_back(std::move(req));
+      if (group.reqs.empty()) group.first = Clock::now();
+      group.reqs.push_back(std::move(req));
     }
     s->cv.notify_one();
     return 1;
@@ -518,11 +517,8 @@ int try_parse_request(Server* s, int fd) {
     {
       std::lock_guard<std::mutex> lk(s->mu);
       auto& group = s->hot[group_key(metric, req)];
-      if (!s->hot_any) {
-        s->hot_first = Clock::now();
-        s->hot_any = true;
-      }
-      group.push_back(std::move(req));
+      if (group.reqs.empty()) group.first = Clock::now();
+      group.reqs.push_back(std::move(req));
     }
     s->cv.notify_one();
     return 1;
@@ -717,23 +713,40 @@ int hdb_srv_next(void* sp) {
       s->gen_q.pop_front();
       return 2;
     }
-    if (s->hot_any) {
+    if (!s->hot.empty()) {
       auto now = Clock::now();
-      // flush the biggest metric group when full or the window expired
-      size_t biggest = 0;
+      // Flush policy: a FULL group flushes immediately (biggest first);
+      // otherwise the OLDEST group whose own window expired. Per-group
+      // arrival times make this starvation-free — a minority metric's
+      // window cannot be reset by the majority's flushes.
       const std::string* key = nullptr;
+      size_t biggest = 0;
       for (auto& kv : s->hot) {
-        if (kv.second.size() > biggest) {
-          biggest = kv.second.size();
+        if (kv.second.reqs.size() >= (size_t)s->max_batch &&
+            kv.second.reqs.size() > biggest) {
+          biggest = kv.second.reqs.size();
           key = &kv.first;
         }
       }
-      bool full = biggest >= (size_t)s->max_batch;
-      bool expired =
-          now - s->hot_first >= std::chrono::microseconds(s->window_us);
-      if (full || expired || s->stopping.load()) {
+      Clock::time_point oldest = now;
+      if (!key) {
+        for (auto& kv : s->hot) {
+          if (kv.second.first <= oldest) {
+            oldest = kv.second.first;
+            key = &kv.first;
+          }
+        }
+        bool expired =
+            now - oldest >= std::chrono::microseconds(s->window_us);
+        if (!expired && !s->stopping.load()) {
+          s->cv.wait_until(
+              lk, oldest + std::chrono::microseconds(s->window_us));
+          continue;
+        }
+      }
+      {
         auto it = s->hot.find(*key);
-        auto& group = it->second;
+        auto& group = it->second.reqs;
         size_t take = group.size() < (size_t)s->max_batch
                           ? group.size()
                           : (size_t)s->max_batch;
@@ -760,8 +773,7 @@ int hdb_srv_next(void* sp) {
           s->cur_tskey.clear();
         }
         if (group.empty()) s->hot.erase(it);
-        s->hot_any = !s->hot.empty();
-        if (s->hot_any) s->hot_first = now;  // restart window for leftovers
+        else it->second.first = now;  // leftovers start a fresh window
         s->cur_topks.resize(s->cur_batch.size());
         for (size_t i = 0; i < s->cur_batch.size(); ++i)
           s->cur_topks[i] = s->cur_batch[i].top_k;
@@ -773,9 +785,6 @@ int hdb_srv_next(void* sp) {
         }
         return 1;
       }
-      s->cv.wait_until(lk, s->hot_first +
-                               std::chrono::microseconds(s->window_us));
-      continue;
     }
     if (s->stopping.load()) return 0;
     s->cv.wait(lk);
