@@ -1196,10 +1196,13 @@ class HyperDB:
         timestamp_key=None,
         metric: str = "cosine_similarity",
         ann_percent: int = 5,
+        n_valid: int | None = None,
     ):
         """Batched multi-query search — one (B, d) x (d, N) device program
         for the whole batch (a capability the reference lacks; BASELINE.json
-        configs 2 and 4). Returns a list of per-query result lists."""
+        configs 2 and 4). Returns a list of per-query result lists.
+        ``n_valid`` (serving): only the leading n_valid rows of a pre-padded
+        block are real queries — results are sliced to them."""
         return _engine.execute_query_batch(
             self,
             query_inputs,
@@ -1210,6 +1213,7 @@ class HyperDB:
             timestamp_key=timestamp_key,
             metric=metric,
             ann_percent=ann_percent,
+            n_valid=n_valid,
         )
 
     def query_batch_arrays(
@@ -1221,6 +1225,7 @@ class HyperDB:
         timestamp_key=None,
         metric: str = "cosine_similarity",
         ann_percent: int = 5,
+        n_valid: int | None = None,
     ):
         """Array-level batched search: ``(B, d) -> ((B, k) int64 doc ids,
         (B, k) float32 scores)`` with ``k = min(top_k, surviving docs)``.
@@ -1228,7 +1233,9 @@ class HyperDB:
         The zero-Python-objects twin of :meth:`query_batch` for serving
         front-ends (the native C++ server formats wire responses straight
         from these arrays); documents hydrate separately by id via
-        ``db.documents[i]``."""
+        ``db.documents[i]``. ``query_vectors`` may be a committed device
+        block (``jax.Array``) from the text hot path; ``n_valid`` slices
+        pre-padded blocks' results to the real query count."""
         return _engine.execute_query_batch_arrays(
             self,
             query_vectors,
@@ -1238,6 +1245,7 @@ class HyperDB:
             timestamp_key=timestamp_key,
             metric=metric,
             ann_percent=ann_percent,
+            n_valid=n_valid,
         )
 
     def warmup(self, top_ks=(5, 10), batch_sizes=(1,),

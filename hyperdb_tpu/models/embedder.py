@@ -221,4 +221,8 @@ def make_embedding_function(
         embeddings = np.asarray(embedder.encode(texts), dtype=fp_dtype)
         return embeddings, source_indices, split_info
 
+    # expose the pipeline pieces so the serving text hot path can keep the
+    # encoder output on device (query.engine.generate_query_vectors_batch_device)
+    embedding_function.embedder = embedder
+    embedding_function.tokenizer = tokenizer
     return embedding_function

@@ -318,6 +318,10 @@ class MiniLMEmbedder:
         self.params = params
         self._tokenizer = tokenizer or HashingTokenizer()
         self._apply = jax.jit(self.model.apply)
+        # lazily-built f32-epilogue forward for encode_device (the cast
+        # rides the same program; a separate eager astype would be its own
+        # per-shape compile on this platform)
+        self._apply_f32 = None
 
     @classmethod
     def from_local_assets(cls, assets_dir: str | None = None):
@@ -390,15 +394,9 @@ class MiniLMEmbedder:
     # 60-90 s of remote compile for a 10k-doc add on this platform).
     _MAX_BATCH = 512
 
-    def encode(self, texts: list[str]) -> np.ndarray:
-        if not texts:
-            return np.zeros((0, self.dim), dtype=np.float32)
-        if len(texts) > self._MAX_BATCH:
-            parts = [
-                self.encode(texts[i : i + self._MAX_BATCH])
-                for i in range(0, len(texts), self._MAX_BATCH)
-            ]
-            return np.concatenate(parts, axis=0)
+    def _prep_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenize one <=_MAX_BATCH slice into bucketed host ``(ids, mask)``
+        int32 arrays; the batch dim is padded to the next power of two."""
         encoded = [self._tokenizer.encode(t, self.config.max_positions) for t in texts]
         max_len = max(len(ids) for ids, _ in encoded)
         seq = self._bucket(max_len, SEQ_BUCKETS)
@@ -418,6 +416,57 @@ class MiniLMEmbedder:
         empty = mask.sum(axis=1) == 0
         ids[empty, 0] = cls_id
         mask[empty, 0] = 1
+        return ids, mask
 
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        if len(texts) > self._MAX_BATCH:
+            parts = [
+                self.encode(texts[i : i + self._MAX_BATCH])
+                for i in range(0, len(texts), self._MAX_BATCH)
+            ]
+            return np.concatenate(parts, axis=0)
+        ids, mask = self._prep_batch(texts)
         emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(emb[: len(texts)], dtype=np.float32)
+
+    def encode_device(self, texts: list[str]):
+        """Device-resident twin of :meth:`encode` for the serving text hot
+        path: the embeddings never visit the host, so the query scan chains
+        on them device-side and the flush pays ONE tunnel round trip instead
+        of two (encoder readback + query upload — each ~25 ms on this
+        platform, benchmarks/probe_readback.py).
+
+        Returns a committed ``(b_pad, dim)`` float32 ``jax.Array`` with
+        ``b_pad`` = next power of two >= ``len(texts)``; rows past
+        ``len(texts)`` are finite padding (bare-CLS embeddings) that callers
+        slice off the RESULTS — never reshape the block itself, every
+        distinct shape is a fresh 30-90 s remote compile. Program shapes
+        stay within the same bounded set as :meth:`encode`: one
+        f32-epilogue forward per power-of-two slice, plus one concatenate
+        keyed only on the part count for blocks past ``_MAX_BATCH``."""
+        if not texts:
+            return None
+        if self._apply_f32 is None:
+            model_apply = self.model.apply
+            self._apply_f32 = jax.jit(
+                lambda p, i, m: model_apply(p, i, m).astype(jnp.float32)
+            )
+        n = len(texts)
+        if n <= self._MAX_BATCH:
+            ids, mask = self._prep_batch(list(texts))
+            return self._apply_f32(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        b_out = 1 << (n - 1).bit_length()
+        parts = []
+        for i in range(0, b_out, self._MAX_BATCH):
+            chunk = list(texts[i : i + self._MAX_BATCH])
+            if len(chunk) < self._MAX_BATCH:
+                # fill to the full slice so every part dispatches the SAME
+                # (_MAX_BATCH, seq-bucket) program; "" rows embed a bare CLS
+                chunk += [""] * (self._MAX_BATCH - len(chunk))
+            ids, mask = self._prep_batch(chunk)
+            parts.append(
+                self._apply_f32(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            )
+        return jnp.concatenate(parts, axis=0)

@@ -306,6 +306,22 @@ class NativeQueryServer:
         filters, recency, tskey = self._batch_params(lib, srv)
 
         def call():
+            if self.db is self.host_db:
+                # single-chip engine: chain the encoder output into the
+                # scan device-side — one tunnel round trip per flush
+                # instead of two (None -> host fallback below; sharded
+                # serving re-uploads per shard, so it gains nothing here)
+                from hyperdb_tpu.query.engine import (
+                    generate_query_vectors_batch_device,
+                )
+
+                dev = generate_query_vectors_batch_device(self.host_db, texts)
+                if dev is not None:
+                    return self.db.query_batch_arrays(
+                        dev, top_k=top_k, metric=metric, filters=filters,
+                        recency_bias=recency, timestamp_key=tskey,
+                        n_valid=len(texts),
+                    )
             q_block = generate_query_vectors_batch(self.host_db, texts)
             if self.wire_f16:
                 q_block = q_block.astype(np.float16)

@@ -32,6 +32,7 @@ import time as _time
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from hyperdb_tpu.core.nested import get_nested_value
@@ -156,6 +157,58 @@ def generate_query_vectors_batch(db, texts) -> np.ndarray:
     np.add.at(out, src, emb)
     counts = np.bincount(src, minlength=len(texts)).astype(np.float32)
     return out / np.maximum(counts, 1.0)[:, None]
+
+
+def _default_embed_path(db):
+    """``(embedder, prepare_fn)`` when ``db`` embeds through the default
+    chunk-then-encode pipeline, ``(None, None)`` for custom embedding
+    functions (whose internals we cannot keep on device)."""
+    fn = db.embedding_function
+    if fn == getattr(db, "get_embedding", None):
+        return db._embedder(), db.prepare_texts_and_indices
+    emb = getattr(fn, "embedder", None)
+    tok = getattr(fn, "tokenizer", None)
+    if emb is not None and tok is not None:
+        from hyperdb_tpu.core import chunker as _chunker
+
+        return emb, lambda docs: _chunker.prepare_texts_and_indices(docs, tok)
+    return None, None
+
+
+def generate_query_vectors_batch_device(db, texts):
+    """Device-resident twin of :func:`generate_query_vectors_batch` for the
+    serving text hot path.
+
+    The host path pays two tunnel round trips per flush: the encoder's
+    embedding readback, then the query block's re-upload (~25 ms each,
+    benchmarks/probe_readback.py). Here the encoder output stays on device
+    and the scan chains on it as a dispatch argument — one round trip total.
+
+    Returns a committed ``(b_pad, d)`` float32 ``jax.Array`` with ``b_pad``
+    = next power of two >= ``len(texts)`` (the encoder pads batch shapes to
+    its bounded program set; pad rows are finite garbage — pass
+    ``n_valid=len(texts)`` to the batch query so results slice them off).
+    Returns None whenever the block cannot stay on device, and the caller
+    must fall back to :func:`generate_query_vectors_batch`: custom
+    embedding functions, embedders without ``encode_device`` (hash/hybrid
+    compute on host), or long texts that chunk (>510 tokens — the chunk
+    mean is host arithmetic, reference hyperdb.py:1112-1117 parity).
+    """
+    if not isinstance(texts, (list, tuple)) or not all(
+        isinstance(t, str) for t in texts
+    ):
+        raise ValueError("texts must be a list of strings")
+    if not texts:
+        return None
+    embedder, prepare = _default_embed_path(db)
+    if embedder is None or not hasattr(embedder, "encode_device"):
+        return None
+    chunk_texts, src, _ = prepare(list(texts))
+    if len(chunk_texts) != len(texts) or not np.array_equal(
+        np.asarray(src), np.arange(len(texts))
+    ):
+        return None
+    return embedder.encode_device(chunk_texts)
 
 
 def handle_timestamps(db, recency_bias, timestamp_key, doc_indices) -> np.ndarray | None:
@@ -369,6 +422,7 @@ def execute_query_batch(
     timestamp_key=None,
     metric: str = "cosine_similarity",
     ann_percent: int = 5,
+    n_valid: int | None = None,
 ):
     """Batched multi-query search: the filter masks are computed once and the
     whole (B, d) query block rides a single fused device program. Per-query
@@ -382,6 +436,7 @@ def execute_query_batch(
         timestamp_key=timestamp_key,
         metric=metric,
         ann_percent=ann_percent,
+        n_valid=n_valid,
     )
     results = []
     for b in range(doc_ids.shape[0]):
@@ -405,6 +460,7 @@ def execute_query_batch_arrays(
     timestamp_key=None,
     metric: str = "cosine_similarity",
     ann_percent: int = 5,
+    n_valid: int | None = None,
 ):
     """Array-level core of :func:`execute_query_batch`.
 
@@ -413,7 +469,16 @@ def execute_query_batch_arrays(
     filters eliminate everything). Serving front-ends use this directly:
     assembling B*k ``(document, score, id)`` Python tuples costs more than
     the whole device dispatch at serving batch sizes, and a wire protocol
-    only needs the ids and scores (documents hydrate separately by id)."""
+    only needs the ids and scores (documents hydrate separately by id).
+
+    ``query_inputs`` may be a committed 2-D ``jax.Array`` (the device-
+    resident text hot path, :func:`generate_query_vectors_batch_device`):
+    the block rides the scan dispatch as a device argument — never fetched,
+    reshaped, or padded here, so its batch dim should already be a power of
+    two (arbitrary batch dims compile fresh per-shape programs, 30-90 s
+    each over this platform's remote compiler). ``n_valid`` limits how many
+    leading rows are real queries; results are sliced to it (pad rows'
+    compute is noise against the dispatch floor)."""
     num_docs = len(db.documents)
     start_time = _time.perf_counter()
     if db.vectors is None or len(db.vectors) == 0 or not db.documents:
@@ -421,7 +486,13 @@ def execute_query_batch_arrays(
     if metric not in METRICS:
         raise ValueError(f"Invalid metric '{metric}'.")
 
-    if isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
+    device_block = isinstance(query_inputs, jax.Array) and query_inputs.ndim == 2
+    if device_block:
+        # Device-resident query block: already committed f32 on device
+        # (encode_device contract); fetching or re-staging it here would
+        # spend the round trip the path exists to save.
+        q_block = query_inputs
+    elif isinstance(query_inputs, np.ndarray) and query_inputs.ndim == 2:
         # float16 blocks are preserved end-to-end (low-precision wire
         # opt-in, serving front-ends): host->device upload measures
         # ~30-60 MB/s on this platform, so halving the query bytes saves
@@ -456,7 +527,8 @@ def execute_query_batch_arrays(
 
     b_real = q_block.shape[0]
     if (
-        _CFG.batch_bucket
+        not device_block  # device blocks arrive pre-padded (encode_device)
+        and _CFG.batch_bucket
         and db._store.num_rows * b_real > _CFG.host_path_max_cells
     ):
         b_pad = _pad_pow2(b_real)
@@ -478,10 +550,11 @@ def execute_query_batch_arrays(
     override = None
     if filters:
         mask, override = _filters.apply_filters(db, filters, mask)
+    n_out = b_real if n_valid is None else min(int(n_valid), b_real)
     if not mask.any():
         return (
-            np.zeros((b_real, 0), dtype=np.int64),
-            np.zeros((b_real, 0), dtype=np.float32),
+            np.zeros((n_out, 0), dtype=np.int64),
+            np.zeros((n_out, 0), dtype=np.float32),
         )
 
     surviving = int(mask.sum())
@@ -501,6 +574,9 @@ def execute_query_batch_arrays(
         and getattr(db.ann_index, "is_ann", False)
         and hasattr(db.ann_index, "probe_batch")
         and override is None
+        and not device_block  # IVF probing is host arithmetic; a device
+        # block would pay the fetch this path exists to avoid — the exact
+        # masked scan below stays fully device-resident (and exact)
         and num_docs == db._store.num_rows
         and num_docs >= CONFIG.batch_ivf_min_rows
         and db._store.precision != "int8-pure"
@@ -515,11 +591,11 @@ def execute_query_batch_arrays(
         )
 
     db.stats.record("query.batch_arrays", _time.perf_counter() - start_time)
-    db.stats.bump("query.batch_queries", b_real)
-    # pad rows (batch bucketing) are dropped here
+    db.stats.bump("query.batch_queries", n_out)
+    # pad rows (batch bucketing / pre-padded device blocks) are dropped here
     return (
-        np.asarray(doc_ids[:b_real], dtype=np.int64),
-        np.asarray(scores_out[:b_real], dtype=np.float32),
+        np.asarray(doc_ids[:n_out], dtype=np.int64),
+        np.asarray(scores_out[:n_out], dtype=np.float32),
     )
 
 
@@ -593,6 +669,15 @@ def _rank(db, query_vector, mask, override, recency, metric, top_k, cand_rows=No
     return doc_ids[0], vals[0]
 
 
+@jax.jit
+def _normalize_rows_dev(q):
+    """Row-normalize a device-resident query block (f32 accumulation);
+    the device twin of the int8 path's host-side pre-normalization."""
+    q32 = q.astype(jnp.float32)
+    n = jnp.linalg.norm(q32, axis=1, keepdims=True)
+    return q32 / jnp.where(n == 0, 1.0, n)
+
+
 def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=None):
     """Run the fused device program; returns ((B, k) doc_ids, (B, k) scores)."""
     from hyperdb_tpu.config import CONFIG
@@ -604,9 +689,20 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
     # on the host master arrays (ops/host_ranking — result-identical, pinned
     # by tests/test_host_path.py). cand_rows is ignored: the mask already
     # carries the ANN candidate restriction and the full tiny scan is exact.
-    cells = db._store.num_rows * max(1, int(np.asarray(q_block).shape[0]))
+    n_q = (
+        int(q_block.shape[0])
+        if hasattr(q_block, "shape")
+        else int(np.asarray(q_block).shape[0])
+    )
+    cells = db._store.num_rows * max(1, n_q)
     if 0 < cells <= CONFIG.host_path_max_cells:
         from hyperdb_tpu.ops.host_ranking import rank_block_host
+
+        if isinstance(q_block, jax.Array):
+            # tiny-corpus host ranking needs host rows; the fetch costs the
+            # round trip the device path saves, but below this cell count
+            # the device dispatch would cost the same round trip anyway
+            q_block = np.asarray(q_block)
 
         if override is not None:
             vals, idx = rank_block_host(
@@ -631,15 +727,21 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 )
         return idx, vals
 
-    # host array on purpose: a jit argument's upload rides the dispatch
-    # (measured ~3-12 ms cheaper per call than an explicit jnp.asarray
-    # round — benchmarks/probe_readback.py arg_np vs arg_explicit).
-    # f16 blocks stay f16 (halved upload bytes; see
-    # execute_query_batch_arrays), everything else is canonical f32.
-    q = np.asarray(q_block)
-    if q.dtype != np.float16:
-        q = np.asarray(q, dtype=np.float32)
-    q = np.ascontiguousarray(q)
+    if isinstance(q_block, jax.Array):
+        # device-resident block (text hot path): committed f32 already on
+        # device — it rides the dispatch as a device argument, and the scan
+        # program is the same one an uploaded f32 block compiles.
+        q = q_block
+    else:
+        # host array on purpose: a jit argument's upload rides the dispatch
+        # (measured ~3-12 ms cheaper per call than an explicit jnp.asarray
+        # round — benchmarks/probe_readback.py arg_np vs arg_explicit).
+        # f16 blocks stay f16 (halved upload bytes; see
+        # execute_query_batch_arrays), everything else is canonical f32.
+        q = np.asarray(q_block)
+        if q.dtype != np.float16:
+            q = np.asarray(q, dtype=np.float32)
+        q = np.ascontiguousarray(q)
     k_pad = min(_pad_pow2(top_k), bucket_size(num_docs))
 
     # IVF fast path: gather + score only the candidate rows. Applies to the
@@ -732,13 +834,19 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
 
             qq = q
             if prenorm:
-                # host-side on purpose: jnp here would be two extra device
-                # dispatches per call (norm + divide) outside the jit;
-                # f32 accumulation, result back at the wire dtype
-                q32 = np.asarray(q, dtype=np.float32)
-                qn = np.linalg.norm(q32, axis=1, keepdims=True)
-                qn[qn == 0] = 1.0
-                qq = np.ascontiguousarray((q32 / qn).astype(q.dtype))
+                if isinstance(q, jax.Array):
+                    # device blocks normalize in ONE jitted program (shapes
+                    # bounded by the pow2 batch buckets); fetching for the
+                    # host math below would spend the saved round trip
+                    qq = _normalize_rows_dev(q)
+                else:
+                    # host-side on purpose: jnp here would be two extra
+                    # device dispatches per call (norm + divide) outside the
+                    # jit; f32 accumulation, result back at the wire dtype
+                    q32 = np.asarray(q, dtype=np.float32)
+                    qn = np.linalg.norm(q32, axis=1, keepdims=True)
+                    qn[qn == 0] = 1.0
+                    qq = np.ascontiguousarray((q32 / qn).astype(q.dtype))
             psidx = db.ann_index
             if (
                 getattr(psidx, "kind", None) == "projscan"

@@ -179,7 +179,38 @@ class _DynamicBatcher:
         metric, filters, recency_bias, timestamp_key = group[0]["params"]
         try:
             text_entries = [e for e in group if e["vector"] is None]
-            if text_entries:
+            block = None
+            n_valid = None
+            if (
+                text_entries
+                and len(text_entries) == len(group)
+                and self._db is self._host_db
+            ):
+                # All-text flush on the single-chip engine: chain the
+                # encoder output into the scan device-side — one tunnel
+                # round trip per flush instead of two (engine.
+                # generate_query_vectors_batch_device; None -> host path)
+                from hyperdb_tpu.query.engine import (
+                    generate_query_vectors_batch_device,
+                )
+
+                with self._lock:
+                    dev = generate_query_vectors_batch_device(
+                        self._host_db, [e["text"] for e in group]
+                    )
+                if dev is not None:
+                    dim = getattr(self._host_db, "dim", None)
+                    if dim and dev.shape[1] != dim:
+                        err = ValueError(
+                            f"embedded query dimension {dev.shape[1]} does "
+                            f"not match corpus dimension {dim}"
+                        )
+                        for e in group:
+                            e["error"] = err
+                        return  # finally: sets every event
+                    block = dev
+                    n_valid = len(group)
+            if block is None and text_entries:
                 from hyperdb_tpu.query.engine import (
                     generate_query_vectors_batch,
                 )
@@ -207,14 +238,16 @@ class _DynamicBatcher:
                     group = [e for e in group if id(e) not in rejected]
                     if not group:
                         return
-            block = np.stack([e["vector"] for e in group])
-            if self._wire_f16:
-                block = block.astype(np.float16)
+            if block is None:
+                block = np.stack([e["vector"] for e in group])
+                if self._wire_f16:
+                    block = block.astype(np.float16)
             k_max = max(e["top_k"] for e in group)
             with self._lock:
                 rows = self._db.query_batch(
                     block, top_k=k_max, metric=metric, filters=filters,
                     recency_bias=recency_bias, timestamp_key=timestamp_key,
+                    n_valid=n_valid,
                 )
             for entry, result in zip(group, rows):
                 entry["result"] = result[: entry["top_k"]]
