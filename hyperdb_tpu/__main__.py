@@ -128,7 +128,8 @@ def cmd_serve(args):
         # warm the SERVING profile: every pow2 flush bucket up to the
         # batcher cap, in every wire dtype the server will use (a cold
         # program is 30-90 s of remote compile on the serving path)
-        db.warmup(top_ks=(5, 10), max_batch=args.max_batch)
+        db.warmup(top_ks=(5, 10), max_batch=args.max_batch,
+                  text_max_batch=args.warmup_text or None)
     if args.sharded:
         import jax
         import numpy as np
@@ -194,6 +195,11 @@ def main(argv=None):
     p.add_argument("--metadata-keys", default=None)
     p.add_argument("--warmup", action="store_true",
                    help="precompile + prefault before accepting traffic")
+    p.add_argument("--warmup-text", type=int, default=0, metavar="N",
+                   help="with --warmup, also precompile the TEXT hot path "
+                        "(encoder device forwards + chained scan) for pow2 "
+                        "flush buckets up to N (0 = skip; each seq bucket "
+                        "is its own set of remote compiles)")
     p.add_argument("--sharded", action="store_true",
                    help="row-shard the corpus over every attached device "
                         "(jax.sharding.Mesh) and serve the distributed path")

@@ -1249,7 +1249,8 @@ class HyperDB:
         )
 
     def warmup(self, top_ks=(5, 10), batch_sizes=(1,),
-               metric="cosine_similarity", max_batch=None, dtypes=None):
+               metric="cosine_similarity", max_batch=None, dtypes=None,
+               text_max_batch=None, text_seq_tokens=(12, 48)):
         """Precompile the query programs for the current corpus shape.
 
         Remote/first-time XLA compilation can take minutes per program
@@ -1261,7 +1262,15 @@ class HyperDB:
         dynamic batchers flush arbitrary sizes, which pad to pow2), in
         EVERY wire dtype the server will use: low-precision corpora get
         f16 flush blocks (wire_dtype='auto'), a distinct jit signature.
-        ``dtypes`` overrides the dtype set explicitly."""
+        ``dtypes`` overrides the dtype set explicitly.
+
+        ``text_max_batch`` additionally warms the TEXT hot path: the
+        encoder's device-resident forward (one program per encoder batch
+        bucket x seq bucket) plus the chained scan, so a server's first
+        text flush doesn't eat the encoder compiles. ``text_seq_tokens``
+        picks which sequence buckets to warm (token counts; the defaults
+        cover the 32- and 64-token buckets typical of search queries —
+        every extra bucket is another full set of remote compiles)."""
         if self.vectors is None or len(self.vectors) == 0 or not self.documents:
             return
         if max_batch is not None:
@@ -1290,6 +1299,45 @@ class HyperDB:
                         _engine.execute_query_batch(
                             self, queries, top_k=k, metric=metric
                         )
+        if text_max_batch:
+            self._warmup_text(text_max_batch, text_seq_tokens, top_ks, metric)
+
+    def _warmup_text(self, text_max_batch, text_seq_tokens, top_ks, metric):
+        """Warm the text hot path: encoder forwards (device-resident when
+        the embedder supports them, host otherwise) and the chained scan."""
+        sizes, b = [], 1
+        while b <= text_max_batch:
+            sizes.append(b)
+            b *= 2
+        k = max(top_ks)
+        probe = _engine.generate_query_vectors_batch(self, ["warmup probe"])
+        if self.dim is not None and probe.shape[1] != self.dim:
+            # text queries can never run against this corpus (embedder dim
+            # != corpus dim) — nothing to warm, and raising here would fail
+            # an otherwise-valid vector-serving warmup
+            print(
+                f"INFO: skipping text warmup — embedder dimension "
+                f"{probe.shape[1]} does not match corpus dimension {self.dim}"
+            )
+            return
+        for n_tok in text_seq_tokens:
+            words = " ".join(f"w{i}" for i in range(max(1, int(n_tok))))
+            for b in sizes:
+                texts = [f"warm {i} {words}" for i in range(b)]
+                block = _engine.generate_query_vectors_batch_device(
+                    self, texts
+                )
+                if block is None:
+                    # host-embedder path: still warms the encoder's own
+                    # device programs (hash embedders are pure host, free)
+                    block = _engine.generate_query_vectors_batch(self, texts)
+                    _engine.execute_query_batch_arrays(
+                        self, block, top_k=k, metric=metric
+                    )
+                else:
+                    _engine.execute_query_batch_arrays(
+                        self, block, top_k=k, metric=metric, n_valid=len(texts)
+                    )
 
     # ------------------------------------------------------------------
     # cache (C21)

@@ -132,6 +132,18 @@ def test_n_valid_slices_host_blocks(db):
     np.testing.assert_array_equal(part_scores, full_scores[:5])
 
 
+def test_warmup_text_covers_both_embedder_kinds(db):
+    """text_max_batch warms the encoder device programs (MiniLM db) and the
+    host fallback (hash db) without error; queries still work after."""
+    db.warmup(top_ks=(2,), batch_sizes=(1,), text_max_batch=2,
+              text_seq_tokens=(4,))
+    v = np.random.default_rng(2).standard_normal((4, 8)).astype(np.float32)
+    plain = HyperDB(documents=[{"i": i} for i in range(4)], vectors=v)
+    plain.warmup(top_ks=(2,), batch_sizes=(1,), text_max_batch=2,
+                 text_seq_tokens=(4,))
+    assert len(db.query(CORPUS[0], top_k=1)) == 1
+
+
 def test_batcher_all_text_flush_takes_device_path(db, monkeypatch):
     from hyperdb_tpu.server import _DynamicBatcher
 
