@@ -191,7 +191,10 @@ def main():
     if args.mode == "text":
         # warm the encoder's (seq bucket, pow2 batch) program shapes the
         # text flushes will hit (the encoder slices batches at 512)
-        from hyperdb_tpu.query.engine import generate_query_vectors_batch
+        from hyperdb_tpu.query.engine import (
+            generate_query_vectors_batch,
+            generate_query_vectors_batch_device,
+        )
 
         t0 = time.time()
         body_texts = [x.decode() for x in bodies]
@@ -203,6 +206,18 @@ def main():
             generate_query_vectors_batch(
                 db, [body_texts[i % len(body_texts)] for i in range(b)]
             )
+            b *= 2
+        # the serving flush takes the DEVICE text path (f32-epilogue
+        # forward + concat past 512 — programs DISJOINT from the host
+        # path's): warm it for every pow2 flush bucket, and run the
+        # chained scan once so the full flush program set is hot
+        b = 1
+        while b <= args.max_batch:
+            texts = [body_texts[i % len(body_texts)] for i in range(b)]
+            dev = generate_query_vectors_batch_device(db, texts)
+            if dev is None:
+                break  # host-embedder db: nothing device-side to warm
+            db.query_batch_arrays(dev, top_k=10, n_valid=b)
             b *= 2
         print(f"warmed text-encode buckets in {time.time() - t0:.1f}s",
               flush=True)
@@ -223,9 +238,26 @@ def main():
             best = min(trials)
             emit({
                 "loopback_text_flush": b,
+                "path": "host",
                 "best_ms": round(best * 1e3, 2),
                 "engine_qps_at_flush": round(b / best, 1),
             })
+            # device-chained twin: embed -> scan without the intermediate
+            # readback/re-upload (what the servers actually flush)
+            if generate_query_vectors_batch_device(db, texts) is not None:
+                trials = []
+                for _ in range(5):
+                    t1 = time.perf_counter()
+                    dv = generate_query_vectors_batch_device(db, texts)
+                    db.query_batch_arrays(dv, top_k=10, n_valid=b)
+                    trials.append(time.perf_counter() - t1)
+                best = min(trials)
+                emit({
+                    "loopback_text_flush": b,
+                    "path": "device",
+                    "best_ms": round(best * 1e3, 2),
+                    "engine_qps_at_flush": round(b / best, 1),
+                })
 
     # No-HTTP floor first: what one engine call costs per flush size.
     loopback_probe(db, v, sorted({32, 256, args.max_batch}))
