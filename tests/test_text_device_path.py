@@ -132,6 +132,20 @@ def test_n_valid_slices_host_blocks(db):
     np.testing.assert_array_equal(part_scores, full_scores[:5])
 
 
+def test_default_embedding_function_takes_device_path(enc):
+    """The default chunk-then-encode pipeline (db.get_embedding bound
+    method, what serving deployments actually run) gates into the device
+    path via db._embedder(), not just make_embedding_function attrs."""
+    fresh = HyperDB()
+    fresh._embedder_obj = enc  # what default_embedder() would return
+    fresh.add(list(CORPUS[:4]))
+    assert fresh.embedding_function == fresh.get_embedding
+    dev = engine.generate_query_vectors_batch_device(fresh, list(CORPUS[:2]))
+    assert isinstance(dev, jax.Array) and dev.shape == (2, 64)
+    ids, _ = fresh.query_batch_arrays(dev, top_k=1, n_valid=2)
+    np.testing.assert_array_equal(ids[:, 0], [0, 1])
+
+
 def test_warmup_text_covers_both_embedder_kinds(db):
     """text_max_batch warms the encoder device programs (MiniLM db) and the
     host fallback (hash db) without error; queries still work after."""
