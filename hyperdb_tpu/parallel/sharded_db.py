@@ -111,50 +111,62 @@ class ShardedHyperDB:
                 self.rows = device_rows
                 self.rows_norm = f32_norm.astype(device_rows.dtype)
         else:
-            if db.vectors is None or len(db.vectors) == 0:
-                raise ValueError("Cannot shard an empty database.")
-            n, d = db.vectors.shape
-            self.d = int(d)
-            n_shards = mesh.shape[axis]
-            target = max(n, int(capacity_rows or 0))
-            per_shard = -(-target // n_shards)
-            per_shard = -(-per_shard // 128) * 128  # grouped-topk tile alignment
-            self.n = n
-            self.n_pad = per_shard * n_shards
+            self._build_host_shards(capacity_rows)
 
-            host = np.zeros((self.n_pad, d), dtype=np.float32)
-            host[:n] = db.vectors.astype(np.float32, copy=False)
-            norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            host_norm = np.zeros_like(host)
-            host_norm[:n] = host[:n] / norms
+        self._mask_sharding = NamedSharding(mesh, P(axis))
+        self._rows_sharding = NamedSharding(mesh, P(axis, None))
+        self._reset_bookkeeping()
 
-            sharding = NamedSharding(mesh, P(axis, None))
-            if precision == "int8-pure":
-                from hyperdb_tpu.ops.quantized import quantize_rows
+    def _build_host_shards(self, capacity_rows: int | None) -> None:
+        """(Re)build the device shards from the wrapped db's host vectors:
+        capacity-padded, 128-row aligned per shard, normalized twin for the
+        cosine plane, int8 quantization when configured. Shared by the
+        constructor and :meth:`compact`."""
+        db, mesh, axis, precision = self.db, self.mesh, self.axis, self.precision
+        if db.vectors is None or len(db.vectors) == 0:
+            raise ValueError("Cannot shard an empty database.")
+        n, d = db.vectors.shape
+        self.d = int(d)
+        n_shards = mesh.shape[axis]
+        target = max(n, int(capacity_rows or 0))
+        per_shard = -(-target // n_shards)
+        per_shard = -(-per_shard // 128) * 128  # grouped-topk tile alignment
+        self.n = n
+        self.n_pad = per_shard * n_shards
 
-                vec_sharding = NamedSharding(mesh, P(axis))
-                q_raw, s_raw = quantize_rows(host)
-                q_norm, s_norm = quantize_rows(host_norm)
-                self.rows_q = jax.device_put(q_raw, sharding)
-                self.row_scales = jax.device_put(s_raw, vec_sharding)
-                self.rowsn_q = jax.device_put(q_norm, sharding)
-                self.rown_scales = jax.device_put(s_norm, vec_sharding)
-            else:
-                dev_dtype = (
-                    jnp.bfloat16 if db.vectors.dtype == np.float16 else jnp.float32
-                )
-                self.rows = jax.device_put(host.astype(dev_dtype), sharding)
-                self.rows_norm = jax.device_put(
-                    host_norm.astype(dev_dtype), sharding
-                )
+        host = np.zeros((self.n_pad, d), dtype=np.float32)
+        host[:n] = db.vectors.astype(np.float32, copy=False)
+        norms = np.linalg.norm(host[:n], axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        host_norm = np.zeros_like(host)
+        host_norm[:n] = host[:n] / norms
 
+        sharding = NamedSharding(mesh, P(axis, None))
+        if precision == "int8-pure":
+            from hyperdb_tpu.ops.quantized import quantize_rows
+
+            vec_sharding = NamedSharding(mesh, P(axis))
+            q_raw, s_raw = quantize_rows(host)
+            q_norm, s_norm = quantize_rows(host_norm)
+            self.rows_q = jax.device_put(q_raw, sharding)
+            self.row_scales = jax.device_put(s_raw, vec_sharding)
+            self.rowsn_q = jax.device_put(q_norm, sharding)
+            self.rown_scales = jax.device_put(s_norm, vec_sharding)
+        else:
+            dev_dtype = (
+                jnp.bfloat16 if db.vectors.dtype == np.float16 else jnp.float32
+            )
+            self.rows = jax.device_put(host.astype(dev_dtype), sharding)
+            self.rows_norm = jax.device_put(
+                host_norm.astype(dev_dtype), sharding
+            )
+
+    def _reset_bookkeeping(self) -> None:
+        db = self.db
         self.row_docs = np.zeros(self.n_pad, dtype=np.int64)
         self.row_docs[: self.n] = np.asarray(
             db.source_indices, dtype=np.int64
         )
-        self._mask_sharding = NamedSharding(mesh, P(axis))
-        self._rows_sharding = NamedSharding(mesh, P(axis, None))
         # Live-row validity (row_valid): tombstoned and not-yet-filled
         # capacity rows are False — every query masks through it.
         self._base_valid = np.zeros(self.n_pad, dtype=bool)
@@ -162,7 +174,7 @@ class ShardedHyperDB:
         # Device shards snapshot the corpus at construction; a DIRECT
         # mutation of the wrapped db (bypassing this class's add/remove)
         # would silently desynchronize row ids, so queries check this
-        # fingerprint and demand a rebuild instead.
+        # fingerprint and demand a rebuild (:meth:`compact`) instead.
         self._built_state = (len(db.documents), len(db.source_indices))
 
     def _quantize_device_shards(self, f32, f32_norm):
@@ -219,8 +231,8 @@ class ShardedHyperDB:
             raise RuntimeError(
                 "The wrapped HyperDB was mutated after sharding; the device "
                 "shards hold the construction-time corpus. Mutate through "
-                "ShardedHyperDB.add/remove_document (in-place), or build a "
-                "fresh ShardedHyperDB to serve the new state."
+                "ShardedHyperDB.add/remove_document (in-place), or call "
+                "compact() to rebuild the shards from the new state."
             )
 
     def _write_rows(self, new_f32: np.ndarray, offset: int) -> None:
@@ -253,6 +265,46 @@ class ShardedHyperDB:
     @property
     def capacity_remaining(self) -> int:
         return self.n_pad - self.n
+
+    @property
+    def tombstoned_rows(self) -> int:
+        """Rows still occupying device capacity but masked out by removals."""
+        return int(self.n - self._base_valid[: self.n].sum())
+
+    def compact(self, capacity_rows: int | None = None) -> None:
+        """Rebuild the device shards from the wrapped db's live host state.
+
+        Reclaims capacity held by tombstoned rows (:meth:`remove_document`
+        masks victims but never moves device rows) and re-synchronizes after
+        a DIRECT mutation of the wrapped db — the two cases that otherwise
+        demand constructing a fresh ShardedHyperDB. Old shards are dropped
+        before the replacements allocate, so peak device memory stays one
+        corpus (plus the transient host staging buffer the constructor also
+        uses). ``capacity_rows`` defaults to the current padded capacity so
+        reserved headroom survives compaction; pass a smaller value to
+        shrink it (never below the live row count).
+
+        Only meaningful for host-backed shards: a ``device_rows``-injected
+        corpus (from_checkpoint) has no host vectors to rebuild from.
+        """
+        db = self.db
+        if db.vectors is None:
+            raise RuntimeError(
+                "compact() needs host-side vectors: this ShardedHyperDB was "
+                "built from device_rows (e.g. from_checkpoint), so the "
+                "corpus never existed host-side."
+            )
+        if capacity_rows is None:
+            capacity_rows = self.n_pad
+        # free the old shard set first — compaction must not transiently
+        # hold two multi-GB corpora on the mesh
+        for name in ("rows", "rows_norm", "rows_q", "row_scales",
+                     "rowsn_q", "rown_scales"):
+            if hasattr(self, name):
+                delattr(self, name)
+        self._build_host_shards(capacity_rows)
+        self._reset_bookkeeping()
+        db.clear_cache()  # cached rows carry stale ("sharded", ...) results
 
     def add(self, documents, vectors=None, add_timestamp=False) -> None:
         """Append documents to the wrapped db AND the device shards in

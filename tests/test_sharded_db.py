@@ -621,3 +621,89 @@ def test_sharded_f16_query_block_matches_f32():
             assert abs(a[1] - b[1]) < 2e-3
     ids, scores = sdb.query_batch_arrays(q16, top_k=5)
     assert ids[0][0] == 7 and ids[1][0] == 333 and ids[2][0] == 900
+
+
+def test_compact_reclaims_tombstoned_capacity(mesh):
+    """compact() rebuilds the shards from the live host state: tombstoned
+    rows stop occupying capacity, reserved headroom survives, and results
+    stay oracle-identical to a fresh build."""
+    rng = np.random.default_rng(40)
+    v = rng.standard_normal((100, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(100)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=2048)
+    cap = sdb.n_pad
+    sdb.remove_document(list(range(0, 40)))
+    assert sdb.tombstoned_rows == 40
+    free_before = sdb.capacity_remaining
+
+    sdb.compact()
+    assert sdb.tombstoned_rows == 0
+    assert sdb.n == 60
+    assert sdb.n_pad == cap  # headroom preserved by default
+    assert sdb.capacity_remaining == free_before + 40
+
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    fresh = ShardedHyperDB(db, mesh, capacity_rows=2048)
+    got = sdb.query_batch(q, top_k=7)
+    want = fresh.query_batch(q, top_k=7)
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+        for (_, gs, _), (_, ws, _) in zip(g, w):
+            assert gs == pytest.approx(ws, rel=1e-4)
+
+    # the reclaimed capacity is writable again
+    sdb.add([{"i": 1000 + j} for j in range(5)],
+            vectors=rng.standard_normal((5, 16)).astype(np.float32))
+    assert sdb.n == 65
+
+
+def test_compact_resyncs_after_direct_db_mutation(mesh):
+    """Direct mutation of the wrapped db raises on query (fingerprint);
+    compact() is the documented recovery and serves the new state."""
+    rng = np.random.default_rng(41)
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(64)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=1024)
+
+    db.add([{"i": 64}], vectors=rng.standard_normal((1, 16)).astype(np.float32))
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    with pytest.raises(RuntimeError, match="compact"):
+        sdb.query_batch(q, top_k=3)
+
+    sdb.compact()
+    got = sdb.query_batch(q, top_k=5)
+    want = ShardedHyperDB(db, mesh).query_batch(q, top_k=5)
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+
+
+def test_compact_int8_pure_and_shrink(mesh):
+    """compact() preserves the int8-pure plane and honors an explicit
+    smaller capacity_rows (never below the live rows)."""
+    rng = np.random.default_rng(42)
+    v = rng.standard_normal((256, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(256)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=4096, precision="int8-pure")
+    sdb.remove_document(list(range(200, 256)))
+    sdb.compact(capacity_rows=256)
+    assert sdb.precision == "int8-pure" and hasattr(sdb, "rows_q")
+    assert sdb.n == 200 and sdb.n_pad < 4096
+
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    fresh = ShardedHyperDB(db, mesh, precision="int8-pure")
+    got = sdb.query_batch(q, top_k=6)
+    want = fresh.query_batch(q, top_k=6)
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+
+
+def test_compact_device_rows_corpus_raises(mesh, db, tmp_path):
+    """A from_checkpoint (device_rows) corpus has no host vectors: compact
+    refuses with a clear error instead of crashing."""
+    from hyperdb_tpu.persist.checkpoint import save_checkpoint
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(db, path, rows_per_shard=64)
+    sdb = ShardedHyperDB.from_checkpoint(path, mesh)
+    with pytest.raises(RuntimeError, match="host"):
+        sdb.compact()
