@@ -13,7 +13,8 @@ Emits one JSON line per case; appends to results.jsonl. Run cases guarded:
 the Mosaic remote compile occasionally wedges, so each variant prints
 progress before compiling.
 
-Usage: python benchmarks/ab_gmax.py [a|b|ab] (default ab)
+Usage: python benchmarks/ab_gmax.py [a|b|ab] [batch ...] (default ab; batches
+default to 8/64/256 for case A, 64/256 for case B)
 """
 
 from __future__ import annotations
@@ -59,7 +60,7 @@ def _time_chained(fn, q, iters=10, trials=3):
     return best
 
 
-def case_a():
+def case_a(batches=(8, 64, 256)):
     import jax.numpy as jnp
 
     from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_pallas
@@ -70,7 +71,7 @@ def case_a():
     v = jnp.asarray(
         rng.standard_normal((n, d), dtype=np.float32), dtype=jnp.bfloat16
     )
-    for b in (8, 64, 256):
+    for b in batches:
         q = jnp.asarray(
             rng.standard_normal((b, d), dtype=np.float32), dtype=jnp.bfloat16
         )
@@ -92,7 +93,7 @@ def case_a():
         )
 
 
-def case_b():
+def case_b(batches=(64, 256)):
     import functools
 
     import jax
@@ -132,7 +133,7 @@ def case_b():
     print(f"B: built {n} x {d} int8 in {time.time() - t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(1)
-    for b in (64, 256):
+    for b in batches:
         q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
         print(f"B b={b}: compiling pallas...", flush=True)
         pv, pi = rank_top_k_int8_pallas(q, rows_q, scales, k)
@@ -158,10 +159,11 @@ def case_b():
 
 def main():
     which = (sys.argv[1] if len(sys.argv) > 1 else "ab").lower()
+    batches = tuple(int(x) for x in sys.argv[2:])
     if "a" in which:
-        case_a()
+        case_a(batches or (8, 64, 256))
     if "b" in which:
-        case_b()
+        case_b(batches or (64, 256))
     return 0
 
 

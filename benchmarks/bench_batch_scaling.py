@@ -32,7 +32,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+    from hyperdb_tpu.ops.ranking import rank_top_k
 
     n_pad, d, k = 1 << 20, 384, 10
     rng = np.random.default_rng(0)
@@ -46,7 +46,10 @@ def main():
         )
 
         def fn(qq, rr):
-            return rank_top_k_grouped(qq, rr, k=k, group=128)
+            # the production entry (engine routing included): dot-form
+            # grouped top-k, Pallas stage 1 above the measured crossover
+            # (config.pallas_gmax_f_min_batch)
+            return rank_top_k(qq, rr, k=k, metric="dot_product")
 
         vals, idx = fn(q, rows)
         np.asarray(idx)

@@ -93,9 +93,20 @@ class EngineConfig:
     # (ops/pallas_gmax.py) when the XLA grouped epilogue would have to chunk
     # (ops/quantized._pick_chunks > 1): measured 2.2x there (10M x 768 int8
     # batch 256: 23.1 vs 50.5 ms, index-identical — benchmarks/ab_gmax.py),
-    # tie at batch 64, and a loss at 1M bf16 (XLA stays the default for
-    # float scans). 0 disables.
+    # tie at batch 64, and a loss at 1M bf16 SMALL batch (big bf16 batches
+    # route too — see pallas_gmax_f_min_batch below). 0 disables both.
     pallas_gmax: int = _env_int("HYPERDB_PALLAS_GMAX", 1)
+    # Minimum query-batch height before FLOAT (bf16) dot-form grouped scans
+    # also route stage 1 through the Pallas gmax kernel. Below it XLA fuses
+    # the group-max into the matmul epilogue and wins (b<=256: 5.46 vs
+    # 6.37 ms at 1M x 384 bf16); above it XLA materializes the (B, g, group)
+    # f32 epilogue in HBM and Pallas wins — measured 1.16x at b=512, 1.20x
+    # at b=1024, 1.56x at b=2048 (25.2 vs 39.2 ms), index-identical
+    # (benchmarks/ab_gmax.py, results.jsonl ab_gmax_dot_1m_384_bf16).
+    # 0 disables the float route (int8 routing is HYPERDB_PALLAS_GMAX).
+    pallas_gmax_f_min_batch: int = _env_int(
+        "HYPERDB_PALLAS_GMAX_F_MIN_BATCH", 512
+    )
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

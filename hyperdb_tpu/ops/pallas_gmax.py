@@ -245,7 +245,8 @@ def rank_top_k_grouped_pallas(
         or vectors.dtype == jnp.float16  # Mosaic has no f16
         # f32 exactness needs HIGHEST-precision matmuls, which the kernel
         # does not request — the Pallas path serves low-precision scans
-        # (its only measured win is int8 anyway)
+        # (measured wins: chunked-regime int8, and bf16 at batch >= 512
+        # where XLA materializes the epilogue — ops/ranking._use_pallas_gmax_f)
         or _metrics.dot_precision(queries, vectors) != jax.lax.Precision.DEFAULT
     )
     if out_of_contract:

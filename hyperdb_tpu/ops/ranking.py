@@ -307,6 +307,37 @@ def rank_top_k_grouped_metric(
     return vals, (winner * group + pos % group).astype(jnp.int32)
 
 
+def _use_pallas_gmax_f(queries, vectors, k: int) -> bool:
+    """Route big-batch float dot-form scans through the Pallas gmax stage 1.
+
+    Above HYPERDB_PALLAS_GMAX_F_MIN_BATCH queries, XLA materializes the
+    grouped matmul's (B, g, group) f32 epilogue in HBM before the group-max
+    (4 GB at b=1024 x 1M rows) and the Pallas kernel wins — 1.56x at b=2048
+    (benchmarks/ab_gmax.py). Every condition the kernel itself would bounce
+    on is checked here so the route only fires when Pallas genuinely runs
+    (a silent internal fallback would change the group size mid-route)."""
+    from hyperdb_tpu.config import CONFIG
+
+    min_b = CONFIG.pallas_gmax_f_min_batch
+    b = int(queries.shape[0])
+    if not CONFIG.pallas_gmax or min_b <= 0 or b < min_b:
+        return False
+    if jax.default_backend() == "cpu":
+        return False  # Mosaic lowering is TPU-only
+    from hyperdb_tpu.ops import pallas_gmax as _pg
+
+    n, d = vectors.shape
+    blk = _pg._block_rows(b, d, vectors.dtype.itemsize)
+    return (
+        _pg.supported(b, n, d)
+        and n % blk == 0
+        and n // _pg.GROUP >= k
+        and vectors.dtype != jnp.float16  # Mosaic has no f16
+        # f32 parity needs HIGHEST-precision matmuls the kernel won't request
+        and _metrics.dot_precision(queries, vectors) == jax.lax.Precision.DEFAULT
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k", "prenormalized"))
 def rank_top_k(
     queries: jax.Array,
@@ -365,6 +396,12 @@ def rank_top_k(
             # mirror cosine_scores_prenormalized's numerics exactly
             qq = _metrics._match_low_precision(
                 _metrics.normalize(queries), vectors
+            )
+        if _use_pallas_gmax_f(qq, vectors, k):
+            from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_pallas
+
+            return rank_top_k_grouped_pallas(
+                qq, vectors, k=k, row_mask=row_mask, recency=recency
             )
         return rank_top_k_grouped(
             qq, vectors, k=k, row_mask=row_mask, recency=recency, group=group

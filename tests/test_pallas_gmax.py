@@ -193,3 +193,42 @@ def test_supported_tiled_batches():
     assert supported(2048, 1 << 20, 768)
     assert supported(1024, 1 << 20, 768)
     assert not supported(1536, 1 << 20, 768)  # not a multiple of 1024
+
+
+def test_float_route_gate(monkeypatch):
+    """rank_top_k routes big-batch bf16 dot-form scans through the Pallas
+    stage 1 only when every kernel contract holds (ops/ranking.
+    _use_pallas_gmax_f) — the decision logic is hermetic even though the
+    kernel itself needs a TPU."""
+    import jax
+
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops import ranking as rk
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    n, d = 1 << 20, 384
+    v16 = jnp.zeros((n, d), dtype=jnp.bfloat16)
+    q = jnp.zeros((512, d), dtype=jnp.bfloat16)
+    assert rk._use_pallas_gmax_f(q, v16, 10)
+    assert rk._use_pallas_gmax_f(jnp.zeros((2048, d), jnp.bfloat16), v16, 10)
+
+    # below the measured crossover XLA fuses the epilogue and wins
+    assert not rk._use_pallas_gmax_f(jnp.zeros((256, d), jnp.bfloat16), v16, 10)
+    # f32 corpora need HIGHEST-precision matmuls the kernel won't request
+    assert not rk._use_pallas_gmax_f(
+        jnp.zeros((512, d), jnp.float32), jnp.zeros((n, d), jnp.float32), 10
+    )
+    # Mosaic has no f16
+    assert not rk._use_pallas_gmax_f(
+        jnp.zeros((512, d), jnp.float16), jnp.zeros((n, d), jnp.float16), 10
+    )
+    # config off switches
+    monkeypatch.setattr(CONFIG, "pallas_gmax_f_min_batch", 0)
+    assert not rk._use_pallas_gmax_f(q, v16, 10)
+    monkeypatch.setattr(CONFIG, "pallas_gmax_f_min_batch", 512)
+    monkeypatch.setattr(CONFIG, "pallas_gmax", 0)
+    assert not rk._use_pallas_gmax_f(q, v16, 10)
+
+    # CPU backend (the hermetic suite itself) never routes
+    monkeypatch.undo()
+    assert not rk._use_pallas_gmax_f(q, v16, 10)
