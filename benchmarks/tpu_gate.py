@@ -159,6 +159,58 @@ def main() -> int:
     emit({"gate": "int8_grouped_1m_b256", "index_equal": eq,
           "qps": round(b / sec), "ms": round(sec * 1e3, 2)})
 
+    # ---- big-batch bf16: engine routing (Pallas above the crossover) ----
+    # b=512 routes stage 1 through the Pallas kernel in production
+    # (config.pallas_gmax_f_min_batch); the gate proves the ROUTED path on
+    # the real chip, single-chip and inside shard_map (1-device mesh — the
+    # sharded serving plane's per-shard program).
+    from hyperdb_tpu.ops.ranking import rank_top_k
+    from hyperdb_tpu.parallel import make_mesh
+    from hyperdb_tpu.parallel.distributed import sharded_rank_top_k
+
+    b_big = 512
+    q_big = jnp.asarray(
+        rng.standard_normal((b_big, d), dtype=np.float32), jnp.bfloat16
+    )
+    print("compiling native reference (b=512)...", flush=True)
+    _, (_, ref_big_idx) = timed(native, q_big, rows, iters=5, trials=1)
+    ref_big_idx = np.asarray(ref_big_idx)
+
+    @jax.jit
+    def routed(qq, rr):
+        return rank_top_k(qq, rr, k=k, metric="dot_product")
+
+    print("compiling routed rank_top_k (b=512)...", flush=True)
+    try:
+        sec, (_, r_idx) = timed(routed, q_big, rows)
+        eq = bool((np.asarray(r_idx) == ref_big_idx).all())
+        if not eq:
+            failures.append("routed_b512_vs_native")
+        emit({"gate": "routed_bf16_1m_b512", "index_equal": eq,
+              "qps": round(b_big / sec), "ms": round(sec * 1e3, 2)})
+    except Exception as e:  # noqa: BLE001
+        failures.append("routed_b512_compile")
+        emit({"gate": "routed_bf16_1m_b512", "error": str(e)[:200]})
+
+    print("compiling sharded (1-device mesh, b=512)...", flush=True)
+    try:
+        mesh = make_mesh(1)
+        valid = jnp.ones((n,), dtype=bool)
+        sec, (_, s_idx) = timed(
+            lambda qq: sharded_rank_top_k(
+                mesh, qq, rows, valid, k=k, metric="dot_product"
+            ),
+            q_big,
+        )
+        eq = bool((np.asarray(s_idx) == ref_big_idx).all())
+        if not eq:
+            failures.append("sharded_b512_vs_native")
+        emit({"gate": "sharded_bf16_1m_b512", "index_equal": eq,
+              "qps": round(b_big / sec), "ms": round(sec * 1e3, 2)})
+    except Exception as e:  # noqa: BLE001
+        failures.append("sharded_b512_compile")
+        emit({"gate": "sharded_bf16_1m_b512", "error": str(e)[:200]})
+
     emit({"gate": "verdict", "failures": failures, "ok": not failures})
     return 1 if failures else 0
 

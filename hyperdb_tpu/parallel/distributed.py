@@ -28,7 +28,12 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from hyperdb_tpu.ops.metrics import scores as _scores
-from hyperdb_tpu.ops.ranking import NEG_INF, _auto_group, rank_top_k_grouped
+from hyperdb_tpu.ops.ranking import (
+    NEG_INF,
+    _auto_group,
+    _use_pallas_gmax_f,
+    rank_top_k_grouped,
+)
 
 
 def sharded_rank_top_k(
@@ -68,24 +73,59 @@ def sharded_rank_top_k(
     k_local = min(k, n_local)
 
     has_recency = recency is not None
-    from hyperdb_tpu.config import CONFIG
+    fn = _sharded_topk_program(mesh, axis, n_local, k, k_local, metric,
+                               has_recency)
+    args = [queries, rows, row_valid]
+    if has_recency:
+        args.append(recency)
+    return fn(*args)
 
-    group = _auto_group(int(queries.shape[0]))
-    use_grouped = (
-        metric == "dot_product"
-        and CONFIG.grouped_topk_min_rows > 0
-        and n_local >= CONFIG.grouped_topk_min_rows
-        and n_local % group == 0
-    )
+
+@functools.lru_cache(maxsize=None)
+def _sharded_topk_program(mesh, axis, n_local, k, k_local, metric,
+                          has_recency):
+    """One JITTED shard_map program per (mesh, shape-class, metric) config.
+
+    Eagerly-applied shard_map executes primitive by primitive — on the
+    tunnel TPU platform every primitive is its own ~25 ms dispatch, which
+    measured 8.5 s/call at 1M x 384 b=512 (results.jsonl tpu_gate
+    sharded_bf16_1m_b512, pre-fix). jit compiles the whole local program +
+    collectives into one dispatch; the cache keys on everything the trace
+    closes over (Mesh is hashable), and jit itself handles per-shape
+    retraces within a config."""
 
     def local_fn(q, rows_shard, valid_shard, *rest):
+        from hyperdb_tpu.config import CONFIG
+
+        group = _auto_group(int(q.shape[0]))
+        use_grouped = (
+            metric == "dot_product"
+            and CONFIG.grouped_topk_min_rows > 0
+            and n_local >= CONFIG.grouped_topk_min_rows
+            and n_local % group == 0
+        )
         if use_grouped:
-            # per-shard grouped exact top-k: same 3x-at-large-batch win as
-            # the single-chip scan (ops/ranking.rank_top_k_grouped)
-            vals, idx = rank_top_k_grouped(
-                q, rows_shard, k=k_local, row_mask=valid_shard,
-                recency=rest[0] if has_recency else None, group=group,
-            )
+            rec = rest[0] if has_recency else None
+            if _use_pallas_gmax_f(q, rows_shard, k_local):
+                # big-batch bf16: keep the group-max epilogue in VMEM on
+                # each shard, exactly like the single-chip route
+                # (ops/ranking._use_pallas_gmax_f; validated on-chip with a
+                # 1-device mesh — benchmarks/tpu_gate.py sharded case)
+                from hyperdb_tpu.ops.pallas_gmax import (
+                    rank_top_k_grouped_pallas,
+                )
+
+                vals, idx = rank_top_k_grouped_pallas(
+                    q, rows_shard, k=k_local, row_mask=valid_shard,
+                    recency=rec,
+                )
+            else:
+                # per-shard grouped exact top-k: same 3x-at-large-batch win
+                # as the single-chip scan (ops/ranking.rank_top_k_grouped)
+                vals, idx = rank_top_k_grouped(
+                    q, rows_shard, k=k_local, row_mask=valid_shard,
+                    recency=rec, group=group,
+                )
         else:
             s = _scores(q, rows_shard, metric)  # (B, n_local)
             s = jnp.where(jnp.isnan(s), NEG_INF, s)
@@ -105,19 +145,15 @@ def sharded_rank_top_k(
         return merged_vals, merged_idx
 
     in_specs = [P(), P(axis, None), P(axis)]
-    args = [queries, rows, row_valid]
     if has_recency:
         in_specs.append(P(axis))
-        args.append(recency)
-
-    fn = shard_map(
+    return jax.jit(shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    return fn(*args)
+    ))
 
 
 def sharded_rank_top_k_int8(
@@ -142,8 +178,6 @@ def sharded_rank_top_k_int8(
     Row shards are quantized per-row, so per-shard scales are just the row
     slice — no cross-shard calibration needed.
     """
-    from hyperdb_tpu.ops.quantized import rank_top_k_int8
-
     n = rows_q.shape[0]
     n_shards = mesh.shape[axis]
     if n % n_shards:
@@ -153,6 +187,20 @@ def sharded_rank_top_k_int8(
         raise ValueError(f"k ({k}) must be <= total rows ({n})")
     k_local = min(k, n_local)  # same exactness argument as sharded_rank_top_k
     has_recency = recency is not None
+    fn = _sharded_topk_int8_program(mesh, axis, n_local, k, k_local,
+                                    has_recency)
+    args = [queries, rows_q, row_scales, row_valid]
+    if has_recency:
+        args.append(recency)
+    return fn(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_topk_int8_program(mesh, axis, n_local, k, k_local, has_recency):
+    """Jitted shard_map program cache — same rationale as
+    :func:`_sharded_topk_program` (eager shard_map = one tunnel dispatch
+    per primitive on the TPU platform)."""
+    from hyperdb_tpu.ops.quantized import rank_top_k_int8
 
     def local_fn(q, rq, rs, valid, *rest):
         vals, idx = rank_top_k_int8(
@@ -170,19 +218,15 @@ def sharded_rank_top_k_int8(
         return merged_vals, merged_idx
 
     in_specs = [P(), P(axis, None), P(axis), P(axis)]
-    args = [queries, rows_q, row_scales, row_valid]
     if has_recency:
         in_specs.append(P(axis))
-        args.append(recency)
-
-    fn = shard_map(
+    return jax.jit(shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,
-    )
-    return fn(*args)
+    ))
 
 
 class DistributedCorpus:
