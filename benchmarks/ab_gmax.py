@@ -157,6 +157,83 @@ def case_b(batches=(64, 256)):
         )
 
 
+def case_m(batches=(512, 1024, 2048)):
+    """Euclid/hamming surrogate route (ops/pallas_gmax.
+    rank_top_k_grouped_metric_pallas) vs the XLA epilogue form at 1M x 384
+    bf16 — the same big-batch regime where the dot form won (case A)."""
+    import jax.numpy as jnp
+
+    from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_metric_pallas
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+    rng = np.random.default_rng(2)
+    n, d, k = 1 << 20, 384, 10
+    raw = rng.standard_normal((n, d), dtype=np.float32)
+    cases = {
+        "euclidean_metric": (
+            jnp.asarray(raw, dtype=jnp.bfloat16),
+            jnp.asarray(np.sum(raw * raw, axis=1)),
+        ),
+        "hamming_distance": (
+            jnp.asarray((raw > 0).astype(np.float32), dtype=jnp.bfloat16),
+            jnp.asarray((raw > 0).sum(axis=1).astype(np.float32)),
+        ),
+    }
+    from hyperdb_tpu.config import CONFIG
+
+    def xla_form(qq, v, aux, metric):
+        # rank_top_k_grouped_metric itself routes to the Pallas surrogate at
+        # b >= pallas_gmax_f_min_batch; measure the PURE XLA form by turning
+        # the route off (jit caches key on shapes, not config — clear them)
+        saved = CONFIG.pallas_gmax_f_min_batch
+        CONFIG.pallas_gmax_f_min_batch = 0
+        rank_top_k_grouped_metric.clear_cache()
+        try:
+            return rank_top_k_grouped_metric(qq, v, aux, k, metric, group=128)
+        finally:
+            CONFIG.pallas_gmax_f_min_batch = saved
+            rank_top_k_grouped_metric.clear_cache()
+
+    for metric, (v, aux) in cases.items():
+        for b in batches:
+            q = jnp.asarray(
+                rng.standard_normal((b, d), dtype=np.float32),
+                dtype=jnp.bfloat16,
+            )
+            print(f"M {metric} b={b}: compiling pallas...", flush=True)
+            pv, pi = rank_top_k_grouped_metric_pallas(q, v, aux, k, metric)
+            print(f"M {metric} b={b}: compiling xla...", flush=True)
+            xv, xi = xla_form(q, v, aux, metric)
+            same = bool((np.asarray(pi) == np.asarray(xi)).all())
+            t_p = _time_chained(
+                lambda qq: rank_top_k_grouped_metric_pallas(
+                    qq, v, aux, k, metric
+                ), q,
+            )
+            saved = CONFIG.pallas_gmax_f_min_batch
+            CONFIG.pallas_gmax_f_min_batch = 0
+            rank_top_k_grouped_metric.clear_cache()
+            try:
+                t_x = _time_chained(
+                    lambda qq: rank_top_k_grouped_metric(
+                        qq, v, aux, k, metric, group=128
+                    ), q,
+                )
+            finally:
+                CONFIG.pallas_gmax_f_min_batch = saved
+                rank_top_k_grouped_metric.clear_cache()
+            emit(
+                {
+                    "bench": "ab_gmax_metric_1m_384_bf16",
+                    "metric": metric,
+                    "batch": b,
+                    "pallas_ms": round(t_p * 1e3, 2),
+                    "xla_ms": round(t_x * 1e3, 2),
+                    "index_identical": same,
+                }
+            )
+
+
 def main():
     which = (sys.argv[1] if len(sys.argv) > 1 else "ab").lower()
     batches = tuple(int(x) for x in sys.argv[2:])
@@ -164,6 +241,8 @@ def main():
         case_a(batches or (8, 64, 256))
     if "b" in which:
         case_b(batches or (64, 256))
+    if "m" in which:
+        case_m(batches or (512, 1024, 2048))
     return 0
 
 

@@ -11,7 +11,8 @@ persistence parity), while queries run against a cached, padded device view:
 
 Padding snaps N to a small set of bucket sizes so XLA compiles one program
 per bucket instead of one per corpus size; masks make padding inert. Host
-float64 masters are cast to float32 on device (TPUs have no fast f64 path).
+float64 masters are cast to float32 on device (TPUs have no fast f64 path);
+float16 masters serve bfloat16 device planes (_DEVICE_DTYPES note).
 """
 
 from __future__ import annotations
@@ -32,7 +33,14 @@ def bucket_size(n: int, minimum: int = 8) -> int:
 
 
 _DEVICE_DTYPES = {
-    np.dtype(np.float16): jnp.float16,
+    # f16 masters serve BF16 device planes: Mosaic has no f16 (the Pallas
+    # gmax routes — big-batch bf16 and chunked int8 — would be unreachable
+    # from the engine), the MXU runs bf16 natively, and the host f16 master
+    # remains the persistence/parity truth. Rounding an f16 significand
+    # (10 bits) to bf16 (7 bits) moves scores at the 3rd decimal digit —
+    # below every f16-corpus tolerance the suite pins (scoring accumulates
+    # in f32 either way).
+    np.dtype(np.float16): jnp.bfloat16,
     np.dtype(np.float32): jnp.float32,
     np.dtype(np.float64): jnp.float32,  # no f64 on TPU compute path
 }

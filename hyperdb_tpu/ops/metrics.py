@@ -103,10 +103,15 @@ def dot_scores(q: jax.Array, v: jax.Array) -> jax.Array:
 
 
 def _match_low_precision(q: jax.Array, v: jax.Array) -> jax.Array:
-    """Cast a (small) f32 query block down to the corpus dtype when the
-    corpus is f16/bf16, so the big matmul runs at native low-precision MXU
-    throughput instead of promoting the whole corpus to f32."""
-    if v.dtype in (jnp.float16, jnp.bfloat16) and q.dtype == jnp.float32:
+    """Cast a (small) query block to the corpus dtype when the corpus is
+    f16/bf16, so the big matmul runs at native low-precision MXU throughput
+    instead of promoting the whole corpus to f32. Covers f32 queries AND
+    mismatched low-precision wires (an f16 serving wire against the bf16
+    device plane would otherwise promote the matmul — JAX's f16 x bf16
+    common type is f32)."""
+    if v.dtype in (jnp.float16, jnp.bfloat16) and q.dtype in (
+        jnp.float32, jnp.float16, jnp.bfloat16,
+    ) and q.dtype != v.dtype:
         return q.astype(v.dtype)
     return q
 

@@ -273,6 +273,98 @@ def rank_top_k_grouped_pallas(
     return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret"))
+def rank_top_k_grouped_metric_pallas(
+    queries: jax.Array,
+    rows: jax.Array,
+    row_aux: jax.Array,
+    k: int,
+    metric: str,
+    row_mask: jax.Array | None = None,
+    interpret: bool = False,
+):
+    """Euclidean/hamming grouped exact top-k with the Pallas stage-1 kernel.
+
+    The true scores are monotone transforms of the per-row SURROGATE
+    ``u = 2 q.v - aux`` (aux = |v|^2 for euclidean over raw rows, popcount
+    |vb| for hamming over 0/1 rows):
+
+        euclidean: 1/(1 + sqrt(max(|q|^2 - u, 0)))   — non-decreasing in u
+        hamming:   (d - |qb|) + u                     — affine in u
+
+    so the per-group max of the true score is the transform of the
+    per-group max of u, and stage 1 can ride the existing dot-form kernel:
+    ``gmax_f(2*q, rows, extra = -aux [masked])``. Doubling the query is a
+    power-of-two scale — bitwise ``2*(q.v)`` in the f32 accumulator — so
+    the surrogate ranks groups exactly as the XLA epilogue form
+    (ops/ranking.rank_top_k_grouped_metric). Stage 3 rescores the winning
+    groups with the TRUE metric epilogue, identical to the XLA path.
+    Selection can differ from the XLA form only across rows whose f32
+    scores tie exactly (clamped euclidean zeros / ulp-level rounding), where
+    any winner set is valid — the same caveat as every grouped kernel here.
+
+    Recency breaks the monotonicity argument (it adds per-row AFTER the
+    transform): callers route recency queries to the XLA form.
+    """
+    from hyperdb_tpu.ops import metrics as _metrics
+    from hyperdb_tpu.ops.ranking import (
+        NEG_INF,
+        _grouped_metric_scores,
+        rank_top_k_grouped_metric,
+    )
+
+    n, d = rows.shape
+    b = queries.shape[0]
+    blk = _block_rows(b, d, rows.dtype.itemsize)
+    if (
+        metric not in ("euclidean_metric", "hamming_distance")
+        or not supported(b, n, d)
+        or n % blk
+        or n // GROUP < k
+        or rows.dtype == jnp.float16  # Mosaic has no f16
+    ):
+        return rank_top_k_grouped_metric(
+            queries, rows, row_aux, k, metric, row_mask=row_mask,
+            group=GROUP,
+        )
+    if metric == "hamming_distance":
+        q32 = (queries > 0).astype(jnp.float32)
+    else:
+        q32 = queries.astype(jnp.float32)
+    qq = _metrics._match_low_precision(q32, rows)
+    if _metrics.dot_precision(qq, rows) != jax.lax.Precision.DEFAULT:
+        # f32 corpora need HIGHEST-precision matmuls the kernel won't request
+        return rank_top_k_grouped_metric(
+            queries, rows, row_aux, k, metric, row_mask=row_mask,
+            group=GROUP,
+        )
+
+    aux32 = row_aux.astype(jnp.float32)
+    extra = make_extra(n, row_mask) - aux32  # -inf on masked rows survives
+    gm = gmax_f(qq * 2, rows, extra, interpret=interpret)  # (B, g) surrogate
+    _, gidx = jax.lax.top_k(gm, k)  # (B, k)
+
+    g = n // GROUP
+    r3 = rows.reshape(g, GROUP, d)
+    aux3 = aux32.reshape(g, GROUP)
+    cand = jnp.take(r3, gidx, axis=0)  # (B, k, GROUP, d)
+    inter_c = jnp.einsum(
+        "bd,bkgd->bkg", qq, cand, preferred_element_type=jnp.float32
+    )
+    cs = _grouped_metric_scores(
+        inter_c, jnp.take(aux3, gidx, axis=0), q32, metric, d
+    )
+    cs = jnp.where(jnp.isnan(cs), NEG_INF, cs)
+    if row_mask is not None:
+        cs = jnp.where(
+            jnp.take(row_mask.reshape(g, GROUP), gidx, axis=0), cs, NEG_INF
+        )
+    cs = cs.reshape(b, k * GROUP)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(gidx, pos // GROUP, axis=-1)
+    return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def rank_top_k_int8_pallas(
     queries: jax.Array,

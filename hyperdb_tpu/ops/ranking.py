@@ -254,6 +254,24 @@ def rank_top_k_grouped_metric(
         prec = _metrics.dot_precision(qq, rows)
     n, d = rows.shape
 
+    if (
+        recency is None
+        and metric in ("euclidean_metric", "hamming_distance")
+        and _use_pallas_gmax_f(qq, rows, k)
+        and prec == jax.lax.Precision.DEFAULT
+    ):
+        # big-batch euclid/hamming: the true score is a monotone transform
+        # of the surrogate 2 q.v - aux, so stage 1 rides the Pallas gmax
+        # kernel (VMEM-resident epilogue) with the exact metric rescored in
+        # stage 3; recency breaks monotonicity, so those queries stay here
+        from hyperdb_tpu.ops.pallas_gmax import (
+            rank_top_k_grouped_metric_pallas,
+        )
+
+        return rank_top_k_grouped_metric_pallas(
+            queries, rows, row_aux, k, metric, row_mask=row_mask
+        )
+
     def epilogue(inter, aux):
         s = _grouped_metric_scores(inter, aux, q32, metric, d)
         s = jnp.where(jnp.isnan(s), NEG_INF, s)
@@ -397,6 +415,16 @@ def rank_top_k(
             qq = _metrics._match_low_precision(
                 _metrics.normalize(queries), vectors
             )
+        elif (
+            qq.dtype in (jnp.float16, jnp.bfloat16)
+            and vectors.dtype in (jnp.float16, jnp.bfloat16)
+            and qq.dtype != vectors.dtype
+        ):
+            # mismatched low-precision wire (f16 queries vs the bf16 device
+            # plane) would promote the dot matmul to f32 — match the corpus
+            # dtype instead; f32 dot queries keep their HIGHEST-precision
+            # scoring unchanged
+            qq = qq.astype(vectors.dtype)
         if _use_pallas_gmax_f(qq, vectors, k):
             from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_pallas
 

@@ -232,3 +232,68 @@ def test_float_route_gate(monkeypatch):
     # CPU backend (the hermetic suite itself) never routes
     monkeypatch.undo()
     assert not rk._use_pallas_gmax_f(q, v16, 10)
+
+
+def test_metric_surrogate_pipeline_index_identical(monkeypatch):
+    """rank_top_k_grouped_metric_pallas (surrogate stage 1 on the dot-form
+    kernel + true-metric stage 3) matches the XLA epilogue formulation for
+    euclidean and hamming, incl. masks and multi-block grids, in interpret
+    mode."""
+    from hyperdb_tpu.ops import pallas_gmax as pg
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+    rng = np.random.default_rng(9)
+    b, n, d, k = 32, 8192, 128, 7
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    mask = jnp.asarray(rng.random(n) < 0.9)
+
+    # euclidean: raw rows, aux = |v|^2
+    aux = jnp.asarray(np.sum(v.astype(np.float32) ** 2, axis=1))
+    want_v, want_i = rank_top_k_grouped_metric(
+        jnp.asarray(q), jnp.asarray(v), aux, k, "euclidean_metric",
+        row_mask=mask, group=GROUP,
+    )
+    got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
+        jnp.asarray(q), jnp.asarray(v), aux, k, "euclidean_metric",
+        row_mask=mask, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-6
+    )
+
+    # hamming: binarized rows, aux = popcount (queries binarize inside)
+    vb = (v > 0).astype(np.float32)
+    auxb = jnp.asarray(vb.sum(axis=1))
+    want_v, want_i = rank_top_k_grouped_metric(
+        jnp.asarray(q), jnp.asarray(vb), auxb, k, "hamming_distance",
+        row_mask=mask, group=GROUP,
+    )
+    got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
+        jnp.asarray(q), jnp.asarray(vb), auxb, k, "hamming_distance",
+        row_mask=mask, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_metric_surrogate_out_of_contract_falls_back():
+    """Jaccard (non-affine) and unsupported shapes degrade to the XLA form."""
+    from hyperdb_tpu.ops import pallas_gmax as pg
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+    rng = np.random.default_rng(10)
+    b, n, d, k = 8, 1024, 64, 5  # d % 128 != 0 -> unsupported
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    aux = jnp.asarray(np.sum(v ** 2, axis=1))
+    want_v, want_i = rank_top_k_grouped_metric(
+        jnp.asarray(q), jnp.asarray(v), aux, k, "euclidean_metric",
+        group=GROUP,
+    )
+    got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
+        jnp.asarray(q), jnp.asarray(v), aux, k, "euclidean_metric",
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
