@@ -211,6 +211,54 @@ def main() -> int:
         failures.append("sharded_b512_compile")
         emit({"gate": "sharded_bf16_1m_b512", "error": str(e)[:200]})
 
+    # ---- big-batch euclid: Pallas surrogate stage 1 vs the XLA epilogue
+    # form (the production route above pallas_gmax_f_min_batch; recency
+    # stays on the XLA form). Same epilogue math, different stage 1 — the
+    # exactness contract is index identity between the two forms.
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_metric_pallas
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+    b_m = 1024
+    q_m = jnp.asarray(
+        rng.standard_normal((b_m, d), dtype=np.float32), jnp.bfloat16
+    )
+    aux = jnp.sum(rows.astype(jnp.float32) ** 2, axis=1)
+
+    print("compiling euclid XLA form (b=1024)...", flush=True)
+    saved = CONFIG.pallas_gmax_f_min_batch
+    CONFIG.pallas_gmax_f_min_batch = 0  # pure XLA epilogue form
+    rank_top_k_grouped_metric.clear_cache()
+    try:
+        _, (_, x_idx) = timed(
+            lambda qq: rank_top_k_grouped_metric(
+                qq, rows, aux, k, "euclidean_metric", group=128
+            ),
+            q_m, iters=5, trials=1,
+        )
+        x_idx = np.asarray(x_idx)
+    finally:
+        CONFIG.pallas_gmax_f_min_batch = saved
+        rank_top_k_grouped_metric.clear_cache()
+
+    print("compiling euclid Pallas surrogate (b=1024)...", flush=True)
+    try:
+        sec, (_, m_idx) = timed(
+            lambda qq: rank_top_k_grouped_metric_pallas(
+                qq, rows, aux, k, "euclidean_metric"
+            ),
+            q_m,
+        )
+        eq = bool((np.asarray(m_idx) == x_idx).all())
+        if not eq:
+            failures.append("euclid_surrogate_vs_xla")
+        emit({"gate": "euclid_surrogate_bf16_1m_b1024", "index_equal": eq,
+              "qps": round(b_m / sec), "ms": round(sec * 1e3, 2)})
+    except Exception as e:  # noqa: BLE001
+        failures.append("euclid_surrogate_compile")
+        emit({"gate": "euclid_surrogate_bf16_1m_b1024",
+              "error": str(e)[:200]})
+
     emit({"gate": "verdict", "failures": failures, "ok": not failures})
     return 1 if failures else 0
 
