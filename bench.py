@@ -95,14 +95,16 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     from hyperdb_tpu.core.store import bucket_size
 
     # pre-normalize once at "ingest" (f32 math, stored back at f16), padded
-    # to the store's bucket shape with a validity mask (the engine layout)
+    # to the store's bucket shape with a validity mask, served as a bf16
+    # device plane (the engine layout: core/store._DEVICE_DTYPES — Mosaic
+    # has no f16; measured equal-throughput to f16 rows at this shape)
     n = vectors_f16.shape[0]
     n_pad = bucket_size(n)
     norms = np.linalg.norm(vectors_f16.astype(np.float32), axis=1, keepdims=True)
     norms[norms == 0] = 1
     v_norm = np.zeros((n_pad, vectors_f16.shape[1]), dtype=np.float16)
     v_norm[:n] = (vectors_f16.astype(np.float32) / norms).astype(np.float16)
-    rows = jnp.asarray(v_norm)
+    rows = jnp.asarray(v_norm, dtype=jnp.bfloat16)
     valid = np.zeros(n_pad, dtype=bool)
     valid[:n] = True
     row_valid = jnp.asarray(valid)
@@ -111,18 +113,18 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     # top-k (group-max + rescore) replaces native TopK — measured 3x at
     # batch 256 (benchmarks/ab_grouped_topk3.py), index-exact
     qn = queries[:batch] / np.linalg.norm(queries[:batch], axis=1, keepdims=True)
-    q = jnp.asarray(qn.astype(np.float16))
+    q = jnp.asarray(qn.astype(np.float16), dtype=jnp.bfloat16)  # match rows
     group = _auto_group(batch)
 
     def rank(qq):
         return rank_top_k_grouped(qq, rows, k=k, row_mask=row_valid, group=group)
 
     def trial():
-        acc = jnp.zeros((), dtype=jnp.float16)
-        start = time.perf_counter()
+        acc = jnp.zeros((), dtype=jnp.bfloat16)  # q's dtype: f16 acc would
+        start = time.perf_counter()               # promote q + acc*0 to f32
         for _ in range(iters):
             vals, _ = rank(q + acc * 0)
-            acc = vals[0, 0].astype(jnp.float16)
+            acc = vals[0, 0].astype(jnp.bfloat16)
         float(acc)  # single blocking readback
         return time.perf_counter() - start
 

@@ -157,7 +157,7 @@ def case_b(batches=(64, 256)):
         )
 
 
-def case_m(batches=(512, 1024, 2048)):
+def case_m(batches=(512, 1024, 2048), only=None):
     """Euclid/hamming surrogate route (ops/pallas_gmax.
     rank_top_k_grouped_metric_pallas) vs the XLA epilogue form at 1M x 384
     bf16 — the same big-batch regime where the dot form won (case A)."""
@@ -178,6 +178,10 @@ def case_m(batches=(512, 1024, 2048)):
             jnp.asarray((raw > 0).astype(np.float32), dtype=jnp.bfloat16),
             jnp.asarray((raw > 0).sum(axis=1).astype(np.float32)),
         ),
+        "jaccard_similarity": (
+            jnp.asarray((raw > 0).astype(np.float32), dtype=jnp.bfloat16),
+            jnp.asarray((raw > 0).sum(axis=1).astype(np.float32)),
+        ),
     }
     from hyperdb_tpu.config import CONFIG
 
@@ -194,6 +198,8 @@ def case_m(batches=(512, 1024, 2048)):
             CONFIG.pallas_gmax_f_min_batch = saved
             rank_top_k_grouped_metric.clear_cache()
 
+    if only:
+        cases = {m: c for m, c in cases.items() if only in m}
     for metric, (v, aux) in cases.items():
         for b in batches:
             q = jnp.asarray(
@@ -236,13 +242,19 @@ def case_m(batches=(512, 1024, 2048)):
 
 def main():
     which = (sys.argv[1] if len(sys.argv) > 1 else "ab").lower()
-    batches = tuple(int(x) for x in sys.argv[2:])
+    rest = sys.argv[2:]
+    only = None  # e.g. `m 1024 2048 only=jaccard` narrows case M's metrics
+    for tok in list(rest):
+        if tok.startswith("only="):
+            only = tok.split("=", 1)[1]
+            rest.remove(tok)
+    batches = tuple(int(x) for x in rest)
     if "a" in which:
         case_a(batches or (8, 64, 256))
     if "b" in which:
         case_b(batches or (64, 256))
     if "m" in which:
-        case_m(batches or (512, 1024, 2048))
+        case_m(batches or (512, 1024, 2048), only=only)
     return 0
 
 

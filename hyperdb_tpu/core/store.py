@@ -281,15 +281,20 @@ class VectorStore:
         """Binarized (x > 0) 0/1 rows + per-row popcounts for the hamming/
         jaccard grouped kernels. Built lazily on the first binary-metric
         query (it costs another (N_pad, d) device array) and cached on the
-        device view until the next mutation. 0/1 values are exact in every
-        float dtype and the f32-accumulated matmul counts them exactly."""
+        device view until the next mutation.
+
+        Always bf16 regardless of the master dtype: 0/1 operands are exact
+        in bf16 and the matmul accumulates in f32 (exact integer counts to
+        2^24), so the plane costs half the HBM reads of f32 with identical
+        scores — and stays inside the Pallas gmax routes' low-precision
+        contract (Mosaic has no f16; f32 planes fail its DEFAULT-precision
+        gate)."""
         dv = self.device_view(source_indices)
         if "rows_bin" not in dv:
-            dev_dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
             host_bin = (self.vectors.astype(np.float32) > 0).astype(np.float32)
             n, d = host_bin.shape
             padded = np.zeros((dv["n_pad"], d), dtype=np.float32)
             padded[:n] = host_bin
-            dv["rows_bin"] = jnp.asarray(padded.astype(np.dtype(dev_dtype)))
+            dv["rows_bin"] = jnp.asarray(padded, dtype=jnp.bfloat16)
             dv["row_bin_sum"] = jnp.asarray(np.sum(padded, axis=1))
         return dv

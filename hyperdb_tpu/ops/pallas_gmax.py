@@ -143,6 +143,66 @@ def gmax_f(
     return out.transpose(1, 0, 2).reshape(b, n // GROUP)
 
 
+def _gmax_kernel_jaccard(q_ref, qc_ref, v_ref, aux_ref, extra_ref, out_ref):
+    # q: (B, d) 0/1 binarized, qc: (B, 1) f32 = |qb|, v: (blk, d) 0/1,
+    # aux: (1, blk) f32 = popcount |vb|, extra: (1, blk) f32 mask additive.
+    # The true jaccard score inter/(|qb|+|vb|-inter) is NOT a monotone
+    # transform of any dot surrogate (|vb| varies per row), so unlike
+    # euclid/hamming it needs its own VPU epilogue — still one matmul and
+    # the same VMEM-resident group-max.
+    inter = jax.lax.dot_general(
+        q_ref[:],
+        v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = inter / (qc_ref[:] + aux_ref[:] - inter)  # 0/0 -> NaN (both empty)
+    s = jnp.where(jnp.isnan(s), -jnp.inf, s)  # reference NaN->-inf scrub
+    s = s + extra_ref[:]  # -inf on masked/padding rows
+    b, blk = s.shape
+    out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gmax_jaccard(
+    queries: jax.Array,
+    vectors: jax.Array,
+    q_sum: jax.Array,
+    aux: jax.Array,
+    extra: jax.Array,
+    interpret: bool = False,
+):
+    """Per-group maxes of the TRUE jaccard scores (binary 0/1 operands).
+
+    Shapes as :func:`gmax_f` plus ``q_sum`` (B, 1) f32 per-query popcounts
+    and ``aux`` (N,) f32 per-row popcounts; ``extra`` carries the mask
+    (and recency — additive after the true score, so exactness holds).
+    """
+    from jax.experimental import pallas as pl
+
+    b, d = queries.shape
+    n = vectors.shape[0]
+    qblk = _q_tile(b)
+    blk = _block_rows(b, d, vectors.dtype.itemsize)
+    grid = n // blk
+    # query tiles innermost — corpus block fetched once (see gmax_f)
+    out = pl.pallas_call(
+        _gmax_kernel_jaccard,
+        grid=(grid, b // qblk),
+        in_specs=[
+            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((qblk, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
+            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, qblk, blk // GROUP), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
+        interpret=interpret,
+    )(queries, q_sum, vectors, aux.reshape(1, n), extra.reshape(1, n))
+    return out.transpose(1, 0, 2).reshape(b, n // GROUP)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gmax_int8(
     q_i8: jax.Array,
@@ -303,6 +363,10 @@ def rank_top_k_grouped_metric_pallas(
     scores tie exactly (clamped euclidean zeros / ulp-level rounding), where
     any winner set is valid — the same caveat as every grouped kernel here.
 
+    Jaccard has no dot surrogate (|vb| varies per row inside the ratio), so
+    its stage 1 is the :func:`gmax_jaccard` kernel computing the TRUE score
+    in VMEM — same traffic shape, exact group maxes by construction.
+
     Recency breaks the monotonicity argument (it adds per-row AFTER the
     transform): callers route recency queries to the XLA form.
     """
@@ -317,7 +381,9 @@ def rank_top_k_grouped_metric_pallas(
     b = queries.shape[0]
     blk = _block_rows(b, d, rows.dtype.itemsize)
     if (
-        metric not in ("euclidean_metric", "hamming_distance")
+        metric not in (
+            "euclidean_metric", "hamming_distance", "jaccard_similarity",
+        )
         or not supported(b, n, d)
         or n % blk
         or n // GROUP < k
@@ -327,7 +393,7 @@ def rank_top_k_grouped_metric_pallas(
             queries, rows, row_aux, k, metric, row_mask=row_mask,
             group=GROUP,
         )
-    if metric == "hamming_distance":
+    if metric in ("hamming_distance", "jaccard_similarity"):
         q32 = (queries > 0).astype(jnp.float32)
     else:
         q32 = queries.astype(jnp.float32)
@@ -340,8 +406,15 @@ def rank_top_k_grouped_metric_pallas(
         )
 
     aux32 = row_aux.astype(jnp.float32)
-    extra = make_extra(n, row_mask) - aux32  # -inf on masked rows survives
-    gm = gmax_f(qq * 2, rows, extra, interpret=interpret)  # (B, g) surrogate
+    if metric == "jaccard_similarity":
+        qsum = jnp.sum(q32, axis=-1, keepdims=True)  # (B, 1) f32 popcounts
+        gm = gmax_jaccard(
+            qq, rows, qsum, aux32, make_extra(n, row_mask),
+            interpret=interpret,
+        )  # (B, g) TRUE grouped maxes
+    else:
+        extra = make_extra(n, row_mask) - aux32  # -inf on masked survives
+        gm = gmax_f(qq * 2, rows, extra, interpret=interpret)  # surrogate
     _, gidx = jax.lax.top_k(gm, k)  # (B, k)
 
     g = n // GROUP

@@ -256,14 +256,16 @@ def rank_top_k_grouped_metric(
 
     if (
         recency is None
-        and metric in ("euclidean_metric", "hamming_distance")
+        and metric in GROUPED_METRICS
         and _use_pallas_gmax_f(qq, rows, k)
         and prec == jax.lax.Precision.DEFAULT
     ):
         # big-batch euclid/hamming: the true score is a monotone transform
         # of the surrogate 2 q.v - aux, so stage 1 rides the Pallas gmax
         # kernel (VMEM-resident epilogue) with the exact metric rescored in
-        # stage 3; recency breaks monotonicity, so those queries stay here
+        # stage 3; jaccard gets its own true-score kernel epilogue
+        # (gmax_jaccard); recency breaks the euclid/hamming monotonicity
+        # argument, so recency queries stay here
         from hyperdb_tpu.ops.pallas_gmax import (
             rank_top_k_grouped_metric_pallas,
         )

@@ -236,9 +236,14 @@ def test_float_route_gate(monkeypatch):
 
 def test_metric_surrogate_pipeline_index_identical(monkeypatch):
     """rank_top_k_grouped_metric_pallas (surrogate stage 1 on the dot-form
-    kernel + true-metric stage 3) matches the XLA epilogue formulation for
-    euclidean and hamming, incl. masks and multi-block grids, in interpret
-    mode."""
+    kernel + true-metric stage 3; true-score kernel for jaccard) matches
+    the XLA epilogue formulation for euclidean/hamming/jaccard, incl.
+    masks and multi-block grids, in interpret mode.
+
+    Rows are the bf16 device plane (the engine layout — f32 rows fail the
+    kernel's DEFAULT-precision gate and would vacuously compare the XLA
+    form to itself); the kernel branch is asserted to actually run.
+    """
     from hyperdb_tpu.ops import pallas_gmax as pg
     from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
 
@@ -247,35 +252,65 @@ def test_metric_surrogate_pipeline_index_identical(monkeypatch):
     v = rng.standard_normal((n, d)).astype(np.float32)
     q = rng.standard_normal((b, d)).astype(np.float32)
     mask = jnp.asarray(rng.random(n) < 0.9)
+    v16 = jnp.asarray(v, dtype=jnp.bfloat16)  # device plane
 
-    # euclidean: raw rows, aux = |v|^2
+    calls = {"f": 0, "j": 0}
+    real_f, real_j = pg.gmax_f, pg.gmax_jaccard
+    monkeypatch.setattr(
+        pg, "gmax_f",
+        lambda *a, **kw: (calls.__setitem__("f", calls["f"] + 1),
+                          real_f(*a, **kw))[1],
+    )
+    monkeypatch.setattr(
+        pg, "gmax_jaccard",
+        lambda *a, **kw: (calls.__setitem__("j", calls["j"] + 1),
+                          real_j(*a, **kw))[1],
+    )
+
+    # euclidean: raw rows, aux = |v|^2 (from the host master, engine-style)
     aux = jnp.asarray(np.sum(v.astype(np.float32) ** 2, axis=1))
     want_v, want_i = rank_top_k_grouped_metric(
-        jnp.asarray(q), jnp.asarray(v), aux, k, "euclidean_metric",
+        jnp.asarray(q), v16, aux, k, "euclidean_metric",
         row_mask=mask, group=GROUP,
     )
     got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
-        jnp.asarray(q), jnp.asarray(v), aux, k, "euclidean_metric",
+        jnp.asarray(q), v16, aux, k, "euclidean_metric",
         row_mask=mask, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_allclose(
         np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-6
     )
+    assert calls["f"] == 1  # the surrogate kernel branch genuinely ran
 
-    # hamming: binarized rows, aux = popcount (queries binarize inside)
+    # hamming/jaccard: binarized bf16 rows (store.binary_view layout),
+    # aux = popcount; queries binarize inside
     vb = (v > 0).astype(np.float32)
+    vb16 = jnp.asarray(vb, dtype=jnp.bfloat16)
     auxb = jnp.asarray(vb.sum(axis=1))
     want_v, want_i = rank_top_k_grouped_metric(
-        jnp.asarray(q), jnp.asarray(vb), auxb, k, "hamming_distance",
+        jnp.asarray(q), vb16, auxb, k, "hamming_distance",
         row_mask=mask, group=GROUP,
     )
     got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
-        jnp.asarray(q), jnp.asarray(vb), auxb, k, "hamming_distance",
+        jnp.asarray(q), vb16, auxb, k, "hamming_distance",
         row_mask=mask, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert calls["f"] == 2
+
+    want_v, want_i = rank_top_k_grouped_metric(
+        jnp.asarray(q), vb16, auxb, k, "jaccard_similarity",
+        row_mask=mask, group=GROUP,
+    )
+    got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
+        jnp.asarray(q), vb16, auxb, k, "jaccard_similarity",
+        row_mask=mask, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert calls["j"] == 1  # the jaccard true-score kernel genuinely ran
 
 
 def test_metric_surrogate_out_of_contract_falls_back():
