@@ -68,11 +68,27 @@ def _block_rows(b: int, d: int, itemsize: int) -> int:
     return blk
 
 
-def _gmax_kernel_f(q_ref, v_ref, extra_ref, out_ref):
+def _emit_gmax(out_ref, s, transposed: bool):
+    """Group-reduce the (qblk, blk) score tile and store one grid slice.
+
+    Output layout is chosen by the caller (see :func:`_out_layout`): the
+    transposed (blkg, qblk) orientation keeps the array's LAST dim a lane
+    multiple — the straight (qblk, blkg) orientation's last dim is blkg
+    (typically 16), which TPU T(8,128) tiling pads 8x, inflating a 512 MB
+    result to 4 GB of allocation AND write traffic at 2^24 x 768 int8
+    (the round-3 capacity OOM). The in-kernel transpose of the small max
+    tile measured FASTER than the padded store (8.46 vs 9.18 ms at
+    1M x 384 b=1024, results.jsonl probe)."""
+    b, blk = s.shape
+    gm = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
+    out_ref[0] = gm.T if transposed else gm
+
+
+def _gmax_kernel_f(q_ref, v_ref, extra_ref, out_ref, *, transposed):
     # q: (B, d) f, v: (blk, d) f, extra: (1, blk) f32
-    # out: (1, B, blk/128) f32 — one grid step's slice (3D so the block
-    # equals the array's trailing dims, satisfying Mosaic's lane tiling;
-    # the caller transposes (grid, B, blkg) -> (B, g) outside the kernel)
+    # out: one grid step's (1, qblk, blkg) or transposed (1, blkg, qblk)
+    # slice — 3D so the block equals the array's trailing dims, satisfying
+    # Mosaic's lane tiling; the caller transposes back outside the kernel
     s = jax.lax.dot_general(
         q_ref[:],
         v_ref[:],
@@ -83,11 +99,10 @@ def _gmax_kernel_f(q_ref, v_ref, extra_ref, out_ref):
     # NaN scrub mirrors the XLA path: inf scores on masked rows (extra=-inf)
     # would otherwise poison the group max and steal a winner slot
     s = jnp.where(jnp.isnan(s), -jnp.inf, s)
-    b, blk = s.shape
-    out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
+    _emit_gmax(out_ref, s, transposed)
 
 
-def _gmax_kernel_int8(q_ref, qs_ref, v_ref, vs_ref, extra_ref, out_ref):
+def _gmax_kernel_int8(q_ref, qs_ref, v_ref, vs_ref, extra_ref, out_ref, *, transposed):
     # q: (B, d) i8, qs: (B, 1) f32, v: (blk, d) i8, vs/extra: (1, blk) f32
     s = jax.lax.dot_general(
         q_ref[:],
@@ -97,8 +112,34 @@ def _gmax_kernel_int8(q_ref, qs_ref, v_ref, vs_ref, extra_ref, out_ref):
     )
     s = s.astype(jnp.float32) * (qs_ref[:] * vs_ref[:]) + extra_ref[:]
     s = jnp.where(jnp.isnan(s), -jnp.inf, s)
-    b, blk = s.shape
-    out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
+    _emit_gmax(out_ref, s, transposed)
+
+
+def _out_layout(pl, grid: int, b: int, qblk: int, blkg: int):
+    """(transposed, out_spec, out_shape) for a gmax pallas_call.
+
+    Lane-aligned (transposed) whenever the query tile is a lane multiple;
+    below 128 queries the straight layout pads less (qblk in the lane dim
+    would pad 128/qblk x while blkg >= 8 in the sublane dim pads at most
+    8/blkg x on a result that is tiny at such batches anyway)."""
+    transposed = qblk % 128 == 0
+    if transposed:
+        return (
+            True,
+            pl.BlockSpec((1, blkg, qblk), lambda i, j: (i, 0, j)),
+            jax.ShapeDtypeStruct((grid, blkg, b), jnp.float32),
+        )
+    return (
+        False,
+        pl.BlockSpec((1, qblk, blkg), lambda i, j: (i, j, 0)),
+        jax.ShapeDtypeStruct((grid, b, blkg), jnp.float32),
+    )
+
+
+def _untile_gmax(out, transposed: bool, b: int, n: int):
+    """(grid, ., .) pallas output -> (B, N // GROUP) group-max matrix."""
+    perm = (2, 0, 1) if transposed else (1, 0, 2)
+    return out.transpose(*perm).reshape(b, n // GROUP)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -125,25 +166,28 @@ def gmax_f(
     qblk = _q_tile(b)
     blk = _block_rows(b, d, vectors.dtype.itemsize)
     grid = n // blk
+    transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
     # 2-D grid (corpus blocks, query tiles) with query tiles INNERMOST:
     # the corpus block's index map ignores j, so Pallas keeps the fetched
     # block resident across the j sweep — one corpus read total.
     out = pl.pallas_call(
-        _gmax_kernel_f,
+        functools.partial(_gmax_kernel_f, transposed=transposed),
         grid=(grid, b // qblk),
         in_specs=[
             pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
             pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
             pl.BlockSpec((1, blk), lambda i, j: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, qblk, blk // GROUP), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(queries, vectors, extra.reshape(1, n))
-    return out.transpose(1, 0, 2).reshape(b, n // GROUP)
+    return _untile_gmax(out, transposed, b, n)
 
 
-def _gmax_kernel_jaccard(q_ref, qc_ref, v_ref, aux_ref, extra_ref, out_ref):
+def _gmax_kernel_jaccard(
+    q_ref, qc_ref, v_ref, aux_ref, extra_ref, out_ref, *, transposed
+):
     # q: (B, d) 0/1 binarized, qc: (B, 1) f32 = |qb|, v: (blk, d) 0/1,
     # aux: (1, blk) f32 = popcount |vb|, extra: (1, blk) f32 mask additive.
     # The true jaccard score inter/(|qb|+|vb|-inter) is NOT a monotone
@@ -159,8 +203,7 @@ def _gmax_kernel_jaccard(q_ref, qc_ref, v_ref, aux_ref, extra_ref, out_ref):
     s = inter / (qc_ref[:] + aux_ref[:] - inter)  # 0/0 -> NaN (both empty)
     s = jnp.where(jnp.isnan(s), -jnp.inf, s)  # reference NaN->-inf scrub
     s = s + extra_ref[:]  # -inf on masked/padding rows
-    b, blk = s.shape
-    out_ref[0] = jnp.max(s.reshape(b, blk // GROUP, GROUP), axis=-1)
+    _emit_gmax(out_ref, s, transposed)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -185,9 +228,10 @@ def gmax_jaccard(
     qblk = _q_tile(b)
     blk = _block_rows(b, d, vectors.dtype.itemsize)
     grid = n // blk
+    transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
     # query tiles innermost — corpus block fetched once (see gmax_f)
     out = pl.pallas_call(
-        _gmax_kernel_jaccard,
+        functools.partial(_gmax_kernel_jaccard, transposed=transposed),
         grid=(grid, b // qblk),
         in_specs=[
             pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
@@ -196,11 +240,11 @@ def gmax_jaccard(
             pl.BlockSpec((1, blk), lambda i, j: (0, i)),
             pl.BlockSpec((1, blk), lambda i, j: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, qblk, blk // GROUP), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(queries, q_sum, vectors, aux.reshape(1, n), extra.reshape(1, n))
-    return out.transpose(1, 0, 2).reshape(b, n // GROUP)
+    return _untile_gmax(out, transposed, b, n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -223,9 +267,10 @@ def gmax_int8(
     qblk = _q_tile(b)
     blk = _block_rows(b, d, 1)
     grid = n // blk
+    transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
     # query tiles innermost — corpus block fetched once (see gmax_f)
     out = pl.pallas_call(
-        _gmax_kernel_int8,
+        functools.partial(_gmax_kernel_int8, transposed=transposed),
         grid=(grid, b // qblk),
         in_specs=[
             pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
@@ -234,8 +279,8 @@ def gmax_int8(
             pl.BlockSpec((1, blk), lambda i, j: (0, i)),
             pl.BlockSpec((1, blk), lambda i, j: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, qblk, blk // GROUP), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(
         q_i8,
@@ -244,7 +289,7 @@ def gmax_int8(
         v_scales.reshape(1, n),
         extra.reshape(1, n),
     )
-    return out.transpose(1, 0, 2).reshape(b, n // GROUP)
+    return _untile_gmax(out, transposed, b, n)
 
 
 def supported(b: int, n: int, d: int) -> bool:
