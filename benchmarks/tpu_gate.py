@@ -259,6 +259,58 @@ def main() -> int:
         emit({"gate": "euclid_surrogate_bf16_1m_b1024",
               "error": str(e)[:200]})
 
+    # ---- pearson plane route: NaN rows through the REAL Mosaic kernel ----
+    # Big-batch pearson rides the dot routes over a centered unit-norm
+    # plane whose constant rows are NaN on purpose (store.pearson_view);
+    # interpret mode pins the NaN->-inf scrub hermetically, this case
+    # proves it on actual Mosaic lowering at production scale.
+    print("building pearson plane...", flush=True)
+    vc = host - host.mean(axis=1, keepdims=True)
+    vc[123] = 0.0
+    vc[777777] = 0.0  # two "constant" rows -> 0/0 -> NaN plane rows
+    norms = np.linalg.norm(vc, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vc /= norms
+    plane = jnp.asarray(vc, dtype=jnp.bfloat16)
+    qc_host = np.asarray(
+        rng.standard_normal((b_m, d), dtype=np.float32)
+    )
+    qc_host -= qc_host.mean(axis=1, keepdims=True)
+    qc_host /= np.linalg.norm(qc_host, axis=1, keepdims=True)
+    q_p = jnp.asarray(qc_host, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def native_scrubbed(qq, rr):
+        s = jax.lax.dot_general(
+            qq, rr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(jnp.isnan(s), -jnp.inf, s)
+        return jax.lax.top_k(s, k)
+
+    print("compiling pearson native reference (b=1024)...", flush=True)
+    try:
+        _, (_, ref_p_idx) = timed(native_scrubbed, q_p, plane,
+                                  iters=5, trials=1)
+        ref_p_idx = np.asarray(ref_p_idx)
+        print("compiling pearson routed rank_top_k (b=1024)...", flush=True)
+        sec, (_, p_idx) = timed(routed, q_p, plane)
+        p_idx = np.asarray(p_idx)
+        eq = bool((p_idx == ref_p_idx).all())
+        nan_clean = bool(
+            (p_idx != 123).all() and (p_idx != 777777).all()
+        )
+        if not eq:
+            failures.append("pearson_plane_vs_native")
+        if not nan_clean:
+            failures.append("pearson_nan_rows_ranked")
+        emit({"gate": "pearson_plane_bf16_1m_b1024", "index_equal": eq,
+              "nan_rows_excluded": nan_clean,
+              "qps": round(b_m / sec), "ms": round(sec * 1e3, 2)})
+    except Exception as e:  # noqa: BLE001
+        failures.append("pearson_plane_compile")
+        emit({"gate": "pearson_plane_bf16_1m_b1024", "error": str(e)[:200]})
+
     emit({"gate": "verdict", "failures": failures, "ok": not failures})
     return 1 if failures else 0
 

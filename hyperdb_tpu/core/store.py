@@ -298,3 +298,30 @@ class VectorStore:
             dv["rows_bin"] = jnp.asarray(padded, dtype=jnp.bfloat16)
             dv["row_bin_sum"] = jnp.asarray(np.sum(padded, axis=1))
         return dv
+
+    def pearson_view(self, source_indices) -> dict:
+        """Mean-centered unit-norm rows for the pearson grouped fast path.
+
+        pearson(q, v) == dot(center(q)/|center(q)|, center(v)/|center(v)|)
+        (ranking_algorithm.py:77-113 algebraically rearranged), so with this
+        plane the metric IS dot_product and inherits the grouped / Pallas
+        gmax big-batch routes unchanged. Constant rows divide 0/0 -> NaN
+        here ON PURPOSE: every ranking kernel scrubs NaN -> -inf right
+        after its matmul, which is exactly the reference's "any constant
+        vector involved -> NaN -> never ranked" contract (ops/metrics.py
+        pearson_scores note). Built lazily on the first big-batch pearson
+        query and cached on the device view until the next mutation; dtype
+        follows the rows plane (bf16 for f16 masters — Mosaic has no f16)."""
+        dv = self.device_view(source_indices)
+        if "rows_pearson" not in dv:
+            v32 = self.vectors.astype(np.float32)
+            vc = v32 - v32.mean(axis=1, keepdims=True)
+            norms = np.linalg.norm(vc, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vc /= norms  # constant rows -> NaN rows (intended)
+            n, d = vc.shape
+            padded = np.zeros((dv["n_pad"], d), dtype=np.float32)
+            padded[:n] = vc
+            dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
+            dv["rows_pearson"] = jnp.asarray(padded, dtype=dtype)
+        return dv

@@ -60,7 +60,19 @@ def _dus_vec_impl(buf, block, offset):
 
 # donation frees the old corpus buffer as the update lands — mutation never
 # holds two copies of a multi-GB shard set
+def _pearson_plane_impl(rows):
+    """Centered unit-norm rows (elementwise per row — sharding-preserving,
+    no collectives). Constant/pad rows divide 0/0 -> NaN ON PURPOSE: the
+    shard programs scrub NaN -> -inf after their matmul, the reference's
+    constant-vector pearson contract (core/store.pearson_view docstring)."""
+    f32 = rows.astype(jnp.float32)
+    c = f32 - jnp.mean(f32, axis=1, keepdims=True)
+    n = jnp.linalg.norm(c, axis=1, keepdims=True)
+    return (c / n).astype(rows.dtype)
+
+
 _dus_rows = jax.jit(_dus_rows_impl, donate_argnums=(0,))
+_pearson_plane_jit = jax.jit(_pearson_plane_impl)
 _dus_vec = jax.jit(_dus_vec_impl, donate_argnums=(0,))
 
 
@@ -261,6 +273,30 @@ class ShardedHyperDB:
         else:
             self.rows = _dus_rows(self.rows, block, off)
             self.rows_norm = _dus_rows(self.rows_norm, block_norm, off)
+            if hasattr(self, "rows_pearson"):
+                # keep the lazily built pearson plane in sync with appends
+                # (tombstone removes only mask rows, so the plane stays
+                # valid under them without help)
+                pc = block[:m] - block[:m].mean(axis=1, keepdims=True)
+                pn = np.linalg.norm(pc, axis=1, keepdims=True)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    pc = pc / pn  # constant rows -> NaN (intended)
+                pblock = np.zeros_like(block)
+                pblock[:m] = pc
+                self.rows_pearson = _dus_rows(self.rows_pearson, pblock, off)
+
+    def _pearson_plane(self):
+        """Sharded centered unit-norm rows: pearson(q, v) == dot over this
+        plane with a centered unit-norm query (core/store.pearson_view has
+        the algebra), so pearson queries ride the per-shard grouped/Pallas
+        dot kernels instead of materializing (B, n_local) pearson scores.
+        Built lazily ON DEVICE from the existing shards (one elementwise
+        jitted program — alignment with tombstoned/appended rows is
+        inherited, and device_rows-injected corpora need no host copy),
+        cached until compact() rebuilds the shard set."""
+        if not hasattr(self, "rows_pearson"):
+            self.rows_pearson = _pearson_plane_jit(self.rows)
+        return self.rows_pearson
 
     @property
     def capacity_remaining(self) -> int:
@@ -298,8 +334,8 @@ class ShardedHyperDB:
             capacity_rows = self.n_pad
         # free the old shard set first — compaction must not transiently
         # hold two multi-GB corpora on the mesh
-        for name in ("rows", "rows_norm", "rows_q", "row_scales",
-                     "rowsn_q", "rown_scales"):
+        for name in ("rows", "rows_norm", "rows_pearson", "rows_q",
+                     "row_scales", "rowsn_q", "rown_scales"):
             if hasattr(self, name):
                 delattr(self, name)
         self._build_host_shards(capacity_rows)
@@ -535,15 +571,33 @@ class ShardedHyperDB:
         k_fetch = min(k_fetch, self.n_pad)
 
         prenorm = metric == "cosine_similarity"
+        pearson = metric == "pearson_correlation"
         use_int8 = self.precision == "int8-pure"
         if use_int8 and metric not in ("cosine_similarity", "dot_product"):
             raise ValueError(
                 "precision='int8-pure' supports cosine_similarity and "
                 f"dot_product only on the sharded scan (got '{metric}')."
             )
-        rows_dev = None if use_int8 else (self.rows_norm if prenorm else self.rows)
+        if use_int8:
+            rows_dev = None
+        elif prenorm:
+            rows_dev = self.rows_norm
+        elif pearson:
+            # pearson-as-dot over the centered unit-norm plane: dot values
+            # ARE true pearson scores (no post-rescale, unlike cosine), so
+            # recency composes directly and the per-shard grouped/Pallas
+            # dot kernels serve the scan (_pearson_plane docstring).
+            rows_dev = self._pearson_plane()
+            q32 = q.astype(np.float32)
+            qc = q32 - q32.mean(axis=1, keepdims=True)
+            qcn = np.linalg.norm(qc, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                qc /= qcn  # constant query row -> NaN -> scrubbed to -inf
+            q = qc.astype(q.dtype)
+        else:
+            rows_dev = self.rows
         mask_dev = jax.device_put(row_mask, self._mask_sharding)
-        dev_metric = "dot_product" if prenorm else metric
+        dev_metric = "dot_product" if (prenorm or pearson) else metric
 
         qn = np.linalg.norm(q.astype(np.float32), axis=1, keepdims=True)
         qn[qn == 0] = 1.0

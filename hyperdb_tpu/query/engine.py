@@ -28,6 +28,7 @@ Preserved reference semantics (SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import functools as _functools
 import time as _time
 
 import numpy as np
@@ -678,6 +679,18 @@ def _normalize_rows_dev(q):
     return q32 / jnp.where(n == 0, 1.0, n)
 
 
+@_functools.partial(jax.jit, static_argnames=("dtype",))
+def _pearson_rows_dev(q, dtype):
+    """Center + unit-normalize a device-resident query block for the
+    pearson-as-dot plane (store.pearson_view). No zero guard ON PURPOSE:
+    a constant query row divides 0/0 -> NaN, and the ranking kernels'
+    NaN -> -inf scrub reproduces the reference's constant-vector contract."""
+    q32 = q.astype(jnp.float32)
+    qc = q32 - jnp.mean(q32, axis=1, keepdims=True)
+    n = jnp.linalg.norm(qc, axis=1, keepdims=True)
+    return (qc / n).astype(dtype)
+
+
 def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=None):
     """Run the fused device program; returns ((B, k) doc_ids, (B, k) scores)."""
     from hyperdb_tpu.config import CONFIG
@@ -909,6 +922,34 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 row_mask=row_mask_dev,
                 recency=rec_pad,
                 group=group,
+            )
+        elif metric == "pearson_correlation" and _grouped_ok(
+            dv["n_pad"], q_block.shape[0]
+        ):
+            # pearson == dot over centered unit-norm rows (store.pearson_view
+            # docstring has the algebra), so the big-batch scan rides the
+            # dot routing — grouped kernel or Pallas gmax — instead of
+            # materializing (B, N) pearson scores. Constant rows/queries
+            # become NaN operands whose scores every kernel scrubs to -inf,
+            # the same contract the pearson_scores fallback hits.
+            pv = db._store.pearson_view(db.source_indices)
+            plane = pv["rows_pearson"]
+            if isinstance(q, jax.Array):
+                qq = _pearson_rows_dev(q, np.dtype(plane.dtype))
+            else:
+                q32 = np.asarray(q, dtype=np.float32)
+                qc = q32 - q32.mean(axis=1, keepdims=True)
+                qn = np.linalg.norm(qc, axis=1, keepdims=True)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    qc /= qn  # constant query row -> NaN (intended)
+                qq = np.ascontiguousarray(qc.astype(plane.dtype))
+            vals, idx = rank_top_k(
+                qq,
+                plane,
+                k=min(k_pad, n_pad),
+                metric="dot_product",
+                row_mask=row_mask_dev,
+                recency=rec_pad,
             )
         else:
             vals, idx = rank_top_k(

@@ -707,3 +707,90 @@ def test_compact_device_rows_corpus_raises(mesh, db, tmp_path):
     sdb = ShardedHyperDB.from_checkpoint(path, mesh)
     with pytest.raises(RuntimeError, match="host"):
         sdb.compact()
+
+
+def test_pearson_matches_single_chip(mesh):
+    """Sharded pearson rides the centered unit-norm plane as dot_product
+    (_pearson_plane); results must match the single-chip engine exactly,
+    including the constant-row NaN -> -inf contract and recency."""
+    rng = np.random.default_rng(30)
+    v = rng.standard_normal((256, 16)).astype(np.float32)
+    v[9] = -1.5  # constant row: pearson NaN -> never ranked
+    docs = [{"i": int(i), "ts": float(i % 19)} for i in range(len(v))]
+    db = HyperDB(documents=docs, vectors=v, metadata_keys=["ts"])
+    sdb = ShardedHyperDB(db, mesh)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+
+    got = sdb.query_batch(q, top_k=6, metric="pearson_correlation")
+    want = db.query_batch(q, top_k=6, metric="pearson_correlation")
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+        assert all(r[2] != 9 for r in g)
+        for (_, gs, _), (_, ws, _) in zip(g, w):
+            assert gs == pytest.approx(ws, rel=1e-4)
+
+    # recency composes directly on the plane's dot scores (no rescale)
+    got = sdb.query_batch(
+        q, top_k=6, metric="pearson_correlation",
+        recency_bias=1.5, timestamp_key="ts",
+    )
+    want = db.query_batch(
+        q, top_k=6, metric="pearson_correlation",
+        recency_bias=1.5, timestamp_key="ts",
+    )
+    for g, w in zip(got, want):
+        assert [r[-1] for r in g] == [r[-1] for r in w]
+        for gr, wr in zip(g, w):
+            assert gr[1] == pytest.approx(wr[1], rel=1e-4)
+
+
+def test_pearson_constant_query_all_neginf(mesh):
+    rng = np.random.default_rng(31)
+    v = rng.standard_normal((128, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(len(v))], vectors=v)
+    sdb = ShardedHyperDB(db, mesh)
+    res = sdb.query_batch(
+        np.full((1, 16), 3.0, dtype=np.float32), top_k=4,
+        metric="pearson_correlation",
+    )[0]
+    assert all(not np.isfinite(r[1]) for r in res)
+
+
+def test_pearson_plane_tracks_incremental_add(mesh):
+    """The lazily built plane is kept in sync by _write_rows: query ->
+    (plane cached) -> add() -> query must rank the new best row first."""
+    rng = np.random.default_rng(32)
+    v = rng.standard_normal((100, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(100)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh, capacity_rows=4096)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    sdb.query_batch(q, top_k=3, metric="pearson_correlation")  # builds plane
+    assert hasattr(sdb, "rows_pearson")
+
+    # a perfectly correlated row: pearson(q, a*q + b) == 1 for a > 0
+    new_vec = (2.5 * q[0] + 0.7).astype(np.float32)
+    sdb.add([{"i": 100}], vectors=new_vec[None])
+    res = sdb.query_batch(q, top_k=3, metric="pearson_correlation")[0]
+    assert res[0][2] == 100
+    assert res[0][1] == pytest.approx(1.0, abs=1e-4)
+
+    # and the full ordering still matches a fresh rebuild
+    fresh = ShardedHyperDB(db, mesh)
+    want = fresh.query_batch(q, top_k=5, metric="pearson_correlation")[0]
+    got = sdb.query_batch(q, top_k=5, metric="pearson_correlation")[0]
+    assert [r[2] for r in got] == [r[2] for r in want]
+
+
+def test_pearson_plane_dropped_on_compact(mesh):
+    rng = np.random.default_rng(33)
+    v = rng.standard_normal((96, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(96)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    base = sdb.query_batch(q, top_k=4, metric="pearson_correlation")
+    assert hasattr(sdb, "rows_pearson")
+    sdb.compact()
+    assert not hasattr(sdb, "rows_pearson")
+    again = sdb.query_batch(q, top_k=4, metric="pearson_correlation")
+    for g, w in zip(again, base):
+        assert [r[2] for r in g] == [r[2] for r in w]
