@@ -132,10 +132,23 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     vals, idx = rank(q)
     np.asarray(idx)
 
-    # 5 trials: the tunnel's transient 0.5-5 s stalls hit individual
-    # trials often enough that best-of-3 still reported a 20-30% spread
-    # across whole runs (49.3k vs 57.8k q/s on identical programs)
-    best = min(trial() for _ in range(5))
+    # Trial schedule: the tunnel's stall PHASES last seconds (a burst of
+    # back-to-back trials can land entirely inside one — observed 43.7k vs
+    # 65.8k whole-run spread on identical programs), so space the trials
+    # out and stop early once the best stops improving. Each trial is
+    # ~0.1 s of device time; the sleeps dominate the budget (~20 s worst
+    # case) and buy samples from independent tunnel states.
+    best = float("inf")
+    stale = 0
+    for i in range(12):
+        t = trial()
+        if t < best * 0.98:
+            best, stale = t, 0
+        else:
+            stale += 1
+            if stale >= 4 and i >= 5:
+                break
+        time.sleep(1.5)
     return batch * iters / best, best
 
 
