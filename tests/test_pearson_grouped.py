@@ -137,6 +137,26 @@ class TestPearsonGroupedPath:
         res = db.query(q, top_k=3, metric="pearson_correlation")
         assert res[0][2] == 2048
 
+    def test_int8_store_rides_float_pearson_plane(self, monkeypatch):
+        """device_precision='int8' keeps the full-precision host master, so
+        pearson builds its plane from it and rides the grouped dot route
+        (int8 fast paths cover only dot/cosine; pearson must not regress
+        to the materialized fallback silently — or worse, crash)."""
+        rng = np.random.default_rng(27)
+        v = rng.standard_normal((2048, 16)).astype(np.float32)
+        db = HyperDB(
+            documents=[{"i": int(i)} for i in range(2048)], vectors=v,
+            device_precision="int8",
+        )
+        monkeypatch.setattr(CONFIG, "grouped_topk_min_rows", 1024)
+        q = rng.standard_normal(16).astype(np.float32)
+        res = db.query(q, top_k=5, metric="pearson_correlation")
+        oracle = _np_pearson(q, v)
+        want = np.argsort(-oracle)[:5].tolist()
+        assert [r[2] for r in res] == want
+        dv = db._store.device_view(db.source_indices)
+        assert "rows_pearson" in dv
+
     def test_device_query_transform_nan_contract(self):
         from hyperdb_tpu.query.engine import _pearson_rows_dev
 
