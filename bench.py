@@ -140,15 +140,15 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     # case) and buy samples from independent tunnel states.
     best = float("inf")
     stale = 0
-    for i in range(12):
+    for i in range(20):
         t = trial()
         if t < best * 0.98:
             best, stale = t, 0
         else:
             stale += 1
-            if stale >= 4 and i >= 5:
+            if stale >= 5 and i >= 7:
                 break
-        time.sleep(1.5)
+        time.sleep(2.0)
     return batch * iters / best, best
 
 
