@@ -132,23 +132,28 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     vals, idx = rank(q)
     np.asarray(idx)
 
-    # Trial schedule: the tunnel's stall PHASES last seconds (a burst of
-    # back-to-back trials can land entirely inside one — observed 43.7k vs
-    # 65.8k whole-run spread on identical programs), so space the trials
-    # out and stop early once the best stops improving. Each trial is
-    # ~0.1 s of device time; the sleeps dominate the budget (~20 s worst
-    # case) and buy samples from independent tunnel states.
+    # Trial schedule: the tunnel's stall PHASES last seconds to minutes (a
+    # burst of back-to-back trials can land entirely inside one — observed
+    # 36-66k q/s whole-run spread on identical programs), so space the
+    # trials out and stop early once the best stops improving MATERIALLY
+    # (>2%; every trial still updates best, so the returned q/s is always
+    # computed from the minimum observed time). Each trial is ~0.1 s of
+    # device time; the sleeps dominate (~42 s worst case at 20 trials) and
+    # buy samples from independent tunnel states.
     best = float("inf")
     stale = 0
     for i in range(20):
+        if i:
+            time.sleep(2.0)
         t = trial()
-        if t < best * 0.98:
-            best, stale = t, 0
+        improved = t < best * 0.98
+        best = min(best, t)
+        if improved:
+            stale = 0
         else:
             stale += 1
             if stale >= 5 and i >= 7:
                 break
-        time.sleep(2.0)
     return batch * iters / best, best
 
 

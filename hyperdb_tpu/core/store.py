@@ -314,14 +314,14 @@ class VectorStore:
         follows the rows plane (bf16 for f16 masters — Mosaic has no f16)."""
         dv = self.device_view(source_indices)
         if "rows_pearson" not in dv:
-            v32 = self.vectors.astype(np.float32)
-            vc = v32 - v32.mean(axis=1, keepdims=True)
-            norms = np.linalg.norm(vc, axis=1, keepdims=True)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                vc /= norms  # constant rows -> NaN rows (intended)
-            n, d = vc.shape
+            from hyperdb_tpu.ops.metrics import pearson_center_normalize
+
+            # exactly ONE (n_pad, d) f32 host temp, like _materialize_plane:
+            # cast-on-assign into the staging buffer, transform in place
+            n, d = self.vectors.shape
             padded = np.zeros((dv["n_pad"], d), dtype=np.float32)
-            padded[:n] = vc
+            padded[:n] = self.vectors
+            pearson_center_normalize(padded[:n])
             dtype = _DEVICE_DTYPES.get(self.fp_dtype, jnp.float32)
             dv["rows_pearson"] = jnp.asarray(padded, dtype=dtype)
         return dv

@@ -30,6 +30,27 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def pearson_center_normalize(x: "np.ndarray") -> "np.ndarray":
+    """IN PLACE: center + unit-normalize rows of an OWNED float32 array.
+
+    This is THE host-side transform behind every pearson-as-dot plane and
+    query block (store.pearson_view, the engine's host-query branch, the
+    sharded plane and its incremental-add sync): pearson(q, v) ==
+    dot(T(q), T(v)) for T = this function. Constant rows divide 0/0 -> NaN
+    ON PURPOSE — every ranking kernel scrubs NaN -> -inf after its matmul,
+    reproducing the reference's constant-vector contract
+    (ranking_algorithm.py:107-111). In place so the full-corpus plane build
+    needs exactly one (n_pad, d) f32 temp; callers must pass an array they
+    own (a fresh copy or the padded staging buffer), never user data.
+    """
+    x -= x.mean(axis=1, keepdims=True)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x /= norms  # constant rows -> NaN rows (intended)
+    return x
 
 # Canonical query-metric names (reference hyperdb.py:1449).
 METRICS = (

@@ -39,6 +39,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from hyperdb_tpu.ops.metrics import (
+    pearson_center_normalize as _pearson_center_normalize,
+)
 from hyperdb_tpu.parallel.distributed import sharded_rank_top_k
 from hyperdb_tpu.query import engine as _engine
 from hyperdb_tpu.query import filters as _filters
@@ -277,12 +280,9 @@ class ShardedHyperDB:
                 # keep the lazily built pearson plane in sync with appends
                 # (tombstone removes only mask rows, so the plane stays
                 # valid under them without help)
-                pc = block[:m] - block[:m].mean(axis=1, keepdims=True)
-                pn = np.linalg.norm(pc, axis=1, keepdims=True)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    pc = pc / pn  # constant rows -> NaN (intended)
                 pblock = np.zeros_like(block)
-                pblock[:m] = pc
+                pblock[:m] = block[:m]
+                _pearson_center_normalize(pblock[:m])
                 self.rows_pearson = _dus_rows(self.rows_pearson, pblock, off)
 
     def _pearson_plane(self):
@@ -588,11 +588,7 @@ class ShardedHyperDB:
             # recency composes directly and the per-shard grouped/Pallas
             # dot kernels serve the scan (_pearson_plane docstring).
             rows_dev = self._pearson_plane()
-            q32 = q.astype(np.float32)
-            qc = q32 - q32.mean(axis=1, keepdims=True)
-            qcn = np.linalg.norm(qc, axis=1, keepdims=True)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                qc /= qcn  # constant query row -> NaN -> scrubbed to -inf
+            qc = _pearson_center_normalize(np.array(q, dtype=np.float32))
             q = qc.astype(q.dtype)
         else:
             rows_dev = self.rows

@@ -937,12 +937,10 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             if isinstance(q, jax.Array):
                 qq = _pearson_rows_dev(q, np.dtype(plane.dtype))
             else:
-                q32 = np.asarray(q, dtype=np.float32)
-                qc = q32 - q32.mean(axis=1, keepdims=True)
-                qn = np.linalg.norm(qc, axis=1, keepdims=True)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    qc /= qn  # constant query row -> NaN (intended)
-                qq = np.ascontiguousarray(qc.astype(plane.dtype))
+                from hyperdb_tpu.ops.metrics import pearson_center_normalize
+
+                qq = pearson_center_normalize(np.array(q, dtype=np.float32))
+                qq = np.ascontiguousarray(qq.astype(plane.dtype))
             vals, idx = rank_top_k(
                 qq,
                 plane,

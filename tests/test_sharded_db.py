@@ -744,7 +744,13 @@ def test_pearson_matches_single_chip(mesh):
             assert gr[1] == pytest.approx(wr[1], rel=1e-4)
 
 
-def test_pearson_constant_query_all_neginf(mesh):
+def test_pearson_constant_query_returns_empty(mesh):
+    """Constant query -> every pearson score is NaN -> -inf. The sharded
+    assembly loop drops non-finite candidates (it cannot distinguish a true
+    -inf score from a masked pad row that crossed the merge), so the result
+    is EMPTY — a documented divergence from the single-chip engine, which
+    returns top_k rows carrying -inf (tests/test_pearson_grouped.py); the
+    reference has no sharded path, so no semantics are binding here."""
     rng = np.random.default_rng(31)
     v = rng.standard_normal((128, 16)).astype(np.float32)
     db = HyperDB(documents=[{"i": int(i)} for i in range(len(v))], vectors=v)
@@ -753,7 +759,7 @@ def test_pearson_constant_query_all_neginf(mesh):
         np.full((1, 16), 3.0, dtype=np.float32), top_k=4,
         metric="pearson_correlation",
     )[0]
-    assert all(not np.isfinite(r[1]) for r in res)
+    assert res == []
 
 
 def test_pearson_plane_tracks_incremental_add(mesh):
