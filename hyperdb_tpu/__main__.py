@@ -177,7 +177,7 @@ def main(argv=None):
     p = sub.add_parser("query", help="query a saved corpus")
     p.add_argument("--db", required=True)
     p.add_argument("--text", required=True)
-    p.add_argument("-k", type=int, default=5)
+    p.add_argument("-k", "--top-k", dest="k", type=int, default=5)
     p.add_argument("--metric", default="cosine_similarity")
     p.add_argument("--filters", default=None,
                    help='JSON, e.g. [["metadata", {"info.type": "fire"}]]')
