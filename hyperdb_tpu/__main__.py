@@ -129,6 +129,7 @@ def cmd_serve(args):
         # batcher cap, in every wire dtype the server will use (a cold
         # program is 30-90 s of remote compile on the serving path)
         db.warmup(top_ks=(5, 10), max_batch=args.max_batch,
+                  metric=tuple(args.warmup_metrics.split(",")),
                   text_max_batch=args.warmup_text or None)
     if args.sharded:
         import jax
@@ -195,6 +196,11 @@ def main(argv=None):
     p.add_argument("--metadata-keys", default=None)
     p.add_argument("--warmup", action="store_true",
                    help="precompile + prefault before accepting traffic")
+    p.add_argument("--warmup-metrics", default="cosine_similarity",
+                   help="comma-separated metrics to precompile with "
+                        "--warmup; metrics with device planes (pearson, "
+                        "hamming, jaccard) also prebuild them here instead "
+                        "of on the first serving query")
     p.add_argument("--warmup-text", type=int, default=0, metavar="N",
                    help="with --warmup, also precompile the TEXT hot path "
                         "(encoder device forwards + chained scan) for pow2 "

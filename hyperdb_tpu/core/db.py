@@ -1270,9 +1270,17 @@ class HyperDB:
         text flush doesn't eat the encoder compiles. ``text_seq_tokens``
         picks which sequence buckets to warm (token counts; the defaults
         cover the 32- and 64-token buckets typical of search queries —
-        every extra bucket is another full set of remote compiles)."""
+        every extra bucket is another full set of remote compiles).
+
+        ``metric`` accepts one name or a tuple: each metric is a distinct
+        program family, and some also pay a ONE-TIME device plane build on
+        first use (pearson's centered unit-norm plane, hamming/jaccard's
+        binarized plane — a full-corpus upload, tens of seconds at 1M rows
+        over this platform's tunnel), which warming moves off the serving
+        path."""
         if self.vectors is None or len(self.vectors) == 0 or not self.documents:
             return
+        metrics = (metric,) if isinstance(metric, str) else tuple(metric)
         if max_batch is not None:
             sizes = []
             b = 1
@@ -1290,17 +1298,20 @@ class HyperDB:
             for dt in dtypes:
                 queries = base.astype(dt)
                 for k in top_ks:
-                    if b == 1:
-                        _engine.execute_query(
-                            self, np.asarray(queries[0], dtype=np.float32),
-                            top_k=k, metric=metric,
-                        )
-                    else:
-                        _engine.execute_query_batch(
-                            self, queries, top_k=k, metric=metric
-                        )
+                    for m in metrics:
+                        if b == 1:
+                            _engine.execute_query(
+                                self, np.asarray(queries[0], dtype=np.float32),
+                                top_k=k, metric=m,
+                            )
+                        else:
+                            _engine.execute_query_batch(
+                                self, queries, top_k=k, metric=m
+                            )
         if text_max_batch:
-            self._warmup_text(text_max_batch, text_seq_tokens, top_ks, metric)
+            self._warmup_text(
+                text_max_batch, text_seq_tokens, top_ks, metrics[0]
+            )
 
     def _warmup_text(self, text_max_batch, text_seq_tokens, top_ks, metric):
         """Warm the text hot path: encoder forwards (device-resident when

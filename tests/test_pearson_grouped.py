@@ -159,6 +159,24 @@ class TestPearsonGroupedPath:
         dv = db._store.device_view(db.source_indices)
         assert "rows_pearson" in dv
 
+    def test_multi_metric_warmup_prebuilds_planes(self, monkeypatch):
+        """warmup(metric=tuple) must build each metric's device plane off
+        the serving path (pearson's centered plane, hamming's binarized
+        plane are full-corpus uploads on first use otherwise)."""
+        rng = np.random.default_rng(28)
+        v = rng.standard_normal((2048, 16)).astype(np.float32)
+        db = HyperDB(
+            documents=[{"i": int(i)} for i in range(2048)], vectors=v
+        )
+        monkeypatch.setattr(CONFIG, "grouped_topk_min_rows", 1024)
+        db.warmup(
+            top_ks=(5,), batch_sizes=(4,),
+            metric=("pearson_correlation", "hamming_distance"),
+        )
+        dv = db._store.device_view(db.source_indices)
+        assert "rows_pearson" in dv
+        assert "rows_bin" in dv
+
     def test_device_query_transform_nan_contract(self):
         from hyperdb_tpu.query.engine import _pearson_rows_dev
 
