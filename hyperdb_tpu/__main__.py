@@ -128,8 +128,19 @@ def cmd_serve(args):
         # warm the SERVING profile: every pow2 flush bucket up to the
         # batcher cap, in every wire dtype the server will use (a cold
         # program is 30-90 s of remote compile on the serving path)
+        from hyperdb_tpu.ops.metrics import METRICS
+
+        metrics = tuple(
+            m.strip() for m in args.warmup_metrics.split(",") if m.strip()
+        )
+        bad = [m for m in metrics if m not in METRICS]
+        if bad or not metrics:
+            raise SystemExit(
+                f"--warmup-metrics: unknown metric(s) {bad or ['(empty)']}; "
+                f"choose from {sorted(METRICS)}"
+            )
         db.warmup(top_ks=(5, 10), max_batch=args.max_batch,
-                  metric=tuple(args.warmup_metrics.split(",")),
+                  metric=metrics,
                   text_max_batch=args.warmup_text or None)
     if args.sharded:
         import jax
@@ -200,7 +211,8 @@ def main(argv=None):
                    help="comma-separated metrics to precompile with "
                         "--warmup; metrics with device planes (pearson, "
                         "hamming, jaccard) also prebuild them here instead "
-                        "of on the first serving query")
+                        "of on the first serving query. The TEXT hot path "
+                        "(--warmup-text) warms with the FIRST metric listed")
     p.add_argument("--warmup-text", type=int, default=0, metavar="N",
                    help="with --warmup, also precompile the TEXT hot path "
                         "(encoder device forwards + chained scan) for pow2 "

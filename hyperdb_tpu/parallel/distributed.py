@@ -31,9 +31,32 @@ from hyperdb_tpu.ops.metrics import scores as _scores
 from hyperdb_tpu.ops.ranking import (
     NEG_INF,
     _auto_group,
+    _manhattan_tile,
     _use_pallas_gmax_f,
     rank_top_k_grouped,
+    rank_top_k_manhattan_stream,
 )
+
+
+def _match_wire_dtype(q: jax.Array, rows: jax.Array) -> jax.Array:
+    """Mismatched low-precision wire rule, per shard (the exact twin of
+    ops/ranking.rank_top_k's dot-path cast): an f16 query block against a
+    bf16 shard plane would (a) promote the dot matmul to f32 and, worse,
+    (b) keep ``dot_precision`` at DEFAULT so the Pallas gmax route fires
+    with an f16 operand — Mosaic has no f16, so the program fails to
+    compile at serve time (advisor r3, high). Casting the (B, d) query
+    block to the plane dtype is shard-local and elementwise (no
+    collectives). f32 wires are NOT touched here — the caller decides
+    whether HIGHEST-precision scoring is the contract (plain dot) or the
+    plane dtype is (cosine/pearson planes, see ShardedHyperDB.query_batch).
+    """
+    if (
+        rows.dtype in (jnp.float16, jnp.bfloat16)
+        and q.dtype in (jnp.float16, jnp.bfloat16)
+        and q.dtype != rows.dtype
+    ):
+        return q.astype(rows.dtype)
+    return q
 
 
 def sharded_rank_top_k(
@@ -97,6 +120,7 @@ def _sharded_topk_program(mesh, axis, n_local, k, k_local, metric,
     def local_fn(q, rows_shard, valid_shard, *rest):
         from hyperdb_tpu.config import CONFIG
 
+        q = _match_wire_dtype(q, rows_shard)
         group = _auto_group(int(q.shape[0]))
         use_grouped = (
             metric == "dot_product"
@@ -127,12 +151,29 @@ def _sharded_topk_program(mesh, axis, n_local, k, k_local, metric,
                     recency=rec, group=group,
                 )
         else:
-            s = _scores(q, rows_shard, metric)  # (B, n_local)
-            s = jnp.where(jnp.isnan(s), NEG_INF, s)
-            if has_recency:
-                s = s + rest[0][None, :]
-            s = jnp.where(valid_shard[None, :], s, NEG_INF)
-            vals, idx = jax.lax.top_k(s, k_local)  # (B, k_local) local
+            mtile = (
+                _manhattan_tile(int(q.shape[0]), n_local, k_local)
+                if (
+                    metric == "manhattan_distance"
+                    and CONFIG.grouped_topk_min_rows > 0
+                    and n_local >= CONFIG.grouped_topk_min_rows
+                )
+                else 0
+            )
+            if mtile:
+                # per-shard streamed manhattan (ops/ranking notes): the
+                # (B, n_local) score block never materializes on any chip
+                vals, idx = rank_top_k_manhattan_stream(
+                    q, rows_shard, k=k_local, row_mask=valid_shard,
+                    recency=rest[0] if has_recency else None, tile=mtile,
+                )
+            else:
+                s = _scores(q, rows_shard, metric)  # (B, n_local)
+                s = jnp.where(jnp.isnan(s), NEG_INF, s)
+                if has_recency:
+                    s = s + rest[0][None, :]
+                s = jnp.where(valid_shard[None, :], s, NEG_INF)
+                vals, idx = jax.lax.top_k(s, k_local)  # (B, k_local)
         shard_id = jax.lax.axis_index(axis)
         gidx = idx + shard_id * n_local
 

@@ -239,6 +239,12 @@ class ShardedHyperDB:
     # ------------------------------------------------------------------
 
     def _check_fingerprint(self):
+        if self._built_state is None:
+            raise RuntimeError(
+                "The device shards are gone: a previous compact() dropped "
+                "the old shard set and the rebuild failed. Call compact() "
+                "again (after addressing its error) to restore serving."
+            )
         if (
             len(self.db.documents),
             len(self.db.source_indices),
@@ -330,6 +336,16 @@ class ShardedHyperDB:
                 "built from device_rows (e.g. from_checkpoint), so the "
                 "corpus never existed host-side."
             )
+        if len(db.vectors) == 0:
+            # Validate BEFORE the old shards are dropped (advisor r3): an
+            # all-removed corpus cannot rebuild ("Cannot shard an empty
+            # database"), and tombstones already hide removed rows, so the
+            # live shard set stays serviceable.
+            raise ValueError(
+                "Cannot compact to an empty database: every document was "
+                "removed. The existing shards remain valid (tombstones mask "
+                "removed rows); add documents before compacting."
+            )
         if capacity_rows is None:
             capacity_rows = self.n_pad
         # free the old shard set first — compaction must not transiently
@@ -338,7 +354,15 @@ class ShardedHyperDB:
                      "row_scales", "rowsn_q", "rown_scales"):
             if hasattr(self, name):
                 delattr(self, name)
-        self._build_host_shards(capacity_rows)
+        try:
+            self._build_host_shards(capacity_rows)
+        except BaseException:
+            # The old shards are gone and the rebuild died (e.g. device OOM
+            # at a larger capacity): leave an EXPLICIT needs-rebuild state —
+            # _check_fingerprint turns every later query into a descriptive
+            # error instead of an AttributeError on a missing shard attr.
+            self._built_state = None
+            raise
         self._reset_bookkeeping()
         db.clear_cache()  # cached rows carry stale ("sharded", ...) results
 
@@ -597,6 +621,23 @@ class ShardedHyperDB:
 
         qn = np.linalg.norm(q.astype(np.float32), axis=1, keepdims=True)
         qn[qn == 0] = 1.0
+
+        # Low-precision planes (bf16 shards of an f16 master) score at
+        # native MXU precision for cosine/pearson, mirroring the single-chip
+        # engine: rank_top_k's cosine route casts the query to the corpus
+        # dtype (_match_low_precision) and the pearson path casts to
+        # plane.dtype. This cast is ALSO what makes the per-shard Pallas
+        # gmax route reachable from this surface — an f32 wire keeps
+        # dot_precision at HIGHEST, which _use_pallas_gmax_f correctly
+        # refuses (advisor r3, medium). Plain dot_product keeps f32 wires
+        # at HIGHEST on purpose, the single-chip contract; mismatched
+        # f16-wire dot is cast per shard (distributed._match_wire_dtype).
+        if (prenorm or pearson) and rows_dev is not None and rows_dev.dtype in (
+            jnp.bfloat16, jnp.float16,
+        ):
+            plane_dt = np.dtype(rows_dev.dtype)
+            if q.dtype != plane_dt:
+                q = q.astype(plane_dt)
 
         # Exact doc-level results via iterative refill: candidates arrive in
         # exact global row-score order, so host-side dedup (first hit per

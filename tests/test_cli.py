@@ -61,3 +61,27 @@ def test_pickle_output_format(corpus_file, tmp_path, capsys):
     main(["stats", "--db", pkl])
     stats = json.loads(capsys.readouterr().out)
     assert stats["documents"] == 3
+
+
+def test_serve_warmup_metrics_parsing(corpus_file, tmp_path, capsys, monkeypatch):
+    """--warmup-metrics tolerates spaces, validates names up front with a
+    clear error (advisor r3: a typo used to crash deep inside the warmup
+    query), and text warmup uses the FIRST metric listed."""
+    ckpt = str(tmp_path / "c3.ckpt")
+    main(["build", "--input", corpus_file, "--output", ckpt])
+    capsys.readouterr()
+
+    with pytest.raises(SystemExit, match="bogus"):
+        main(["serve", "--db", ckpt, "--warmup",
+              "--warmup-metrics", "cosine_similarity,bogus"])
+
+    seen = {}
+    from hyperdb_tpu.core.db import HyperDB
+
+    monkeypatch.setattr(HyperDB, "warmup", lambda self, **kw: seen.update(kw))
+    import hyperdb_tpu.server as _server
+
+    monkeypatch.setattr(_server, "serve", lambda db, **kw: 0)
+    main(["serve", "--db", ckpt, "--warmup",
+          "--warmup-metrics", "cosine_similarity, dot_product"])
+    assert seen["metric"] == ("cosine_similarity", "dot_product")

@@ -222,6 +222,20 @@ def test_float_route_gate(monkeypatch):
     assert not rk._use_pallas_gmax_f(
         jnp.zeros((512, d), jnp.float16), jnp.zeros((n, d), jnp.float16), 10
     )
+    # ... and an f16 QUERY wire against a bf16 plane keeps dot_precision at
+    # DEFAULT, so the operand check must refuse it too (advisor r3, high:
+    # this combination compiled the route and crashed Mosaic at serve time)
+    assert not rk._use_pallas_gmax_f(jnp.zeros((2048, d), jnp.float16), v16, 10)
+    # the per-shard wire cast repairs exactly that combination
+    from hyperdb_tpu.parallel.distributed import _match_wire_dtype
+
+    assert _match_wire_dtype(
+        jnp.zeros((4, d), jnp.float16), v16
+    ).dtype == jnp.bfloat16
+    # f32 wires are the caller's precision decision — untouched
+    assert _match_wire_dtype(
+        jnp.zeros((4, d), jnp.float32), v16
+    ).dtype == jnp.float32
     # config off switches
     monkeypatch.setattr(CONFIG, "pallas_gmax_f_min_batch", 0)
     assert not rk._use_pallas_gmax_f(q, v16, 10)

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from hyperdb_tpu import HyperDB
 from hyperdb_tpu.parallel import make_mesh
@@ -800,3 +801,82 @@ def test_pearson_plane_dropped_on_compact(mesh):
     again = sdb.query_batch(q, top_k=4, metric="pearson_correlation")
     for g, w in zip(again, base):
         assert [r[2] for r in g] == [r[2] for r in w]
+
+
+def test_compact_empty_corpus_refused_before_dropping_shards(mesh):
+    """compact() on an all-removed corpus must refuse BEFORE the old shard
+    set is dropped (advisor r3): tombstones already hide removed rows, so
+    the live shards stay serviceable after the refusal."""
+    rng = np.random.default_rng(77)
+    v = rng.standard_normal((32, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(32)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh)
+    sdb.remove_document(list(range(32)))
+    with pytest.raises(ValueError, match="every document was removed"):
+        sdb.compact()
+    # the shard set survived the refusal: serving continues (empty results)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    assert sdb.query_batch(q, top_k=3) == [[]]
+    # and the lifecycle recovers through add
+    sdb.add([{"i": 100}], vectors=rng.standard_normal((1, 16)).astype(np.float32))
+    got = sdb.query_batch(q, top_k=3)[0]
+    assert [doc["i"] for doc, *_ in got] == [100]
+
+
+def test_compact_rebuild_failure_leaves_explicit_state(mesh, monkeypatch):
+    """If the rebuild dies AFTER the old shards were dropped (e.g. device
+    OOM at a larger capacity), later queries must raise a descriptive
+    needs-rebuild error, not AttributeError on a missing shard attribute
+    (advisor r3); a successful retry restores serving."""
+    rng = np.random.default_rng(78)
+    v = rng.standard_normal((32, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(32)], vectors=v)
+    sdb = ShardedHyperDB(db, mesh)
+    q = rng.standard_normal((1, 16)).astype(np.float32)
+    want = [r[2] for r in sdb.query_batch(q, top_k=5)[0]]
+
+    def boom(self, capacity_rows):
+        raise MemoryError("simulated device OOM")
+
+    monkeypatch.setattr(ShardedHyperDB, "_build_host_shards", boom)
+    with pytest.raises(MemoryError):
+        sdb.compact()
+    with pytest.raises(RuntimeError, match="rebuild failed"):
+        sdb.query_batch(q, top_k=5)
+    with pytest.raises(RuntimeError, match="rebuild failed"):
+        sdb.add([{"i": 99}], vectors=rng.standard_normal((1, 16)).astype(np.float32))
+    monkeypatch.undo()
+    sdb.compact()  # retry with the real rebuild
+    assert [r[2] for r in sdb.query_batch(q, top_k=5)[0]] == want
+
+
+def test_f16_master_low_precision_plane_dtype_rules(mesh):
+    """Advisor r3 (high + medium): against an f16 master's bf16 shard
+    planes, cosine/pearson queries are cast to the PLANE dtype (the
+    single-chip _match_low_precision rule — this is also what makes the
+    per-shard Pallas route reachable on TPU), an f16 dot wire is cast to
+    bf16 per shard (never reaching Mosaic as f16), and an f32 dot wire
+    keeps HIGHEST-precision scoring like the single-chip engine."""
+    rng = np.random.default_rng(79)
+    v16 = rng.standard_normal((512, 16)).astype(np.float16)
+    db = HyperDB(
+        documents=[{"i": int(i)} for i in range(512)],
+        vectors=v16.astype(np.float32), fp_precision="float16",
+    )
+    sdb = ShardedHyperDB(db, mesh)
+    assert sdb.rows.dtype == jnp.bfloat16
+    q16 = v16[[3, 400]]
+    for metric in ("cosine_similarity", "dot_product", "pearson_correlation"):
+        r16 = sdb.query_batch(q16, top_k=5, metric=metric)
+        r32 = sdb.query_batch(
+            q16.astype(np.float32), top_k=5, metric=metric
+        )
+        if metric != "dot_product":
+            # self-hit must win under every wire dtype (dot is excluded:
+            # a larger-norm row can legitimately outscore the self-row)
+            assert r16[0][0][0]["i"] == 3 and r16[1][0][0]["i"] == 400
+            assert r32[0][0][0]["i"] == 3 and r32[1][0][0]["i"] == 400
+        for row16, row32 in zip(r16, r32):
+            for a, b in zip(row16, row32):
+                # bf16-level agreement (dot scores are unnormalized)
+                assert abs(a[1] - b[1]) < 1e-2 + 4e-3 * abs(b[1])
