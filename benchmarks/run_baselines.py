@@ -271,11 +271,20 @@ def config4_multimetric():
             row_mask=rmask, recency=rec,
         )
 
+    def manhattan_fn(qq):
+        # routes through rank_top_k_manhattan_stream at this scale (the
+        # streamed lax.scan carry — no (B, N) materialization; VPU-bound)
+        return rank_top_k(
+            qq, v, k=k, metric="manhattan_distance", row_mask=rmask,
+            recency=rec,
+        )
+
     out = {}
     for metric, fn in (
         ("dot_product", dot_fn),
         ("euclidean_metric", euclid_fn),
         ("hamming_distance", hamming_fn),
+        ("manhattan_distance", manhattan_fn),
     ):
         t = _chained_batch_time(fn, q, iters=10, trials=2)
         out[metric] = round(b / t, 1)

@@ -311,6 +311,203 @@ def main() -> int:
         failures.append("pearson_plane_compile")
         emit({"gate": "pearson_plane_bf16_1m_b1024", "error": str(e)[:200]})
 
+    # ---- manhattan streamed route (VERDICT r4: the last metric that
+    # materialized (B, N) — the stream must SERVE at b=2048, where the old
+    # route's 8 GB f32 matrix could not compile, and stay index-identical
+    # to the materializing small-batch oracle).
+    from hyperdb_tpu.ops.ranking import rank_top_k_manhattan_stream
+
+    b_small = 32
+    q_mh = jnp.asarray(
+        rng.standard_normal((b_small, d), dtype=np.float32), jnp.bfloat16
+    )
+
+    @jax.jit
+    def manhattan_native(qq, rr):
+        # materializing oracle, same per-tile math (metrics.manhattan_scores
+        # semantics) at a batch where (B, N) f32 is small
+        from hyperdb_tpu.ops.metrics import scores as _scores
+
+        s = _scores(qq, rr, "manhattan_distance")
+        s = jnp.where(jnp.isnan(s), -jnp.inf, s)
+        return jax.lax.top_k(s, k)
+
+    @jax.jit
+    def manhattan_routed(qq, rr):
+        return rank_top_k(qq, rr, k=k, metric="manhattan_distance")
+
+    print("compiling manhattan oracle (b=32)...", flush=True)
+    try:
+        _, (_, mh_ref_idx) = timed(manhattan_native, q_mh, rows,
+                                   iters=3, trials=1)
+        mh_ref_idx = np.asarray(mh_ref_idx)
+        print("compiling manhattan routed (b=32)...", flush=True)
+        _, (_, mh_idx) = timed(manhattan_routed, q_mh, rows,
+                               iters=3, trials=1)
+        eq = bool((np.asarray(mh_idx) == mh_ref_idx).all())
+        if not eq:
+            failures.append("manhattan_stream_vs_oracle")
+        emit({"gate": "manhattan_stream_bf16_1m_b32", "index_equal": eq})
+
+        # serving batch: first 32 rows repeat the oracle queries, so the
+        # b=2048 program is exactness-checked too, not just compiled
+        b_mh = 2048
+        q_big_mh = jnp.concatenate([
+            q_mh,
+            jnp.asarray(
+                rng.standard_normal((b_mh - b_small, d), dtype=np.float32),
+                jnp.bfloat16,
+            ),
+        ])
+        print("compiling manhattan streamed (b=2048)...", flush=True)
+        sec, (_, mh_big_idx) = timed(
+            lambda qq: rank_top_k_manhattan_stream(qq, rows, k=k, tile=2048),
+            q_big_mh, iters=3, trials=2,
+        )
+        eq_big = bool((np.asarray(mh_big_idx)[:b_small] == mh_ref_idx).all())
+        if not eq_big:
+            failures.append("manhattan_stream_b2048_vs_oracle")
+        emit({"gate": "manhattan_stream_bf16_1m_b2048", "index_equal": eq_big,
+              "qps": round(b_mh / sec), "ms": round(sec * 1e3, 2)})
+    except Exception as e:  # noqa: BLE001
+        failures.append("manhattan_stream_error")
+        emit({"gate": "manhattan_stream_bf16_1m", "error": str(e)[:200]})
+
+    # free the 1M working set before the capacity-scale cases
+    del rows, q, q_big, q_m, aux, plane, q_p, v_i8, v_sc, qf, host, vc
+
+    # ---- capacity-scale gates (VERDICT r3 #7): the 10M int8 config and
+    # the 2^24-row bf16 capacity ceiling were pinned only by hand-run
+    # scripts; these cases put big-corpus exactness in the scripted gate.
+    # Corpora are generated and quantized ON DEVICE (nothing rides the
+    # tunnel) with donated in-place writes (one corpus allocation).
+    import functools
+
+    def build_device_corpus(n_rows, dd, dtype, chunk=1 << 19, seed=0):
+        @jax.jit
+        def gen_chunk(key):
+            x = jax.random.normal(key, (chunk, dd), dtype=jnp.float32)
+            norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+            x = x / jnp.where(norm == 0, 1.0, norm)
+            return x.astype(dtype)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write_chunk(buf, c, row0):
+            return jax.lax.dynamic_update_slice(buf, c, (row0, 0))
+
+        buf = jnp.zeros((n_rows, dd), dtype=dtype)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_rows // chunk)
+        for i, kk in enumerate(keys):
+            buf = write_chunk(buf, gen_chunk(kk), jnp.int32(i * chunk))
+        jax.block_until_ready(buf)
+        return buf
+
+    # ---- 10M x 768 int8-pure: grouped scan vs flat int8 reference ----
+    try:
+        n10, d10 = 10 * (1 << 20), 768  # bucket-aligned 10.5M rows
+        chunk10 = 1 << 19
+        print(f"building {n10} x {d10} int8 corpus on device...", flush=True)
+        t0 = time.time()
+
+        @jax.jit
+        def gen_quant_chunk(key):
+            # unit rows -> per-row symmetric int8, all on device: the bf16/
+            # f32 intermediate exists only at chunk granularity (a full-
+            # corpus bf16 intermediate would be 16 GB — more than HBM)
+            x = jax.random.normal(key, (chunk10, d10), dtype=jnp.float32)
+            norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+            x = x / jnp.where(norm == 0, 1.0, norm)
+            max_abs = jnp.max(jnp.abs(x), axis=1)
+            sc = max_abs / 127.0
+            safe = jnp.where(sc == 0, 1.0, sc)
+            qi = jnp.clip(jnp.round(x / safe[:, None]), -127, 127).astype(
+                jnp.int8
+            )
+            return qi, sc.astype(jnp.float32)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def write_chunk10(bq, bs, qc, sc, row0):
+            bq = jax.lax.dynamic_update_slice(bq, qc, (row0, 0))
+            bs = jax.lax.dynamic_update_slice(bs, sc, (row0,))
+            return bq, bs
+
+        rows10 = jnp.zeros((n10, d10), dtype=jnp.int8)
+        sc10 = jnp.zeros((n10,), dtype=jnp.float32)
+        for i, kk in enumerate(
+            jax.random.split(jax.random.PRNGKey(3), n10 // chunk10)
+        ):
+            qc, sc = gen_quant_chunk(kk)
+            rows10, sc10 = write_chunk10(
+                rows10, sc10, qc, sc, jnp.int32(i * chunk10)
+            )
+        jax.block_until_ready(sc10)
+        print(f"built in {time.time() - t0:.1f}s", flush=True)
+
+        qf10 = jnp.asarray(
+            rng.standard_normal((16, d10), dtype=np.float32)
+        )
+
+        @jax.jit
+        def int8_flat10(qq, vv, ss):
+            qi, qs = _quantize_device(qq.astype(jnp.float32))
+            s = int8_scores(qi, qs, vv, ss)
+            return jax.lax.top_k(s, k)
+
+        print("compiling 10M int8 flat reference (b=16)...", flush=True)
+        _, (_, f10_idx) = timed(int8_flat10, qf10, rows10, sc10,
+                                iters=3, trials=1)
+        print("compiling 10M int8 grouped (b=16)...", flush=True)
+        _, (_, g10_idx) = timed(
+            lambda qq: rank_top_k_int8(qq, rows10, sc10, k=k),
+            qf10, iters=3, trials=1,
+        )
+        eq = bool((np.asarray(g10_idx) == np.asarray(f10_idx)).all())
+        if not eq:
+            failures.append("int8_10m_grouped_vs_flat")
+        emit({"gate": "int8_grouped_10m_b16", "index_equal": eq})
+
+        qf10b = jnp.asarray(
+            rng.standard_normal((256, d10), dtype=np.float32)
+        )
+        print("timing 10M int8 grouped (b=256)...", flush=True)
+        sec, _ = timed(
+            lambda qq: rank_top_k_int8(qq, rows10, sc10, k=k),
+            qf10b, iters=5, trials=2,
+        )
+        emit({"gate": "int8_grouped_10m_b256",
+              "qps": round(256 / sec), "ms": round(sec * 1e3, 2)})
+        del rows10, sc10, qf10, qf10b
+    except Exception as e:  # noqa: BLE001
+        failures.append("int8_10m_error")
+        emit({"gate": "int8_grouped_10m", "error": str(e)[:200]})
+
+    # ---- 2^24-row bf16 capacity ceiling: routed Pallas path vs native ----
+    try:
+        n24, d24 = 1 << 24, 384
+        print(f"building {n24} x {d24} bf16 corpus on device...", flush=True)
+        t0 = time.time()
+        rows24 = build_device_corpus(n24, d24, jnp.bfloat16, seed=4)
+        print(f"built in {time.time() - t0:.1f}s "
+              f"({n24 * d24 * 2 / (1 << 30):.1f} GB)", flush=True)
+        b24 = 512  # >= pallas_gmax_f_min_batch: the capacity-proving route
+        q24 = jnp.asarray(
+            rng.standard_normal((b24, d24), dtype=np.float32), jnp.bfloat16
+        )
+        print("compiling native reference (2^24, b=8)...", flush=True)
+        _, (_, ref24_idx) = timed(native, q24[:8], rows24, iters=3, trials=1)
+        ref24_idx = np.asarray(ref24_idx)
+        print("compiling routed rank_top_k (2^24, b=512)...", flush=True)
+        sec, (_, idx24) = timed(routed, q24, rows24, iters=5, trials=2)
+        eq = bool((np.asarray(idx24)[:8] == ref24_idx).all())
+        if not eq:
+            failures.append("capacity_2p24_vs_native")
+        emit({"gate": "routed_bf16_2p24_b512", "index_equal": eq,
+              "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
+        del rows24, q24
+    except Exception as e:  # noqa: BLE001
+        failures.append("capacity_2p24_error")
+        emit({"gate": "routed_bf16_2p24_b512", "error": str(e)[:200]})
+
     emit({"gate": "verdict", "failures": failures, "ok": not failures})
     return 1 if failures else 0
 

@@ -1130,22 +1130,11 @@ class HyperDB:
             query_input = tuple(
                 tuple(x) if isinstance(x, (list, tuple)) else x for x in query_input
             )
-        if filters is None:
-            hashable_filters = None
-        else:
-            hashable_filters = tuple(
-                (
-                    name,
-                    tuple(sorted(params.items()))
-                    if isinstance(params, dict)
-                    else tuple(params)
-                    if isinstance(params, list)
-                    else params,
-                )
-                for name, params in filters
-            )
+        from hyperdb_tpu.query.filters import hashable_filters
+
         return (
-            query_input, top_k, return_similarities, hashable_filters,
+            query_input, top_k, return_similarities,
+            hashable_filters(filters),
             recency_bias, timestamp_key, metric, ann_percent,
         )
 

@@ -268,6 +268,27 @@ def key_filter(db, keys, base_mask: np.ndarray):
 # ---------------------------------------------------------------- combinator
 
 
+def hashable_filters(filters):
+    """Normalized hashable form of a query filter spec (reference
+    hyperdb.py:1368-1379) — shared by the query LRU key and the sharded
+    key-filter override device-block cache (the override's CONTENT depends
+    on the full spec: earlier filters gate which documents get computed
+    rows, so the cache must key on all of it, not just the key filter)."""
+    if filters is None:
+        return None
+    return tuple(
+        (
+            name,
+            tuple(sorted(params.items()))
+            if isinstance(params, dict)
+            else tuple(params)
+            if isinstance(params, list)
+            else params,
+        )
+        for name, params in filters
+    )
+
+
 def apply_filters(db, filters, base_mask: np.ndarray):
     """AND all non-skip filters over ``base_mask``
     (reference _apply_filters, hyperdb.py:1258-1308).

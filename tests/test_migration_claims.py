@@ -116,3 +116,36 @@ def test_cli_top_k_alias(tmp_path):
         assert r.returncode == 0, r.stderr[-500:]
         lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         assert len(lines) == 2
+
+
+def test_foreign_annoy_sidecar_warns_and_rebuilds(tmp_path, capsys):
+    """MIGRATION.md "Reference Annoy sidecars are NOT silently honored":
+    an unparseable (Annoy-binary-style) .ann sidecar next to a reference
+    save triggers the documented warning, the load succeeds, and queries
+    after it are EXACT (default config: the rebuilt index is the exact-scan
+    null index, so the sidecar's loss costs nothing)."""
+    from hyperdb_tpu import HyperDB
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((32, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(32)], vectors=v)
+    path = str(tmp_path / "ref.pickle")
+    db.save(path, format="pickle", save_ann_index=False)
+    # a reference-produced sidecar is an Annoy C++ binary forest — any
+    # non-npz bytes reproduce the failure mode
+    with open(path + ".ann", "wb") as f:
+        f.write(b"annoy-forest-not-an-npz\x00\x01\x02")
+
+    fresh = HyperDB()
+    fresh.load(path, format="pickle")
+    out = capsys.readouterr().out
+    assert "could not parse ANN index sidecar" in out
+    assert "rebuilding the index from the loaded vectors" in out
+
+    # post-warning queries are exact (NumPy oracle on cosine)
+    q = v[[5]]
+    res = fresh.query_batch(q, top_k=3)[0]
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    qn = q[0] / np.linalg.norm(q[0])
+    oracle = np.argsort(-(vn @ qn))[:3]
+    assert [r[2] for r in res] == oracle.tolist()

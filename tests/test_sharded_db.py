@@ -408,19 +408,57 @@ def test_incremental_mixed_lifecycle_chunked(mesh):
         assert [doc["i"] for doc, *_ in g] == [doc["i"] for doc, *_ in w]
 
 
-def test_capacity_exhaustion_raises_and_rolls_back(mesh):
+def test_capacity_overflow_auto_compacts_and_grows(mesh):
+    """add() past the reserved capacity is a slow path, not an error
+    (VERDICT r3 #6): host-backed shards auto-compact into a grown capacity
+    (one rebuild) and keep serving the full corpus."""
     rng = np.random.default_rng(13)
     v = rng.standard_normal((128, 16)).astype(np.float32)
     db = HyperDB(documents=[{"i": int(i)} for i in range(128)], vectors=v)
     sdb = ShardedHyperDB(db, mesh)  # no reserved capacity beyond padding
+    old_pad = sdb.n_pad
+    too_many = sdb.capacity_remaining + 1
+    extra = rng.standard_normal((too_many, 16)).astype(np.float32)
+    sdb.add([{"i": 1000 + j} for j in range(too_many)], vectors=extra)
+    assert len(db.documents) == 128 + too_many
+    assert sdb.n == 128 + too_many
+    assert sdb.n_pad >= old_pad * 2  # doubling amortizes repeated overflows
+
+    # serving covers the grown corpus, identical to a fresh build
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    got = sdb.query_batch(q, top_k=7)
+    want = ShardedHyperDB(db, mesh).query_batch(q, top_k=7)
+    for g, w in zip(got, want):
+        assert [r[2] for r in g] == [r[2] for r in w]
+
+
+def test_capacity_exhaustion_device_rows_raises_and_rolls_back(mesh, tmp_path):
+    """A device_rows-injected corpus (from_checkpoint) has no host vectors
+    to rebuild from, so overflow must still refuse AFTER rolling the host
+    db back — host and device stay in sync."""
+    rng = np.random.default_rng(13)
+    v = rng.standard_normal((128, 16)).astype(np.float32)
+    db = HyperDB(documents=[{"i": int(i)} for i in range(128)], vectors=v)
+    path = str(tmp_path / "cap_ckpt")
+    db.save(path, format="checkpoint")
+    sdb = ShardedHyperDB.from_checkpoint(path, mesh)
+
+    # an IN-capacity add on a checkpoint corpus works (new rows are the
+    # TAIL of the appends-only host matrix, not vectors[prev_rows:])
+    marker = np.zeros((1, 16), dtype=np.float32)
+    marker[0, 0] = 100.0
+    sdb.add([{"i": 500}], vectors=marker)
+    hit = sdb.query_batch(marker, top_k=1)[0][0]
+    assert hit[0]["i"] == 500
+
+    docs_before = len(sdb.db.documents)
     too_many = sdb.capacity_remaining + 1
     with pytest.raises(RuntimeError, match="capacity"):
         sdb.add(
             [{"i": 1000 + j} for j in range(too_many)],
             vectors=rng.standard_normal((too_many, 16)).astype(np.float32),
         )
-    # host db rolled back; serving still consistent
-    assert len(db.documents) == 128
+    assert len(sdb.db.documents) == docs_before
     q = rng.standard_normal((1, 16)).astype(np.float32)
     assert len(sdb.query_batch(q, top_k=5)[0]) == 5
 
@@ -463,6 +501,53 @@ def test_key_filter_on_sharded_path(mesh):
         assert [r[2] for r in got] == [r[2] for r in want]
         for (_, gs, _), (_, ws, _) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-4)
+
+
+def test_key_filter_override_device_cache(mesh, monkeypatch):
+    """Repeated key-filter serving pays ONE override upload (VERDICT r3 #6):
+    the sharded (rows, mask) device blocks are cached per (filter spec,
+    corpus version) and invalidated by mutation."""
+    rng = np.random.default_rng(21)
+    docs = [{"name": f"item {i}", "i": i} for i in range(24)]
+    v = rng.standard_normal((24, 16)).astype(np.float32)
+
+    def fake_embed(texts):
+        out = np.zeros((len(texts), 16), dtype=np.float32)
+        for j, t in enumerate(texts):
+            out[j, len(str(t)) % 16] = 1.0
+        return out
+
+    db = HyperDB(documents=docs, vectors=v, embedding_function=fake_embed,
+                 metadata_keys=["i"])
+    sdb = ShardedHyperDB(db, mesh)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+
+    puts = []
+    real_put = jax.device_put
+    monkeypatch.setattr(jax, "device_put", lambda *a, **k: (
+        puts.append(1), real_put(*a, **k))[1])
+
+    filters = [("key", "name")]
+    first = sdb.query_batch(q, top_k=3, filters=filters)
+    n_puts_first = len(puts)
+    assert len(sdb._override_cache) == 1
+    second = sdb.query_batch(q, top_k=3, filters=filters)
+    assert len(puts) == n_puts_first  # cache hit: zero new uploads
+    for g, w in zip(first, second):
+        assert [r[2] for r in g] == [r[2] for r in w]
+
+    # a DIFFERENT spec is a different cache entry (earlier filters gate
+    # which documents get computed override rows)
+    sdb.query_batch(q, top_k=3, filters=[("metadata", {"i": 7}),
+                                         ("key", "name")])
+    assert len(sdb._override_cache) == 2
+
+    # mutation invalidates: the corpus version changed
+    sdb.add([{"name": "item 99", "i": 99}],
+            vectors=rng.standard_normal((1, 16)).astype(np.float32))
+    assert not sdb._override_cache
+    third = sdb.query_batch(q, top_k=3, filters=filters)
+    assert len(third[0]) == 3
 
 
 def test_key_filter_single_query_cache(mesh):
