@@ -43,7 +43,29 @@ import jax.numpy as jnp
 
 GROUP = 128  # one VPU lane tile per group; stage-3 rescore depends on it
 
-_BLK_N_DEFAULT = 4096  # corpus rows per grid step (VMEM-sized, /128)
+_BLK_N_DEFAULT = 16384  # corpus rows per grid step (VMEM-sized, /128)
+
+# Round-4 probe (benchmarks/probe_gmax_r4{,b}.py, results.jsonl): the
+# round-3 "12 MB working set is the ceiling" finding was an artifact of
+# Mosaic's DEFAULT vmem limit — raising vmem_limit_bytes admits 4x corpus
+# blocks (46 MB working set compiles and runs), and marking the grid dims
+# parallel/arbitrary lets Mosaic schedule the corpus sweep better. Both
+# are EXACT (bit-identical maxes). Measured on chip, same run/phase:
+# stage-1 b=1024 13.2 -> 9.0 ms, b=2048 18.9 -> 14.6 ms; full pipeline
+# b=2048 27.7 -> 24.2 ms (+14.5%), b=1024 14.5 -> 14.0 ms. (bf16 output
+# emission was also probed: best stage-1 everywhere, but the safe k+3k
+# overfetch margin makes the PIPELINE 2.1x slower — measured OUT.)
+_VMEM_BUDGET = 48 * (1 << 20)  # corpus tile (x2 buffers) + f32 score tile
+_VMEM_LIMIT_BYTES = 56 * (1 << 20)  # headroom over budget for Mosaic's own
+_DIMSEM = ("parallel", "arbitrary")  # grid dims write disjoint out blocks
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        dimension_semantics=_DIMSEM, vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+    )
 
 # Query-tile height: batches above this split over a second grid dimension
 # (innermost, so each corpus block is fetched ONCE and query tiles revisit
@@ -57,14 +79,25 @@ def _q_tile(b: int) -> int:
     return b if b <= _QBLK_MAX else _QBLK_MAX
 
 
-def _block_rows(b: int, d: int, itemsize: int) -> int:
-    """Largest corpus block (rows) keeping VMEM under ~12 MB: the corpus
-    tile is double-buffered by the pipeline and the (qblk, blk) f32 score
-    tile lives alongside it. ``b`` is the per-tile query height."""
+def _block_rows(b: int, d: int, itemsize: int, n: int | None = None) -> int:
+    """Largest corpus block (rows) keeping VMEM under ``_VMEM_BUDGET``: the
+    corpus tile is double-buffered by the pipeline and the (qblk, blk) f32
+    score tile lives alongside it. ``b`` is the per-tile query height.
+
+    When ``n`` is given, the block additionally shrinks to the largest
+    power-of-two that divides the corpus — engine buckets at >=1M rows are
+    multiples of 2^17 (core/store.bucket_size) so the full block survives
+    there, while odd-multiple small buckets degrade gracefully instead of
+    pushing the whole call out of contract."""
     qblk = _q_tile(b)
     blk = _BLK_N_DEFAULT
-    while blk > GROUP and (2 * blk * d * itemsize + 4 * qblk * blk) > 12 * (1 << 20):
+    while blk > GROUP and (
+        2 * blk * d * itemsize + 4 * qblk * blk
+    ) > _VMEM_BUDGET:
         blk //= 2
+    if n is not None:
+        while blk > GROUP and n % blk:
+            blk //= 2
     return blk
 
 
@@ -164,7 +197,7 @@ def gmax_f(
     b, d = queries.shape
     n = vectors.shape[0]
     qblk = _q_tile(b)
-    blk = _block_rows(b, d, vectors.dtype.itemsize)
+    blk = _block_rows(b, d, vectors.dtype.itemsize, n)
     grid = n // blk
     transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
     # 2-D grid (corpus blocks, query tiles) with query tiles INNERMOST:
@@ -180,6 +213,7 @@ def gmax_f(
         ],
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(queries, vectors, extra.reshape(1, n))
     return _untile_gmax(out, transposed, b, n)
@@ -226,7 +260,7 @@ def gmax_jaccard(
     b, d = queries.shape
     n = vectors.shape[0]
     qblk = _q_tile(b)
-    blk = _block_rows(b, d, vectors.dtype.itemsize)
+    blk = _block_rows(b, d, vectors.dtype.itemsize, n)
     grid = n // blk
     transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
     # query tiles innermost — corpus block fetched once (see gmax_f)
@@ -242,6 +276,7 @@ def gmax_jaccard(
         ],
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(queries, q_sum, vectors, aux.reshape(1, n), extra.reshape(1, n))
     return _untile_gmax(out, transposed, b, n)
@@ -265,7 +300,7 @@ def gmax_int8(
     b, d = q_i8.shape
     n = v_i8.shape[0]
     qblk = _q_tile(b)
-    blk = _block_rows(b, d, 1)
+    blk = _block_rows(b, d, 1, n)
     grid = n // blk
     transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
     # query tiles innermost — corpus block fetched once (see gmax_f)
@@ -281,6 +316,7 @@ def gmax_int8(
         ],
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(
         q_i8,
@@ -299,12 +335,17 @@ def supported(b: int, n: int, d: int) -> bool:
     tile's VMEM working set equals the b=1024 case that always compiled),
     so the round-2 b<=1024 cap is gone; they only need to divide evenly
     into tiles. Sub-tile batches must be sublane-aligned (b % 8).
+
+    ``_block_rows(n=...)`` degrades the block to divide odd-multiple
+    buckets; below 1024 rows/block the kernel shape was never measured
+    (every probed win used blk >= 2048), so such corpora stay on XLA.
     """
-    blk = _block_rows(b, d, 1)
+    blk = _block_rows(b, d, 1, n)
     tiles_ok = (b % 8 == 0) if b <= _QBLK_MAX else (b % _QBLK_MAX == 0)
     return (
         tiles_ok
         and d % 128 == 0
+        and blk >= 1024
         and n % blk == 0
         and n // GROUP >= 2
     )
@@ -342,7 +383,7 @@ def rank_top_k_grouped_pallas(
 
     n, d = vectors.shape
     b = queries.shape[0]
-    blk = _block_rows(b, d, vectors.dtype.itemsize)
+    blk = _block_rows(b, d, vectors.dtype.itemsize, n)
     out_of_contract = (
         not supported(b, n, d)
         or n % blk
@@ -424,7 +465,7 @@ def rank_top_k_grouped_metric_pallas(
 
     n, d = rows.shape
     b = queries.shape[0]
-    blk = _block_rows(b, d, rows.dtype.itemsize)
+    blk = _block_rows(b, d, rows.dtype.itemsize, n)
     if (
         metric not in (
             "euclidean_metric", "hamming_distance", "jaccard_similarity",
@@ -504,7 +545,7 @@ def rank_top_k_int8_pallas(
 
     n, d = v_i8.shape
     b = queries.shape[0]
-    blk = _block_rows(b, d, 1)
+    blk = _block_rows(b, d, 1, n)
     if not supported(b, n, d) or n % blk or n // GROUP < k:
         # out-of-contract shapes degrade to the XLA scan (whose internal
         # pallas routing re-checks supported(), so this cannot recurse)
