@@ -8,6 +8,14 @@ by relaying each query block over the control channel and running the
 sharded scan; process 1 parks in `serve_forever` and follows. Results are
 checked against a local NumPy oracle.
 
+Phase 2 (VERDICT r3 #4) drives the FULL doc-level surface across the same
+process boundary: a CHUNKED corpus (1-3 rows/doc) with metadata, sentence,
+skip_doc and key-filter (override) queries, recency bias, a forced
+chunk-refill (chunk_slack=1 makes the first fetch too shallow, so the
+leader relays a deeper collective), and plane-cache reuse on repeated
+specs — ORACLE = the single-chip engine itself (HyperDB.query_batch on
+the same host db).
+
 This proves the full multi-host SERVING control flow across real process
 boundaries — the piece single-host serving cannot exercise.
 
@@ -30,6 +38,51 @@ N, D, B, K = 1000, 32, 5, 4
 N_PAD = 1024
 SEED = 7
 CTRL_PORT = 9931
+
+# phase-2 chunked corpus: 48 docs x (1 + i%3) chunk rows = 96 rows
+NDOCS2 = 48
+NROWS2 = 96
+N_PAD2 = 128
+
+
+def _emb(texts):
+    """Deterministic process-independent bag-of-words embedding (python
+    hash() is salted per process, so char-code sums instead)."""
+    import numpy as np
+
+    out = np.zeros((len(texts), D), dtype=np.float32)
+    for j, t in enumerate(texts):
+        for w in str(t).split():
+            out[j, sum(ord(c) for c in w) % D] += 1.0
+    return out
+
+
+def build_host_db():
+    """The same chunked host db in every process (deterministic)."""
+    import numpy as np
+
+    from hyperdb_tpu import HyperDB
+
+    db = HyperDB(embedding_function=_emb,
+                 metadata_keys=["cat", "timestamp"])
+    rng = np.random.default_rng(11)
+    for i in range(NDOCS2):
+        chunks = 1 + (i % 3)
+        vecs = rng.standard_normal((chunks, D)).astype(np.float32)
+        doc = {
+            "name": f"item number {i}",
+            "text": f"alpha item {i} " + ("beta" if i % 2 else "gamma"),
+            "cat": "odd" if i % 2 else "even",
+            "timestamp": float(1_000_000 + 60 * i),
+        }
+        db.add_document(doc, vectors=vecs)
+    db.commit_pending()
+    # document_keys is collected from CONSTRUCTOR documents only (reference
+    # quirk); this corpus is built incrementally, so collect explicitly —
+    # the single-chip oracle uses the same db, so key-filter parity holds
+    db.document_keys = db.collect_document_keys(list(db.documents))
+    assert len(db.source_indices) == NROWS2
+    return db
 
 
 def worker(process_id: int, procs: int, port: int, ctrl_port: int) -> int:
@@ -71,9 +124,27 @@ def worker(process_id: int, procs: int, port: int, ctrl_port: int) -> int:
         mesh, rows, row_valid, num_rows=N, control_port=ctrl_port
     )
 
+    # ---- phase-2 service: chunked corpus, full doc-level surface ----
+    host_db = build_host_db()
+    full2 = np.zeros((N_PAD2, D), dtype=np.float32)
+    full2[:NROWS2] = np.asarray(host_db.vectors, dtype=np.float32)
+    local2 = N_PAD2 // procs
+    lo2 = process_id * local2
+    rows2, valid2, n_pad2 = build_sharded_rows(
+        mesh, full2[lo2:lo2 + local2], num_rows=NROWS2
+    )
+    svc2 = MultihostQueryService(
+        mesh, rows2, valid2, num_rows=NROWS2, control_port=ctrl_port + 2,
+        host_db=host_db if process_id == 0 else None,
+        chunk_slack=1,  # forces a relayed chunk-refill at top_k=5
+    )
+
     if process_id != 0:
         svc.connect(port=ctrl_port)
         svc.serve_forever()
+        print(f"[proc {process_id}] follower v1 done", flush=True)
+        svc2.connect(port=ctrl_port + 2)
+        svc2.serve_forever()
         print(f"[proc {process_id}] follower exited cleanly", flush=True)
         return 0
 
@@ -118,6 +189,64 @@ def worker(process_id: int, procs: int, port: int, ctrl_port: int) -> int:
         print(f"native front-end unavailable ({e}); direct path verified",
               flush=True)
     svc.close()
+
+    # ---- phase 2: full doc-level surface, oracle = single-chip engine ----
+    svc2.accept_followers()
+    q2 = _emb([f"alpha item {i}" for i in (3, 17, 30)]) \
+        + 0.01 * rng.standard_normal((3, D)).astype(np.float32)
+
+    v2_passed = []
+
+    def check(name, filters=None, recency_bias=0, timestamp_key=None,
+              top_k=5):
+        got = svc2.query_batch(
+            q2, top_k=top_k, filters=filters,
+            recency_bias=recency_bias, timestamp_key=timestamp_key,
+        )
+        want = host_db.query_batch(
+            q2, top_k=top_k, filters=filters,
+            recency_bias=recency_bias, timestamp_key=timestamp_key,
+        )
+        for b, (g, w) in enumerate(zip(got, want)):
+            g_ids = [r[2] for r in g]
+            w_ids = [r[2] for r in w]
+            assert g_ids == w_ids, (name, b, g_ids, w_ids)
+            for (_, gs, _), (_, ws, _) in zip(g, w):
+                assert abs(gs - ws) <= 1e-4 * max(1.0, abs(ws)), (
+                    name, b, gs, ws)
+        v2_passed.append(name)
+        print(f"v2 {name}: OK", flush=True)
+
+    check("chunked plain")
+    # forced refill: chunk_slack=1 at top_k=30 first fetches 32 rows, and
+    # 32 rows over this corpus (48 docs, half the rows in multi-chunk
+    # docs) cannot hold 30 distinct documents — the leader must relay a
+    # deeper second collective
+    steps0 = getattr(svc2, "collective_steps", 0)
+    check("chunked deep (forced refill)", top_k=30)
+    assert svc2.collective_steps >= steps0 + 2, (
+        steps0, svc2.collective_steps)
+    print("v2 refill relayed a deeper fetch: OK", flush=True)
+    check("metadata filter", filters=[("metadata", {"cat": "odd"})])
+    check("sentence filter", filters=[("sentence", "beta")])
+    check("metadata+sentence",
+          filters=[("metadata", {"cat": "odd"}), ("sentence", "beta")])
+    check("skip_doc", filters=[("skip_doc", 10)])
+    check("recency", recency_bias=2.0)
+    check("recency+metadata", recency_bias=2.0,
+          filters=[("metadata", {"cat": "even"})])
+    check("key override", filters=[("key", "name")])
+    check("key override + metadata",
+          filters=[("metadata", {"cat": "odd"}), ("key", "name")])
+    # plane reuse: repeated spec relays no new plane (token cache)
+    tokens_before = dict(svc2._plane_tokens)
+    check("metadata filter (repeat)", filters=[("metadata", {"cat": "odd"})])
+    assert dict(svc2._plane_tokens) == tokens_before, "plane re-relayed"
+    print("v2 plane cache reuse: OK", flush=True)
+
+    svc2.close()
+    print(f"V2 SURFACE: {len(v2_passed)} checks + refill + plane reuse OK",
+          flush=True)
     print("MULTIHOST SERVE DRYRUN: OK", flush=True)
     return 0
 

@@ -79,6 +79,80 @@ _pearson_plane_jit = jax.jit(_pearson_plane_impl)
 _dus_vec = jax.jit(_dus_vec_impl, donate_argnums=(0,))
 
 
+def compute_filter_row_mask(db, filters, base_valid, row_docs, n):
+    """Host-side filter evaluation over a row-sharded corpus layout:
+    (row validity mask over base_valid's n_pad rows,
+     (doc-level mask, per-document override block or None)).
+
+    Shared by :class:`ShardedHyperDB` and the multi-host serving leader
+    (parallel/multihost_serve.py) — both score row shards but evaluate
+    filters doc-level on the host db (same semantics as the single-chip
+    engine's mask pipeline, query/filters.apply_filters)."""
+    num_docs = len(db.documents)
+    if num_docs == 0:
+        # every row is a tombstone (e.g. all documents removed): no
+        # doc-level mask exists to gather through
+        return np.zeros(base_valid.shape[0], dtype=bool), (
+            np.zeros(0, dtype=bool), None,
+        )
+    mask = np.ones(num_docs, dtype=bool)
+    override = None
+    if filters:
+        for name, params in filters:
+            if name not in _filters.FILTER_NAMES:
+                raise ValueError(f"Invalid filter name {name}")
+            if name == "skip_doc":
+                mask &= _filters.skip_doc_mask(num_docs, params)
+                break  # reference applies only the FIRST skip_doc (Q18)
+        doc_mask, override = _filters.apply_filters(db, filters, mask)
+        mask = doc_mask
+    rows = base_valid.copy()
+    rows[:n] &= mask[row_docs[:n]]
+    return rows, (mask, override)
+
+
+def dedup_doc_candidates(
+    vals, idx, row_docs, documents, top_k, k_fetch, n, n_pad,
+    return_similarities,
+):
+    """Host-side chunk->document dedup of one exact candidate batch.
+
+    Candidates arrive in exact global row-score order, so the first hit
+    per document is its best chunk (segment-max semantics). Returns
+    (per-query result rows, need_refill) — refill means some query ran out
+    of candidates before ``top_k`` distinct documents AND deeper fetches
+    can still help. Shared by ShardedHyperDB.query_batch and the
+    multi-host serving leader's refill loop."""
+    results = []
+    need_refill = False
+    for b in range(idx.shape[0]):
+        row = []
+        seen: set[int] = set()
+        finite = 0
+        for r, score in zip(idx[b], vals[b]):
+            if r >= n or not np.isfinite(score):
+                continue
+            finite += 1
+            doc_id = int(row_docs[r])
+            if doc_id in seen:
+                continue
+            seen.add(doc_id)
+            if len(row) < top_k:
+                document = documents[doc_id]
+                if return_similarities:
+                    row.append((document, float(score), doc_id))
+                else:
+                    row.append(document)
+        if (
+            len(row) < top_k
+            and finite == k_fetch  # candidates not exhausted
+            and k_fetch < n_pad
+        ):
+            need_refill = True
+        results.append(row)
+    return results, need_refill
+
+
 class ShardedHyperDB:
     def __init__(
         self,
@@ -491,28 +565,9 @@ class ShardedHyperDB:
         per-document override block or None). A key filter's override
         replaces corpus vectors for scoring (C15) — the sharded path scores
         it as its own row-sharded block (see query_batch)."""
-        db = self.db
-        num_docs = len(db.documents)
-        if num_docs == 0:
-            # every row is a tombstone (e.g. all documents removed): no
-            # doc-level mask exists to gather through
-            return np.zeros(self.n_pad, dtype=bool), (
-                np.zeros(0, dtype=bool), None,
-            )
-        mask = np.ones(num_docs, dtype=bool)
-        override = None
-        if filters:
-            for name, params in filters:
-                if name not in _filters.FILTER_NAMES:
-                    raise ValueError(f"Invalid filter name {name}")
-                if name == "skip_doc":
-                    mask &= _filters.skip_doc_mask(num_docs, params)
-                    break  # reference applies only the FIRST skip_doc (Q18)
-            doc_mask, override = _filters.apply_filters(db, filters, mask)
-            mask = doc_mask
-        rows = self._base_valid.copy()
-        rows[: self.n] &= mask[self.row_docs[: self.n]]
-        return rows, (mask, override)
+        return compute_filter_row_mask(
+            self.db, filters, self._base_valid, self.row_docs, self.n,
+        )
 
     def query(
         self,
@@ -744,33 +799,10 @@ class ShardedHyperDB:
                 # so the returned scores are true cosine similarities
                 vals = vals / qn
 
-            results = []
-            need_refill = False
-            for b in range(q.shape[0]):
-                row = []
-                seen: set[int] = set()
-                finite = 0
-                for r, score in zip(idx[b], vals[b]):
-                    if r >= self.n or not np.isfinite(score):
-                        continue
-                    finite += 1
-                    doc_id = int(self.row_docs[r])
-                    if doc_id in seen:
-                        continue
-                    seen.add(doc_id)
-                    if len(row) < top_k:
-                        document = db.documents[doc_id]
-                        if return_similarities:
-                            row.append((document, float(score), doc_id))
-                        else:
-                            row.append(document)
-                if (
-                    len(row) < top_k
-                    and finite == k_fetch  # candidates not exhausted
-                    and k_fetch < self.n_pad
-                ):
-                    need_refill = True
-                results.append(row)
+            results, need_refill = dedup_doc_candidates(
+                vals, idx, self.row_docs, db.documents, top_k, k_fetch,
+                self.n, self.n_pad, return_similarities,
+            )
             if not need_refill:
                 return results[:b_real]  # drop batch-bucketing pad rows
             # One worst-case jump instead of repeated doublings (a
