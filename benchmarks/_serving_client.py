@@ -21,7 +21,8 @@ import time
 
 
 def _pipelined_loop_factory(port, bodies, path, ctype, accept, stop_at,
-                            count_lock, counts, lats, ramp, seconds, depth):
+                            count_lock, counts, lats, ramp, seconds, depth,
+                            errs):
     """Raw-socket client with HTTP/1.1 pipelining: keeps ``depth`` requests
     outstanding per connection (responses return in request order, so a
     FIFO of send timestamps gives exact per-request latency). A few
@@ -97,6 +98,9 @@ def _pipelined_loop_factory(port, bodies, path, ctype, accept, stop_at,
                             counts[0] += 1
                             lats.append(t1 - t0)
             except Exception:
+                if time.perf_counter() - (stop_at - seconds) >= 0:
+                    with count_lock:
+                        errs[0] += 1
                 try:
                     sock.close()
                 except OSError:
@@ -106,7 +110,7 @@ def _pipelined_loop_factory(port, bodies, path, ctype, accept, stop_at,
 
 
 def _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
-                      count_lock, counts, lats, ramp, seconds):
+                      count_lock, counts, lats, ramp, seconds, errs):
     """Raw-socket client loop: requests are PRE-SERIALIZED byte strings and
     the response parse is a header scan + Content-Length read. http.client
     costs ~0.5-1 ms of Python per request — at 1k+ q/s targets the client
@@ -163,6 +167,9 @@ def _raw_loop_factory(port, bodies, path, ctype, accept, stop_at,
                 if status != 200:
                     raise RuntimeError(status)
             except Exception:
+                if time.perf_counter() - (stop_at - seconds) >= 0:
+                    with count_lock:
+                        errs[0] += 1
                 try:
                     sock.close()
                 except OSError:
@@ -197,23 +204,24 @@ def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
     count_lock = threading.Lock()
     counts = [0]
     lats = []
+    errs = [0]  # in-measurement-window failed requests (non-200 / drops)
 
     if ctype in ("application/octet-stream", "text/plain"):
         if pipeline > 1:
             loop = _pipelined_loop_factory(
                 port, bodies, path, ctype, accept, stop_at,
-                count_lock, counts, lats, ramp, seconds, pipeline)
+                count_lock, counts, lats, ramp, seconds, pipeline, errs)
         else:
             loop = _raw_loop_factory(
                 port, bodies, path, ctype, accept, stop_at,
-                count_lock, counts, lats, ramp, seconds)
+                count_lock, counts, lats, ramp, seconds, errs)
         threads = [threading.Thread(target=loop, args=(t,))
                    for t in range(n_threads)]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
-        out_q.put((counts[0], lats))
+        out_q.put((counts[0], lats, errs[0]))
         return
 
     def connect():
@@ -245,6 +253,9 @@ def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
                 if resp.status != 200:
                     raise RuntimeError(payload[:200])
             except Exception:
+                if time.perf_counter() - (stop_at - seconds) >= 0:
+                    with count_lock:
+                        errs[0] += 1
                 conn.close()
                 try:
                     conn = connect()
@@ -263,4 +274,4 @@ def worker_main(port, bodies, n_threads, seconds, ramp, out_q,
         t.start()
     for t in threads:
         t.join()
-    out_q.put((counts[0], lats))
+    out_q.put((counts[0], lats, errs[0]))

@@ -305,19 +305,22 @@ def main():
                                   args.pipeline))
             p.start()
             workers.append(p)
-        done, all_lats = 0, []
+        done, all_lats, errors = 0, [], 0
         for _ in workers:
-            c, l = out_q.get(timeout=ramp + args.seconds + 60)
+            c, l, e = out_q.get(timeout=ramp + args.seconds + 60)
             done += c
             all_lats.extend(l)
+            errors += e
         for p in workers:
             p.join(timeout=10.0)
         if not all_lats:
-            emit({"concurrency": conc, "error": "no completed requests"})
+            emit({"concurrency": conc, "error": "no completed requests",
+                  "errors": errors})
             continue
         all_lats.sort()
         p50 = all_lats[len(all_lats) // 2] * 1e3
         p95 = all_lats[int(len(all_lats) * 0.95)] * 1e3
+        p99 = all_lats[min(len(all_lats) - 1, int(len(all_lats) * 0.99))] * 1e3
         rec = {
             "concurrency": conc,
             "pipeline": args.pipeline,
@@ -326,6 +329,8 @@ def main():
             "qps": round(done / args.seconds, 1),
             "p50_ms": round(p50, 1),
             "p95_ms": round(p95, 1),
+            "p99_ms": round(p99, 1),
+            "errors": errors,
             "n": args.n,
             "max_batch": args.max_batch,
             "window_ms": args.window_ms,
