@@ -77,6 +77,11 @@ def main() -> int:
     m = evaluate_retrieval(hash_enc.encode, eval_set=eval_set)
     emit({"encoder": "hash", "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
 
+    # lexical sqrt-tf at 4096 dims — the strongest cheap encoder here
+    lex = HashEmbedder(dim=4096, sublinear_tf=True)
+    m = evaluate_retrieval(lex.encode, eval_set=eval_set)
+    emit({"encoder": "lexical_4096", "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
+
     # trained local encoder (repo assets)
     trained = MiniLMEmbedder.from_local_assets()
     if trained is None:
@@ -84,6 +89,13 @@ def main() -> int:
         return 1
     m = evaluate_retrieval(trained.encode, eval_set=eval_set)
     emit({"encoder": "trained_local", "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
+
+    # the w=0.65 hybrid — the shipped zero-egress DEFAULT since round 4
+    from hyperdb_tpu.models.embedder import HybridEmbedder
+
+    hybrid = HybridEmbedder(trained, w=0.65)
+    m = evaluate_retrieval(hybrid.encode, eval_set=eval_set)
+    emit({"encoder": "hybrid_w65_default", "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
     return 0
 
 

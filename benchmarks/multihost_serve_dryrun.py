@@ -139,12 +139,25 @@ def worker(process_id: int, procs: int, port: int, ctrl_port: int) -> int:
         chunk_slack=1,  # forces a relayed chunk-refill at top_k=5
     )
 
+    # ---- phase-3 service: int8-pure pod serving over quantized shards ----
+    rows8, scales8, valid8, n_pad8 = build_sharded_rows(
+        mesh, full[lo:lo + local_rows], num_rows=N, precision="int8"
+    )
+    assert n_pad8 == N_PAD
+    svc3 = MultihostQueryService(
+        mesh, rows8, valid8, num_rows=N, control_port=ctrl_port + 4,
+        row_scales=scales8,
+    )
+
     if process_id != 0:
         svc.connect(port=ctrl_port)
         svc.serve_forever()
         print(f"[proc {process_id}] follower v1 done", flush=True)
         svc2.connect(port=ctrl_port + 2)
         svc2.serve_forever()
+        print(f"[proc {process_id}] follower v2 done", flush=True)
+        svc3.connect(port=ctrl_port + 4)
+        svc3.serve_forever()
         print(f"[proc {process_id}] follower exited cleanly", flush=True)
         return 0
 
@@ -247,6 +260,25 @@ def worker(process_id: int, procs: int, port: int, ctrl_port: int) -> int:
     svc2.close()
     print(f"V2 SURFACE: {len(v2_passed)} checks + refill + plane reuse OK",
           flush=True)
+
+    # ---- phase 3: int8-pure quantized serving, exact numpy oracle ----
+    svc3.accept_followers()
+    from hyperdb_tpu.ops.quantized import quantize_rows
+
+    vn3 = full[:N] / np.linalg.norm(full[:N], axis=1, keepdims=True)
+    vq, vs = quantize_rows(vn3)  # replicates the shard-local quantization
+    ids8, scores8 = svc3.query_batch_arrays(qs, top_k=K)
+    qn3 = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    qq, qsc = quantize_rows(qn3)  # device _quantize_device: same math
+    oracle = (qq.astype(np.int32) @ vq.T.astype(np.int32)).astype(
+        np.float32
+    ) * (qsc[:, None] * vs[None, :])
+    for b in range(B):
+        want = np.argsort(-oracle[b], kind="stable")[:K]
+        assert ids8[b].tolist() == want.tolist(), (b, ids8[b], want)
+        np.testing.assert_allclose(scores8[b], oracle[b][want], rtol=1e-5)
+    svc3.close()
+    print("INT8 POD SERVING: OK", flush=True)
     print("MULTIHOST SERVE DRYRUN: OK", flush=True)
     return 0
 

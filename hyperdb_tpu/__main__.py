@@ -75,6 +75,41 @@ def cmd_build(args):
     print(f"saved to {args.output}")
 
 
+def cmd_selectembed(args):
+    """Measure the candidate default encoders on a split-half self-eval
+    over the USER'S corpus and print the ranked report — the build-time
+    measured answer to which encoder this corpus should use."""
+    from hyperdb_tpu.models.embedder import select_embedder_for_corpus
+
+    texts = []
+    with open(args.input) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            doc = json.loads(line)
+            if isinstance(doc, dict):
+                t = doc.get(args.text_key)
+                if t is None:  # fall back to every string field
+                    t = " ".join(str(v) for v in doc.values()
+                                 if isinstance(v, str))
+            else:
+                t = str(doc)
+            if t:
+                texts.append(t)
+    best, _, report = select_embedder_for_corpus(
+        texts, max_docs=args.max_docs, seed=args.seed
+    )
+    for name in sorted(report, key=lambda k: -report[k]["recall@10"]):
+        print(json.dumps({"encoder": name, **report[name]}))
+    env = {"trained_local": "local", "hybrid_w65": "hybrid",
+           "hash_384": "hash", "lexical_4096": "lexical"}[best]
+    print(f"# best on this corpus: {best} -> set "
+          f"HYPERDB_DEFAULT_EMBEDDER={env}"
+          + (" HYPERDB_HYBRID_W=0.65" if best == "hybrid_w65" else ""),
+          file=sys.stderr)
+
+
 def cmd_query(args):
     db = _load_db(args.db, args.metadata_keys.split(",") if args.metadata_keys else None)
     filters = json.loads(args.filters) if args.filters else None
@@ -185,6 +220,17 @@ def main(argv=None):
                    help="checkpoint format only: split vectors into shard "
                         "files for mesh-streaming loads")
     p.set_defaults(fn=cmd_build)
+
+    p = sub.add_parser(
+        "selectembed",
+        help="measure which default encoder fits YOUR corpus (split-half "
+             "self-eval; prints per-encoder recall@10/mrr + the env knob)",
+    )
+    p.add_argument("--input", required=True, help="JSONL corpus")
+    p.add_argument("--text-key", default="text")
+    p.add_argument("--max-docs", type=int, default=400)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_selectembed)
 
     p = sub.add_parser("query", help="query a saved corpus")
     p.add_argument("--db", required=True)

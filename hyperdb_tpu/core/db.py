@@ -224,7 +224,13 @@ class HyperDB:
         if self._embedder_obj is None:
             from hyperdb_tpu.models.embedder import default_embedder
 
-            self._embedder_obj = default_embedder()
+            # an existing corpus pins the embedder's output dim (a migrated
+            # 384-d corpus must keep getting 384-d TEXT query vectors);
+            # a fresh corpus gets the measured best default (the hybrid)
+            known = self._store.dim
+            if known is None and self.ann_dim is not None:
+                known = int(self.ann_dim)
+            self._embedder_obj = default_embedder(known)
         return self._embedder_obj
 
     def _on_mutation(self) -> None:

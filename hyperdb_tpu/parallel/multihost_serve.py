@@ -62,7 +62,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hyperdb_tpu.parallel.distributed import sharded_rank_top_k
+from hyperdb_tpu.parallel.distributed import (
+    sharded_rank_top_k,
+    sharded_rank_top_k_int8,
+)
 
 _HDR = struct.Struct("<I")
 _SENTINEL = {"op": "stop"}
@@ -116,11 +119,21 @@ class MultihostQueryService:
     def __init__(self, mesh: Mesh, rows, row_valid, num_rows: int,
                  axis: str = "data", control_port: int = 0,
                  leader_host: str = "127.0.0.1", prenormalized: bool = True,
-                 host_db=None, chunk_slack: int = 4):
+                 host_db=None, chunk_slack: int = 4, row_scales=None):
         self.mesh = mesh
         self.axis = axis
         self.rows = rows
         self.row_valid = row_valid
+        # int8-pure pod serving: ``rows`` is the quantized (n_pad, d) int8
+        # matrix and ``row_scales`` its (n_pad,) per-row f32 scales
+        # (build with build_sharded_rows(..., precision="int8") — per-row
+        # symmetric quantization needs no cross-shard calibration).
+        # Queries quantize on device inside the shard program; cosine
+        # requires prenormalized=True (rows normalized BEFORE quantizing).
+        self.row_scales = row_scales
+        self._int8 = str(rows.dtype) == "int8"
+        if self._int8 and row_scales is None:
+            raise ValueError("int8 rows need row_scales")
         self.num_rows = int(num_rows)
         self.n_pad = int(rows.shape[0])
         self.dim = int(rows.shape[1])
@@ -274,6 +287,20 @@ class MultihostQueryService:
             norms[norms == 0] = 1.0
             q = (q32 / norms).astype(q.dtype)
             metric = "dot_product"
+        if self._int8 and not is_override:
+            # quantized scan over the int8 shards (queries quantize on
+            # device inside the shard program, ops/quantized semantics);
+            # override planes stay f32 — they replace the corpus entirely
+            if metric != "dot_product":
+                raise ValueError(
+                    "int8 multihost rows support cosine_similarity and "
+                    f"dot_product only (got '{metric}')"
+                )
+            return sharded_rank_top_k_int8(
+                self.mesh, jnp.asarray(q, dtype=jnp.float32), self.rows,
+                self.row_scales, mask_dev, k=k, recency=rec_dev,
+                axis=self.axis,
+            )
         return sharded_rank_top_k(
             self.mesh, jnp.asarray(q), rows_dev, mask_dev, k=k,
             metric=metric, recency=rec_dev, axis=self.axis,
@@ -291,6 +318,23 @@ class MultihostQueryService:
         self.collective_steps = getattr(self, "collective_steps", 0) + 1
         return self._run_plane_query(q, k, metric, token)
 
+    def _validate_metric(self, metric: str) -> None:
+        """Leader-side pre-relay validation: a metric the executor would
+        refuse must raise BEFORE any follower receives the message, or the
+        mesh desynchronizes."""
+        if not self._int8:
+            return
+        if metric not in ("cosine_similarity", "dot_product"):
+            raise ValueError(
+                "int8 multihost rows support cosine_similarity and "
+                f"dot_product only (got '{metric}')"
+            )
+        if metric == "cosine_similarity" and not self.prenormalized:
+            raise ValueError(
+                "int8 cosine needs prenormalized rows (normalize before "
+                "quantizing: build_sharded_rows(..., precision='int8'))"
+            )
+
     # -------------------------------------------------------------- compute
     def _run_block(self, q_pad: np.ndarray, k_pad: int, metric: str):
         q = q_pad
@@ -300,6 +344,11 @@ class MultihostQueryService:
             norms[norms == 0] = 1.0
             q = (q32 / norms).astype(q_pad.dtype)
             metric = "dot_product"  # unit rows: dot == cosine exactly
+        if self._int8:
+            return sharded_rank_top_k_int8(
+                self.mesh, jnp.asarray(q, dtype=jnp.float32), self.rows,
+                self.row_scales, self.row_valid, k=k_pad, axis=self.axis,
+            )
         vals, idx = sharded_rank_top_k(
             self.mesh,
             jnp.asarray(q),
@@ -346,6 +395,7 @@ class MultihostQueryService:
             return ids, scores
         if self.process_id != 0:
             raise RuntimeError("query_batch_arrays is leader-only")
+        self._validate_metric(metric)
         q = np.asarray(query_vectors)
         if q.dtype != np.float16:
             q = np.asarray(q, dtype=np.float32)
@@ -398,6 +448,7 @@ class MultihostQueryService:
 
         if self.process_id != 0:
             raise RuntimeError("query_batch is leader-only")
+        self._validate_metric(metric)
         db = self.host_db
         if db is None:
             raise RuntimeError(
@@ -620,7 +671,8 @@ class MultihostQueryService:
 
 
 def build_sharded_rows(mesh: Mesh, local_rows: np.ndarray, num_rows: int,
-                       axis: str = "data", normalize: bool = True):
+                       axis: str = "data", normalize: bool = True,
+                       precision: str = "f32"):
     """Assemble the global (n_pad, d) row matrix + validity mask from each
     process's LOCAL row block (the multi-host ingest pattern — no process
     ever holds the whole corpus).
@@ -628,20 +680,34 @@ def build_sharded_rows(mesh: Mesh, local_rows: np.ndarray, num_rows: int,
     ``local_rows`` is this process's contiguous slice of the padded global
     matrix (all processes pass the same ``num_rows``: the true global row
     count before padding). Rows are L2-normalized shard-locally when
-    ``normalize`` (cosine-ready unit rows)."""
+    ``normalize`` (cosine-ready unit rows).
+
+    ``precision="int8"`` quantizes the local block per-row (symmetric,
+    ops/quantized.quantize_rows — shard-local by construction, no
+    cross-shard calibration) and returns ``(rows_q, row_scales, row_valid,
+    n_pad)``; pass both blocks to MultihostQueryService(rows=rows_q,
+    row_scales=...). Normalize-then-quantize makes the quantized dot a
+    true (quantized) cosine, so ``prenormalized=True`` holds."""
     local = np.asarray(local_rows, dtype=np.float32)
     if normalize:
         norms = np.linalg.norm(local, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         local = local / norms
     sharding = NamedSharding(mesh, P(axis, None))
-    rows = jax.make_array_from_process_local_data(sharding, local)
-    n_pad = int(rows.shape[0])
+    axis_sh = NamedSharding(mesh, P(axis))
     start = jax.process_index() * local.shape[0]
     valid_local = np.zeros(local.shape[0], dtype=bool)
     global_ids = np.arange(start, start + local.shape[0])
     valid_local[global_ids < num_rows] = True
-    row_valid = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P(axis)), valid_local
-    )
-    return rows, row_valid, n_pad
+    row_valid = jax.make_array_from_process_local_data(axis_sh, valid_local)
+    if precision == "int8":
+        from hyperdb_tpu.ops.quantized import quantize_rows
+
+        q_local, s_local = quantize_rows(local)
+        rows_q = jax.make_array_from_process_local_data(sharding, q_local)
+        row_scales = jax.make_array_from_process_local_data(
+            axis_sh, s_local.astype(np.float32)
+        )
+        return rows_q, row_scales, row_valid, int(rows_q.shape[0])
+    rows = jax.make_array_from_process_local_data(sharding, local)
+    return rows, row_valid, int(rows.shape[0])

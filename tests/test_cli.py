@@ -85,3 +85,29 @@ def test_serve_warmup_metrics_parsing(corpus_file, tmp_path, capsys, monkeypatch
     main(["serve", "--db", ckpt, "--warmup",
           "--warmup-metrics", "cosine_similarity, dot_product"])
     assert seen["metric"] == ("cosine_similarity", "dot_product")
+
+
+def test_selectembed_measures_corpus(tmp_path, capsys):
+    """`selectembed` runs the split-half self-eval on the user's corpus and
+    prints one ranked JSON row per candidate encoder plus the env-knob
+    recommendation (VERDICT r3 #3: the default deserves a build-time
+    measured justification)."""
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    vocab = [f"word{j}" for j in range(500)]
+    path = tmp_path / "corpus.jsonl"
+    path.write_text("\n".join(
+        json.dumps({"text": " ".join(rng.choice(vocab, size=24).tolist())})
+        for _ in range(40)
+    ))
+    main(["selectembed", "--input", str(path), "--max-docs", "40"])
+    captured = capsys.readouterr()
+    rows = [json.loads(l) for l in captured.out.strip().splitlines()]
+    names = {r["encoder"] for r in rows}
+    assert {"hash_384", "lexical_4096"} <= names
+    assert all("recall@10" in r and "mrr" in r for r in rows)
+    # rows arrive ranked best-first
+    r10 = [r["recall@10"] for r in rows]
+    assert r10 == sorted(r10, reverse=True)
+    assert "HYPERDB_DEFAULT_EMBEDDER=" in captured.err

@@ -254,16 +254,67 @@ class TestShippedAssets:
             manifest["eval"]["hash_baseline"]["recall@10"]
         )
 
-    def test_default_embedder_auto_prefers_local(self, monkeypatch):
+    def test_default_embedder_auto_is_hybrid(self, monkeypatch):
+        """The zero-egress auto default is the measured HYBRID (VERDICT r3
+        #3): pure dense loses 2.4x to a lexical hash on unseen text by the
+        repo's own OOD eval, while the w=0.65 hybrid holds 0.925 in-dist /
+        0.577 OOD — strictly better than dense on arbitrary corpora."""
         import hyperdb_tpu.models.embedder as embmod
         from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
         monkeypatch.setenv("HYPERDB_DEFAULT_EMBEDDER", "auto")
         monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDERS", {})
         emb = embmod.default_embedder()
-        if not isinstance(emb, MiniLMEmbedder):
+        if isinstance(emb, embmod.HashEmbedder):
             pytest.skip("no trained assets")
-        assert emb.dim == 384
+        assert isinstance(emb, embmod.HybridEmbedder)
+        assert isinstance(emb.dense, MiniLMEmbedder)
+        assert emb.w == pytest.approx(0.65)
+        assert emb.dim == 384 + 4096
+        # the pure dense encoder stays one env knob away
+        monkeypatch.setenv("HYPERDB_DEFAULT_EMBEDDER", "local")
+        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDERS", {})
+        assert isinstance(embmod.default_embedder(), MiniLMEmbedder)
+
+    def test_existing_corpus_pins_text_query_dim(self, monkeypatch):
+        """A vectors-supplied 384-d corpus (the migrated-reference shape)
+        must keep getting 384-d TEXT query vectors after the hybrid became
+        the new-corpus default — default_embedder(dim) returns an encoder
+        PRODUCING the corpus dim, never the 4480-d hybrid."""
+        import hyperdb_tpu.models.embedder as embmod
+        from hyperdb_tpu import HyperDB
+
+        monkeypatch.setenv("HYPERDB_DEFAULT_EMBEDDER", "auto")
+        monkeypatch.setattr(embmod, "_DEFAULT_EMBEDDERS", {})
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((20, 384)).astype(np.float32)
+        db = HyperDB(
+            documents=[{"t": f"doc {i}"} for i in range(20)], vectors=v
+        )
+        emb = db._embedder()
+        assert emb.dim == 384, type(emb)
+        assert not isinstance(emb, embmod.HybridEmbedder)
+        res = db.query("some text query about doc five", top_k=3)
+        assert len(res) == 3
+
+    def test_select_embedder_for_corpus_measures(self):
+        """The build-time self-eval ranks encoders on the USER'S corpus;
+        on a word-overlap corpus the lexical family must win (dense has
+        never seen it, exactly the OOD failure mode the tool exists for)."""
+        from hyperdb_tpu.models.embedder import select_embedder_for_corpus
+
+        rng = np.random.default_rng(9)
+        vocab = [f"tok{j}" for j in range(600)]
+        texts = [
+            " ".join(rng.choice(vocab, size=24).tolist()) for _ in range(60)
+        ]
+        best, emb, report = select_embedder_for_corpus(texts, max_docs=60)
+        assert set(report) >= {"hash_384", "lexical_4096"}
+        assert best in report and hasattr(emb, "encode")
+        assert best in ("lexical_4096", "hash_384", "hybrid_w65")
+        assert report[best]["recall@10"] >= max(
+            r["recall@10"] for r in report.values()
+        )
 
 
 class TestDBWithLocalEncoder:
