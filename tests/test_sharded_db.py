@@ -154,13 +154,6 @@ def test_sharded_query_uses_shared_lru(mesh, db):
     assert len(db.lru_cache) == 0
 
 
-def test_key_filter_rejected(mesh, db):
-    sdb = ShardedHyperDB(db, mesh)
-    q = np.zeros((1, 16), dtype=np.float32)
-    with pytest.raises(ValueError):
-        sdb.query_batch(q, top_k=2, filters=[("key", "text")])
-
-
 def test_from_checkpoint_sharded_vectors(mesh, db, tmp_path):
     """Sharded checkpoint -> mesh, no host materialization: results match a
     host-built ShardedHyperDB exactly."""
