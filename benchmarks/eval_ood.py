@@ -44,6 +44,10 @@ def main() -> int:
     parser.add_argument("--num-docs", type=int, default=800)
     parser.add_argument("--tpu", action="store_true",
                         help="allow the default (TPU) backend")
+    parser.add_argument("--assets", default=None,
+                        help="evaluate a STAGED encoder assets dir instead "
+                             "of the shipped one (candidate vetting before "
+                             "promotion)")
     args = parser.parse_args()
 
     if not args.tpu:
@@ -82,20 +86,21 @@ def main() -> int:
     m = evaluate_retrieval(lex.encode, eval_set=eval_set)
     emit({"encoder": "lexical_4096", "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
 
-    # trained local encoder (repo assets)
-    trained = MiniLMEmbedder.from_local_assets()
+    # trained local encoder (repo assets, or a staged candidate dir)
+    trained = MiniLMEmbedder.from_local_assets(assets_dir=args.assets)
     if trained is None:
         emit({"encoder": "trained_local", "error": "assets unavailable"})
         return 1
+    tag = "_staged" if args.assets else ""
     m = evaluate_retrieval(trained.encode, eval_set=eval_set)
-    emit({"encoder": "trained_local", "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
+    emit({"encoder": "trained_local" + tag, "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
 
     # the w=0.65 hybrid — the shipped zero-egress DEFAULT since round 4
     from hyperdb_tpu.models.embedder import HybridEmbedder
 
     hybrid = HybridEmbedder(trained, w=0.65)
     m = evaluate_retrieval(hybrid.encode, eval_set=eval_set)
-    emit({"encoder": "hybrid_w65_default", "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
+    emit({"encoder": "hybrid_w65_default" + tag, "num_docs": len(docs), **{k: round(v, 4) for k, v in m.items()}})
     return 0
 
 

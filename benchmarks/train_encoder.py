@@ -42,6 +42,29 @@ def main():
     parser.add_argument("--vocab-size", type=int, default=8192)
     parser.add_argument("--pairs", type=int, default=40000)
     parser.add_argument("--stdlib-pairs", type=int, default=6000)
+    parser.add_argument(
+        "--pkg-pairs", type=int, default=0,
+        help="random span-crop pairs mined from installed site-packages "
+             "docstrings (localdata.package_texts — the round-4 natural-"
+             "prose corpus expansion; ~36k multi-sentence paragraphs "
+             "available)",
+    )
+    parser.add_argument(
+        "--crops", type=int, default=2,
+        help="random crop pairs drawn per package docstring",
+    )
+    parser.add_argument(
+        "--word-dropout", type=float, default=0.0,
+        help="per-token drop probability applied independently to both "
+             "sides of each training pair (robustness to unseen phrasing)",
+    )
+    parser.add_argument(
+        "--ood-select", action="store_true",
+        help="also track an OOD VALIDATION slice (held-out stdlib "
+             "docstrings 800..1200 — disjoint from the reported eval's "
+             "first 800) and select the best checkpoint by the mean of "
+             "in-dist and OOD-val MRR instead of in-dist MRR alone",
+    )
     parser.add_argument("--eval-every", type=int, default=500)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -101,6 +124,20 @@ def main():
         )
     stdlib_pairs = localdata.stdlib_span_pairs(args.stdlib_pairs)
     pairs += stdlib_pairs
+    pkg_pairs: list = []
+    if args.pkg_pairs:
+        t_pkg = time.time()
+        pkg_texts = localdata.package_texts()
+        pkg_pairs = localdata.span_pairs(
+            pkg_texts, args.pkg_pairs, seed=args.seed + 3,
+            crops_per_text=args.crops,
+        )
+        pairs += pkg_pairs
+        print(
+            f"package prose: {len(pkg_texts)} paragraphs -> "
+            f"{len(pkg_pairs)} crop pairs in {time.time() - t_pkg:.0f}s",
+            flush=True,
+        )
     if args.init_from:
         tokenizer = WordPieceTokenizer.load(
             os.path.join(args.init_from, "vocab.txt")
@@ -144,16 +181,43 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def tokenize_block(texts):
+    # pre-tokenized body ids per unique text (specials added per step so
+    # word dropout can thin the body without re-encoding)
+    encode_cache: dict[str, list[int]] = {}
+
+    def body_ids(text):
+        ids = encode_cache.get(text)
+        if ids is None:
+            ids = tokenizer.text_ids(text)[: args.seq - 2]
+            encode_cache[text] = ids
+        return ids
+
+    drop_rng = np.random.default_rng(args.seed + 7)
+
+    def tokenize_block(texts, dropout=0.0):
         ids = np.zeros((len(texts), args.seq), dtype=np.int32)
         mask = np.zeros((len(texts), args.seq), dtype=np.int32)
         for i, text in enumerate(texts):
-            tok_ids, tok_mask = tokenizer.encode(text, args.seq)
-            ids[i, : len(tok_ids)] = tok_ids
-            mask[i, : len(tok_mask)] = tok_mask
+            body = body_ids(text)
+            if dropout > 0.0 and len(body) > 4:
+                keep = drop_rng.random(len(body)) >= dropout
+                if keep.any():
+                    body = [t for t, k in zip(body, keep) if k]
+            row = [tokenizer.cls_id] + list(body) + [tokenizer.sep_id]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
         return ids, mask
 
     eval_set = localdata.retrieval_eval_set(pool=pool)
+    ood_val_set = None
+    if args.ood_select:
+        # validation OOD slice: held-out stdlib docstrings AFTER the
+        # reported eval's first 800 — checkpoint selection never sees the
+        # benchmarks/eval_ood.py text
+        ood_val_set = localdata.heldout_span_eval_set(
+            num_docs=400, skip_docs=800
+        )
+        print(f"ood-val slice: {len(ood_val_set[0])} docs", flush=True)
     eval_embedder = MiniLMEmbedder(
         params=params, tokenizer=tokenizer, config=config
     )
@@ -161,9 +225,18 @@ def main():
     def eval_encoder(params):
         # reuse one embedder (one jit cache) across evals; only swap params
         eval_embedder.params = params
-        return localdata.evaluate_retrieval(
+        metrics = localdata.evaluate_retrieval(
             eval_embedder.encode, eval_set=eval_set
         )
+        if ood_val_set is not None:
+            ood = localdata.evaluate_retrieval(
+                eval_embedder.encode, eval_set=ood_val_set
+            )
+            metrics.update({f"ood_val_{k}": v for k, v in ood.items()})
+            metrics["select"] = 0.5 * metrics["mrr"] + 0.5 * ood["mrr"]
+        else:
+            metrics["select"] = metrics["mrr"]
+        return metrics
 
     hash_metrics = localdata.evaluate_retrieval(
         HashEmbedder(dim=384).encode, eval_set=eval_set
@@ -183,8 +256,12 @@ def main():
             cursor = 0
         idx = order[cursor : cursor + args.batch]
         cursor += args.batch
-        q_ids, q_mask = tokenize_block([pairs[i][0] for i in idx])
-        d_ids, d_mask = tokenize_block([pairs[i][1] for i in idx])
+        q_ids, q_mask = tokenize_block(
+            [pairs[i][0] for i in idx], dropout=args.word_dropout
+        )
+        d_ids, d_mask = tokenize_block(
+            [pairs[i][1] for i in idx], dropout=args.word_dropout
+        )
         params, opt_state, loss = step(
             params, opt_state,
             {"q_ids": q_ids, "q_mask": q_mask, "d_ids": d_ids, "d_mask": d_mask},
@@ -203,7 +280,7 @@ def main():
             # keep the BEST checkpoint by held-out MRR (contrastive training
             # on templated data overfits past its peak), and save at every
             # eval so a killed run never loses work
-            if metrics["mrr"] > best_metrics.get("mrr", -1.0):
+            if metrics["select"] > best_metrics.get("select", -1.0):
                 best_metrics = dict(metrics, step=it + 1)
                 tokenizer.save(os.path.join(out_dir, "vocab.txt"))
                 save_params(params, os.path.join(out_dir, "encoder_local.npz"))
@@ -233,6 +310,9 @@ def main():
             "seq": args.seq,
             "lr": args.lr,
             "pairs": len(pairs),
+            "pkg_pairs": len(pkg_pairs),
+            "word_dropout": args.word_dropout,
+            "ood_select": args.ood_select,
             "backend": jax.default_backend(),
             "wall_s": round(time.time() - t_train, 1),
         },

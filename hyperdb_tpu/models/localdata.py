@@ -726,7 +726,7 @@ def stdlib_heldout_texts(min_len: int = 60, max_texts: int = 4000) -> list[str]:
 
 
 def heldout_span_eval_set(
-    num_docs: int = 800, min_half_len: int = 40
+    num_docs: int = 800, min_half_len: int = 40, skip_docs: int = 0
 ) -> tuple[list[str], list[str], list[int]]:
     """(corpus, queries, targets) for the OOD docstring-retrieval eval.
 
@@ -735,10 +735,17 @@ def heldout_span_eval_set(
     corpus DOCUMENT; recall@k asks whether an encoder ranks a docstring's
     other half above ``num_docs - 1`` distractor halves. Topic match
     without guaranteed word overlap — the same objective shape the encoder
-    pretrained on, but on text it never saw."""
+    pretrained on, but on text it never saw.
+
+    ``skip_docs`` skips the first N eligible docstrings — the reported OOD
+    eval uses the FIRST 800 (benchmarks/eval_ood.py), so a training run
+    that wants an OOD *validation* signal for checkpoint selection must
+    draw from a later, disjoint slice (``skip_docs=800``) to keep the
+    reported eval untouched by model selection."""
     docs: list[str] = []
     queries: list[str] = []
     targets: list[int] = []
+    skipped = 0
     for text in stdlib_heldout_texts():
         sentences = _SENTENCE_RE.findall(text)
         if len(sentences) < 2:
@@ -747,6 +754,9 @@ def heldout_span_eval_set(
         a = " ".join(sentences[:half])
         b = " ".join(sentences[half:])
         if len(a) < min_half_len or len(b) < min_half_len:
+            continue
+        if skipped < skip_docs:
+            skipped += 1
             continue
         targets.append(len(docs))
         docs.append(b)
@@ -771,6 +781,117 @@ def stdlib_span_pairs(max_pairs: int = 8000) -> list[tuple[str, str]]:
                 pairs.append((a, b))
         if len(pairs) >= max_pairs:
             break
+    return pairs
+
+
+# Installed third-party packages with substantial natural-English docstring
+# prose (census 2026-08-18: ~49k paragraphs >= 60 chars, ~36k with >= 2
+# sentences — 30x the stdlib top-level supply). Disjoint BY PATH from the
+# OOD eval source (stdlib subpackage modules), so training on them cannot
+# leak eval text; vendored-copy hygiene below drops exact matches anyway.
+PACKAGE_PROSE_ROOTS = (
+    "numpy", "jax", "scipy", "torch", "transformers", "flax", "optax",
+    "pandas", "sklearn", "chex", "orbax", "haiku", "matplotlib", "sympy",
+)
+
+
+def _docstrings_under(root: str, min_len: int, cap: int) -> list[str]:
+    """Docstring paragraphs from every ``*.py`` under ``root`` (sorted walk,
+    tests/__pycache__ pruned), cleaned to single-space paragraphs."""
+    texts: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = sorted(
+            d for d in dirnames if d not in ("tests", "test", "__pycache__")
+        )
+        for name in sorted(filenames):
+            if not name.endswith(".py"):
+                continue
+            try:
+                with open(
+                    os.path.join(dirpath, name), encoding="utf-8",
+                    errors="ignore",
+                ) as f:
+                    tree = ast.parse(f.read())
+            except (OSError, SyntaxError, ValueError):
+                continue
+            for node in ast.walk(tree):
+                if isinstance(
+                    node,
+                    (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef,
+                     ast.ClassDef),
+                ):
+                    doc = ast.get_docstring(node)
+                    if doc:
+                        cleaned = " ".join(doc.split())
+                        if len(cleaned) >= min_len:
+                            texts.append(cleaned)
+                            if len(texts) >= cap:
+                                return texts
+    return texts
+
+
+def package_texts(
+    packages: tuple[str, ...] = PACKAGE_PROSE_ROOTS,
+    max_texts: int = 60000,
+    min_len: int = 60,
+) -> list[str]:
+    """Natural-English docstring paragraphs mined from installed third-party
+    packages (zero egress — the text ships in this image). This is the
+    round-4 pretraining corpus expansion (VERDICT r3 "what's missing" #1 /
+    next #3a): the round-3 encoder saw only ~1.2k natural-prose span pairs,
+    which is why its OOD recall collapsed; site-packages supplies ~30x.
+
+    Hygiene: paragraphs exactly matching any held-out stdlib-subpackage
+    paragraph (the OOD eval text source, :func:`stdlib_heldout_texts`) are
+    dropped, so a vendored stdlib copy can never leak eval text into
+    training. Deterministic order (sorted packages, sorted walk)."""
+    import sysconfig
+
+    site = sysconfig.get_paths()["purelib"]
+    forbidden = set(stdlib_heldout_texts())
+    texts: list[str] = []
+    seen: set[str] = set()
+    for pkg in packages:
+        root = os.path.join(site, pkg)
+        if not os.path.isdir(root):
+            continue
+        for t in _docstrings_under(root, min_len, cap=max_texts):
+            if t in forbidden or t in seen:
+                continue
+            seen.add(t)
+            texts.append(t)
+            if len(texts) >= max_texts:
+                return texts
+    return texts
+
+
+def span_pairs(
+    texts: list[str],
+    max_pairs: int,
+    seed: int = 0,
+    crops_per_text: int = 2,
+    min_half_len: int = 40,
+) -> list[tuple[str, str]]:
+    """Random disjoint sentence-run crop pairs — the generalized form of
+    :func:`stdlib_span_pairs` (which always splits at the midpoint). Each
+    multi-sentence text contributes up to ``crops_per_text`` pairs with a
+    RANDOM split point and random side order, so long docstrings yield
+    diverse (query, document) croppings instead of one fixed pair."""
+    rng = np.random.default_rng(seed)
+    pairs: list[tuple[str, str]] = []
+    for text in texts:
+        sentences = _SENTENCE_RE.findall(text)
+        if len(sentences) < 2:
+            continue
+        for _ in range(crops_per_text):
+            split = int(rng.integers(1, len(sentences)))
+            a = " ".join(sentences[:split])
+            b = " ".join(sentences[split:])
+            if len(a) < min_half_len or len(b) < min_half_len:
+                continue
+            pairs.append((a, b) if rng.random() < 0.5 else (b, a))
+            if len(pairs) >= max_pairs:
+                return pairs
     return pairs
 
 

@@ -304,6 +304,7 @@ class MiniLMEmbedder:
         tokenizer=None,
         dim=HIDDEN,
         config: EncoderConfig | None = None,
+        max_seq: int | None = None,
     ):
         if config is None:
             # pick the preset matching the requested embedding dimension
@@ -312,6 +313,15 @@ class MiniLMEmbedder:
             )
         self.config = config
         self.dim = config.hidden
+        # Inference truncation window (opt-in, manifest "inference_seq").
+        # Capping at the trained seq length was MEASURED on the shipped
+        # seq-64 encoder and does NOT help (OOD recall@10 0.151 truncated
+        # vs 0.166 full — mean pooling dilutes the untrained-position
+        # noise, results.jsonl ood_encoder_eval 2026-08-18), so nothing
+        # sets this implicitly; it exists for encoders whose manifest
+        # records a measured win.
+        self.max_seq = min(max_seq or config.max_positions,
+                           config.max_positions)
         self.model = MiniLM(dtype=dtype, config=config)
         if params is None:
             _, params = init_params(seed=0, dtype=dtype, config=config)
@@ -340,13 +350,16 @@ class MiniLMEmbedder:
         if not (os.path.exists(vocab_path) and os.path.exists(params_path)):
             return None
         config = PRESETS["local-384"]
+        trained_seq = None
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 manifest = json.load(f)
             config = EncoderConfig(**manifest.get("config", {}))
+            trained_seq = manifest.get("inference_seq")
         tokenizer = WordPieceTokenizer.load(vocab_path)
         params = load_saved_params(params_path)
-        emb = cls(params=params, tokenizer=tokenizer, config=config)
+        emb = cls(params=params, tokenizer=tokenizer, config=config,
+                  max_seq=trained_seq)
         emb.chunk_tokenizer = tokenizer  # WordPiece chunking (C3 upgrade)
         return emb
 
@@ -397,7 +410,7 @@ class MiniLMEmbedder:
     def _prep_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Tokenize one <=_MAX_BATCH slice into bucketed host ``(ids, mask)``
         int32 arrays; the batch dim is padded to the next power of two."""
-        encoded = [self._tokenizer.encode(t, self.config.max_positions) for t in texts]
+        encoded = [self._tokenizer.encode(t, self.max_seq) for t in texts]
         max_len = max(len(ids) for ids, _ in encoded)
         seq = self._bucket(max_len, SEQ_BUCKETS)
         batch = 1 << (len(encoded) - 1).bit_length()

@@ -102,6 +102,36 @@ class TestLocalData:
         assert len(texts) > 20
         assert all(len(t) >= 60 for t in texts)
 
+    def test_span_pairs_random_crops(self):
+        texts = [
+            "First sentence with enough words to pass the length cut here. "
+            "Second sentence also has plenty of words in it for the test. "
+            "Third sentence rounds out the paragraph with more material.",
+        ] * 5
+        pairs = localdata.span_pairs(texts, 20, seed=3, crops_per_text=3)
+        assert 0 < len(pairs) <= 20
+        for a, b in pairs:
+            assert len(a) >= 40 and len(b) >= 40
+            assert a != b
+        # deterministic per seed
+        assert pairs == localdata.span_pairs(texts, 20, seed=3,
+                                             crops_per_text=3)
+
+    def test_heldout_eval_skip_docs_disjoint(self):
+        first = localdata.heldout_span_eval_set(num_docs=20)
+        later = localdata.heldout_span_eval_set(num_docs=20, skip_docs=20)
+        assert first[0] and later[0]
+        assert not set(first[0]) & set(later[0])
+
+    def test_package_texts_hygiene(self):
+        # only packages present in the image count; capped walk stays fast
+        texts = localdata.package_texts(packages=("numpy",), max_texts=50)
+        assert len(texts) == 50
+        assert all(len(t) >= 60 for t in texts)
+        # held-out OOD eval paragraphs can never appear in training text
+        held = set(localdata.stdlib_heldout_texts(max_texts=500))
+        assert not held & set(texts)
+
     def test_evaluate_retrieval_perfect_encoder(self):
         docs, queries, targets = localdata.retrieval_eval_set(
             num_docs=30, num_queries=10
