@@ -76,10 +76,17 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--hash-dim", type=int, default=384)
     parser.add_argument("--sublinear-tf", action="store_true")
+    parser.add_argument("--assets", default=None,
+                        help="staged encoder assets dir (candidate vetting)")
+    parser.add_argument("--num-docs", type=int, default=300)
+    parser.add_argument("--skip-docs", type=int, default=0,
+                        help="sweep w on a later, disjoint held-out slice "
+                             "(skip_docs=800 = the validation slice) so the "
+                             "chosen w is never tuned on the reported eval")
     args = parser.parse_args()
 
     hash_enc = HashEmbedder(dim=args.hash_dim, sublinear_tf=args.sublinear_tf)
-    dense = MiniLMEmbedder.from_local_assets()
+    dense = MiniLMEmbedder.from_local_assets(assets_dir=args.assets)
     if dense is None:
         emit({"error": "trained assets unavailable"})
         return 1
@@ -87,7 +94,8 @@ def main() -> int:
     evals = {}
     cd, cq, ct = retrieval_eval_set(pool=CONCEPTS_HARD)
     evals["concept_hard"] = (cd, cq, ct)
-    od, oq, ot = heldout_span_eval_set(num_docs=300)
+    od, oq, ot = heldout_span_eval_set(num_docs=args.num_docs,
+                                       skip_docs=args.skip_docs)
     evals["ood_stdlib"] = (od, oq, ot)
 
     for name, (docs, queries, targets) in evals.items():
@@ -96,7 +104,9 @@ def main() -> int:
         s_hash = _norm(hash_enc.encode(queries)) @ _norm(hash_enc.encode(docs)).T
         s_dense = _norm(dense.encode(queries)) @ _norm(dense.encode(docs)).T
         row = {"eval": name, "num_docs": len(docs),
-               "hash_dim": args.hash_dim, "sublinear_tf": args.sublinear_tf}
+               "hash_dim": args.hash_dim, "sublinear_tf": args.sublinear_tf,
+               "assets": args.assets or "shipped",
+               "skip_docs": args.skip_docs}
         for w in (0.0, 0.2, 0.35, 0.5, 0.65, 0.75, 0.85, 0.9, 1.0):
             sims = w * s_dense + (1.0 - w) * s_hash
             row[f"recall@10_w{w}"] = round(_recall_at_10(sims, targets), 4)

@@ -21,6 +21,8 @@ RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-docs", type=int, default=800)
+    parser.add_argument("--assets", default=None,
+                        help="staged encoder assets dir (candidate vetting)")
     args = parser.parse_args()
 
     os.environ["HYPERDB_CHIP_LOCK_BYPASS"] = "1"
@@ -36,13 +38,14 @@ def main() -> int:
     from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
     eval_set = heldout_span_eval_set(num_docs=args.num_docs)
-    trained = MiniLMEmbedder.from_local_assets()
+    trained = MiniLMEmbedder.from_local_assets(assets_dir=args.assets)
     if trained is None:
         print("assets unavailable")
         return 1
     hybrid = HybridEmbedder(trained, w=0.65)
     m = evaluate_retrieval(hybrid.encode, eval_set=eval_set)
-    rec = {"encoder": "hybrid_w65_default", "num_docs": len(eval_set[0]),
+    tag = "_staged" if args.assets else ""
+    rec = {"encoder": "hybrid_w65_default" + tag, "num_docs": len(eval_set[0]),
            **{k: round(v, 4) for k, v in m.items()},
            "bench": "ood_encoder_eval",
            "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
