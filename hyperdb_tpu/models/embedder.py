@@ -108,15 +108,17 @@ class HybridEmbedder:
     embedding with mixing weight ``w`` — cosine over the concat equals
     ``w * s_dense + (1-w) * s_lexical``.
 
-    Shipped because the round-3 OOD eval (benchmarks/eval_ood.py) showed
-    the trained dense encoder and the lexical encoder win DIFFERENT
-    regimes: dense 0.995 / lexical 0.000 recall@10 on the in-distribution
-    concept benchmark, dense 0.26 / lexical(4096, sublinear-tf) 0.63 on
-    held-out stdlib docstring retrieval. No fusion dominates both (linear
-    sweep + reciprocal-rank fusion measured in benchmarks/eval_hybrid.py;
-    results.jsonl hybrid_encoder_sweep), so the mix is a knob:
+    Shipped because the OOD eval (benchmarks/eval_ood.py) shows the
+    trained dense encoder and the lexical encoder win DIFFERENT regimes:
+    with the round-4 retrained checkpoint, dense 0.995 / lexical 0.005
+    recall@10 on the in-distribution concept benchmark, dense 0.368 /
+    lexical(4096, sublinear-tf) 0.560 on held-out 800-doc stdlib
+    docstring retrieval. No fusion dominates both (linear sweep +
+    reciprocal-rank fusion measured in benchmarks/eval_hybrid.py on a
+    validation slice DISJOINT from the reported eval; results.jsonl
+    hybrid_encoder_sweep), so the mix is a knob:
     HYPERDB_DEFAULT_EMBEDDER=hybrid, HYPERDB_HYBRID_W (default 0.65 —
-    concept 0.925 / OOD 0.577, the balanced point on the frontier).
+    concept 0.98 / OOD-val 0.60, the balanced point on the frontier).
     """
 
     def __init__(self, dense, w: float = 0.65, hash_dim: int = 4096):
@@ -213,11 +215,13 @@ def default_embedder(dim: int | None = None) -> Embedder:
 
     Why hybrid is the zero-egress default (VERDICT r3 #3 / Missing #1): by
     the repo's own measurements the pure trained-local dense encoder loses
-    2.4x to a lexical hash on UNSEEN text (held-out stdlib docstrings:
-    dense 0.263 recall@10 vs lexical-4096 0.630, benchmarks/eval_ood.py)
-    while winning in-distribution (0.995 vs 0.000). The w=0.65 hybrid is
-    the measured balanced point — 0.925 in-dist / 0.577 OOD — strictly
-    better than dense on unseen text at a 7% in-dist cost, so it is the
+    to a lexical hash on UNSEEN text (held-out 800-doc stdlib docstrings:
+    dense 0.368 recall@10 vs lexical-4096 0.560, benchmarks/eval_ood.py —
+    the round-4 retrained checkpoint; the round-3 one measured 0.166)
+    while winning in-distribution (0.995 vs 0.005). The w=0.65 hybrid is
+    the measured balanced point — 0.98 in-dist / 0.60 OOD on the disjoint
+    validation slice — strictly better than dense on unseen text at a
+    small in-dist cost, so it is the
     defensible default for arbitrary user corpora. Cost: embedding dim is
     384+4096 (the lexical block); set HYPERDB_DEFAULT_EMBEDDER=local for
     the compact pure-dense encoder when the corpus matches its training

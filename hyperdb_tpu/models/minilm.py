@@ -314,7 +314,7 @@ class MiniLMEmbedder:
         self.config = config
         self.dim = config.hidden
         # Inference truncation window (opt-in, manifest "inference_seq").
-        # Capping at the trained seq length was MEASURED on the shipped
+        # Capping at the trained seq length was MEASURED on the round-3
         # seq-64 encoder and does NOT help (OOD recall@10 0.151 truncated
         # vs 0.166 full — mean pooling dilutes the untrained-position
         # noise, results.jsonl ood_encoder_eval 2026-08-18), so nothing

@@ -286,9 +286,10 @@ class TestShippedAssets:
 
     def test_default_embedder_auto_is_hybrid(self, monkeypatch):
         """The zero-egress auto default is the measured HYBRID (VERDICT r3
-        #3): pure dense loses 2.4x to a lexical hash on unseen text by the
-        repo's own OOD eval, while the w=0.65 hybrid holds 0.925 in-dist /
-        0.577 OOD — strictly better than dense on arbitrary corpora."""
+        #3): pure dense loses to a lexical hash on unseen text by the
+        repo's own OOD eval (retrained r4 checkpoint: 0.368 vs 0.560
+        recall@10 at 800 docs), while the w=0.65 hybrid holds 0.98 in-dist
+        / 0.60 OOD-val — strictly better than dense on arbitrary corpora."""
         import hyperdb_tpu.models.embedder as embmod
         from hyperdb_tpu.models.minilm import MiniLMEmbedder
 
@@ -435,8 +436,9 @@ class TestHeldOutOODEval:
     def test_hash_encoder_ood_floor(self):
         """The lexical baseline retrieves held-out docstring halves well
         above chance (measured 0.54 recall@10 at 300 docs on 2026-08-17;
-        the trained dense encoder alone measured 0.26 — the honest OOD
-        story recorded in BASELINE.md, motivating the hybrid encoder)."""
+        the round-3 trained dense encoder alone measured 0.26, the
+        retrained round-4 one 0.37 at 800 docs — the honest OOD story
+        recorded in BASELINE.md, motivating the hybrid encoder)."""
         import numpy as np
 
         from hyperdb_tpu.models.embedder import HashEmbedder
