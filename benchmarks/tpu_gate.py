@@ -369,6 +369,25 @@ def main() -> int:
             failures.append("manhattan_stream_b2048_vs_oracle")
         emit({"gate": "manhattan_stream_bf16_1m_b2048", "index_equal": eq_big,
               "qps": round(b_mh / sec), "ms": round(sec * 1e3, 2)})
+
+        # Pallas L1 stage-1 route (round 4): batched manhattan's routed
+        # path. Checked against the FULL streamed batch (2048 queries)
+        # and, via the shared first 32, the materializing oracle — the
+        # k+margin group overfetch must absorb kernel-vs-XLA f32
+        # summation-order noise (ops/pallas_l1.py containment argument).
+        from hyperdb_tpu.ops.pallas_l1 import rank_top_k_manhattan_pallas
+
+        print("compiling manhattan pallas (b=2048)...", flush=True)
+        sec_p, (_, mh_p_idx) = timed(
+            lambda qq: rank_top_k_manhattan_pallas(qq, rows, k=k),
+            q_big_mh, iters=3, trials=2,
+        )
+        mh_p_idx = np.asarray(mh_p_idx)
+        eq_p = bool((mh_p_idx == np.asarray(mh_big_idx)).all())
+        if not eq_p:
+            failures.append("manhattan_pallas_vs_stream")
+        emit({"gate": "manhattan_pallas_bf16_1m_b2048", "index_equal": eq_p,
+              "qps": round(b_mh / sec_p), "ms": round(sec_p * 1e3, 2)})
     except Exception as e:  # noqa: BLE001
         failures.append("manhattan_stream_error")
         emit({"gate": "manhattan_stream_bf16_1m", "error": str(e)[:200]})

@@ -107,6 +107,16 @@ class EngineConfig:
     pallas_gmax_f_min_batch: int = _env_int(
         "HYPERDB_PALLAS_GMAX_F_MIN_BATCH", 512
     )
+    # Minimum query-batch height before big-corpus manhattan scans route
+    # stage 1 through the Pallas L1 kernel (ops/pallas_l1.py) instead of
+    # the streamed XLA scan. Manhattan is VPU-bound either way, but the
+    # kernel's throughput is FLAT in batch (~2.4k q/s at 1M x 384 bf16)
+    # where the XLA stream collapses: measured on chip 2.08x at b=64,
+    # 1.10x at b=256, 2.40x at b=1024, 2.85x at b=2048, index-identical
+    # at every shape (benchmarks/probe_l1.py, results.jsonl probe_l1,
+    # 2026-08-19). Below 64 queries the kernel shape is unmeasured and
+    # the stream is adequate. 0 disables.
+    pallas_l1_min_batch: int = _env_int("HYPERDB_PALLAS_L1_MIN_BATCH", 64)
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

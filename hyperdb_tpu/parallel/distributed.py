@@ -33,6 +33,7 @@ from hyperdb_tpu.ops.ranking import (
     _auto_group,
     _manhattan_tile,
     _use_pallas_gmax_f,
+    _use_pallas_l1,
     rank_top_k_grouped,
     rank_top_k_manhattan_stream,
 )
@@ -151,16 +152,29 @@ def _sharded_topk_program(mesh, axis, n_local, k, k_local, metric,
                     recency=rec, group=group,
                 )
         else:
+            big_l1 = (
+                metric == "manhattan_distance"
+                and CONFIG.grouped_topk_min_rows > 0
+                and n_local >= CONFIG.grouped_topk_min_rows
+            )
             mtile = (
                 _manhattan_tile(int(q.shape[0]), n_local, k_local)
-                if (
-                    metric == "manhattan_distance"
-                    and CONFIG.grouped_topk_min_rows > 0
-                    and n_local >= CONFIG.grouped_topk_min_rows
-                )
-                else 0
+                if big_l1 else 0
             )
-            if mtile:
+            if big_l1 and not has_recency and _use_pallas_l1(
+                q, rows_shard, k_local
+            ):
+                # per-shard Pallas L1 stage 1 (ops/pallas_l1.py): flat-in-
+                # batch VPU kernel — same routing rule as the single-chip
+                # scan (recency stays streamed, pallas_l1 module note)
+                from hyperdb_tpu.ops.pallas_l1 import (
+                    rank_top_k_manhattan_pallas,
+                )
+
+                vals, idx = rank_top_k_manhattan_pallas(
+                    q, rows_shard, k=k_local, row_mask=valid_shard,
+                )
+            elif mtile:
                 # per-shard streamed manhattan (ops/ranking notes): the
                 # (B, n_local) score block never materializes on any chip
                 vals, idx = rank_top_k_manhattan_stream(
