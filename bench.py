@@ -90,7 +90,7 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     platform). Best of 3 trials guards against transient tunnel stalls."""
     import jax.numpy as jnp
 
-    from hyperdb_tpu.ops.ranking import _auto_group, rank_top_k_grouped
+    from hyperdb_tpu.ops.ranking import rank_top_k
 
     from hyperdb_tpu.core.store import bucket_size
 
@@ -109,15 +109,19 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     valid[:n] = True
     row_valid = jnp.asarray(valid)
 
-    # normalized query + unit rows => dot == cosine; the grouped exact
-    # top-k (group-max + rescore) replaces native TopK — measured 3x at
-    # batch 256 (benchmarks/ab_grouped_topk3.py), index-exact
+    # normalized query + unit rows => dot == cosine; rank through the
+    # PRODUCTION router (rank_top_k) so the headline measures the engine's
+    # actual route at this shape — grouped exact top-k below the Pallas
+    # batch floor, the query-tiled Pallas gmax stage 1 at batch >= 512
+    # (ops/pallas_gmax.py; both index-exact on the on-chip gate)
     qn = queries[:batch] / np.linalg.norm(queries[:batch], axis=1, keepdims=True)
     q = jnp.asarray(qn.astype(np.float16), dtype=jnp.bfloat16)  # match rows
-    group = _auto_group(batch)
 
     def rank(qq):
-        return rank_top_k_grouped(qq, rows, k=k, row_mask=row_valid, group=group)
+        return rank_top_k(
+            qq, rows, k=k, metric="cosine_similarity", row_mask=row_valid,
+            prenormalized=True,
+        )
 
     def trial():
         acc = jnp.zeros((), dtype=jnp.bfloat16)  # q's dtype: f16 acc would
@@ -161,7 +165,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=1_000_000)
     parser.add_argument("--d", type=int, default=384)
-    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--baseline-iters", type=int, default=2)
