@@ -117,6 +117,19 @@ class EngineConfig:
     # 2026-08-19). Below 64 queries the kernel shape is unmeasured and
     # the stream is adequate. 0 disables.
     pallas_l1_min_batch: int = _env_int("HYPERDB_PALLAS_L1_MIN_BATCH", 64)
+    # Subgroup width for two-level grouped selection on the Pallas float
+    # route: stage 1 emits per-SUB-row maxes alongside the 128-row group
+    # maxes (one corpus read, swapped-orientation kernel), selection
+    # refines top-k groups -> top-k subgroups, and stage 3 gathers only
+    # (B, k, SUB, d) candidate rows — 4x less rescore gather traffic at
+    # SUB=32. Measured on chip at 1M x 384 bf16 top-10 (probe_sub32,
+    # 2026-08-19, index-identical): b=2048 23.8 -> 18.0 ms (86k -> 114k
+    # q/s), b=4096 42.8 -> 32.3 ms (96k -> 127k q/s); SUB=64 is worse
+    # (19.4/35.3 ms). Exactness: a subgroup holding a true top-j row has
+    # submax >= s_j, so < k subgroups can outrank it (same containment
+    # argument as groups, applied twice). Must divide 128; 0 disables
+    # (single-level selection, the pre-round-4 behavior).
+    pallas_subgroup: int = _env_int("HYPERDB_PALLAS_SUBGROUP", 32)
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

@@ -11,10 +11,11 @@ additive epilogue on the VPU, reduces each 128-wide group to its max, and
 writes only the (B, blk/128) maxes back. HBM traffic = corpus read + B*g
 floats — the scan's bandwidth floor.
 
-Scope is deliberately tiny: ONLY stage 1+2's input (the per-group maxes).
-Selection of the k best groups (`lax.top_k` over (B, g)) and the exact
-stage-3 rescore of the winners stay in XLA, where they were never the
-problem. Masks and recency collapse into one additive `extra` vector
+Scope is deliberately tiny: ONLY stage 1+2's input (the per-group maxes —
+plus, on the float route since round 4, per-subgroup maxes from the same
+VMEM tile, :func:`gmax_f_sub`, so selection can refine to 32-row subgroups
+and shrink the stage-3 gather 4x). Selection (`lax.top_k` over the maxes)
+and the exact stage-3 rescore of the winners stay in XLA. Masks and recency collapse into one additive `extra` vector
 (0 or recency on live rows, -inf on dead/padding rows), added after the
 scale — identical score semantics to the XLA formulation, same containment
 argument, so the final top-k is index-identical.
@@ -219,6 +220,84 @@ def gmax_f(
     return _untile_gmax(out, transposed, b, n)
 
 
+@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
+def gmax_f_sub(
+    queries: jax.Array,
+    vectors: jax.Array,
+    extra: jax.Array,
+    sub: int = 32,
+    interpret: bool = False,
+):
+    """Per-group AND per-subgroup score maxes for one-matmul metrics.
+
+    Two-level selection needs per-``sub``-row maxes alongside the 128-row
+    group maxes so stage 3 can gather only (B, k, sub, d) candidate rows —
+    4x less rescore traffic at sub=32 (the stage-3 gather is the pipeline's
+    whole tail: 9.2 of 23.8 ms at b=2048, probe_sub32 2026-08-19).
+
+    Mosaic rejects lane-splitting reshapes below the 128-lane width
+    ((qblk, blk) -> (qblk, blk/32, 32) fails "infer-vector-layout:
+    unsupported shape cast"), so this kernel SWAPS the matmul orientation:
+    scores come out (blk, qblk) with corpus rows on SUBLANES, where the /32
+    and /128 splits leave the minor dim untouched and both reduces are
+    sublane reduces. Bonus: the max tiles land directly in the transposed
+    (blkg, qblk) output layout — no in-kernel transpose — measuring
+    slightly FASTER than :func:`gmax_f` (13.6 vs 14.0 ms at b=2048).
+
+    Args: as :func:`gmax_f`; ``sub`` must divide :data:`GROUP` and the
+    block size (any power of two 8..128 does). Requires B % 128 == 0
+    (lane-aligned query tiles — the big-batch regime this serves).
+
+    Returns: ``(gm, sm)`` — (B, N/128) group maxes, (B, N/sub) subgroup
+    maxes, both f32.
+    """
+    from jax.experimental import pallas as pl
+
+    b, d = queries.shape
+    n = vectors.shape[0]
+    qblk = _q_tile(b)
+    blk = _block_rows(b, d, vectors.dtype.itemsize, n)
+    grid = n // blk
+    blkg = blk // GROUP
+    blks = blk // sub
+
+    def kernel(q_ref, v_ref, extra_ref, gm_ref, sm_ref):
+        s = jax.lax.dot_general(
+            v_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk, qblk) — corpus rows on sublanes
+        s = s + extra_ref[:]  # (blk, 1) broadcasts across the lane dim
+        s = jnp.where(jnp.isnan(s), -jnp.inf, s)
+        blkr, bq = s.shape
+        gm_ref[0] = jnp.max(s.reshape(blkr // GROUP, GROUP, bq), axis=1)
+        sm_ref[0] = jnp.max(s.reshape(blkr // sub, sub, bq), axis=1)
+
+    gm, sm = pl.pallas_call(
+        kernel,
+        grid=(grid, b // qblk),
+        in_specs=[
+            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((blk, 1), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blkg, qblk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, blkg, b), jnp.float32),
+            jax.ShapeDtypeStruct((grid, blks, b), jnp.float32),
+        ],
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(queries, vectors, extra.reshape(n, 1))
+    gm = gm.transpose(2, 0, 1).reshape(b, n // GROUP)
+    sm = sm.transpose(2, 0, 1).reshape(b, n // sub)
+    return gm, sm
+
+
 def _gmax_kernel_jaccard(
     q_ref, qc_ref, v_ref, aux_ref, extra_ref, out_ref, *, transposed
 ):
@@ -361,7 +440,6 @@ def make_extra(n: int, row_mask=None, recency=None):
     return extra
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def rank_top_k_grouped_pallas(
     queries: jax.Array,
     vectors: jax.Array,
@@ -374,10 +452,36 @@ def rank_top_k_grouped_pallas(
 
     Same three stages as ops/ranking.rank_top_k_grouped (group fixed at 128):
     per-group maxes (Pallas — no HBM epilogue materialization), narrow
-    ``lax.top_k`` over (B, g), exact rescore of the k winning groups' corpus
-    rows in XLA. Index-identical to the XLA formulation (same containment
-    argument; ties at the k-th value resolve by the same lax.top_k order).
+    ``lax.top_k`` over (B, g), exact rescore of the winners in XLA. With
+    ``config.pallas_subgroup`` (default 32) selection refines group ->
+    subgroup before the rescore (see :func:`gmax_f_sub`). Index-identical
+    to the XLA formulation (same containment argument; ties at the k-th
+    value resolve by the same lax.top_k order).
+
+    This thin wrapper resolves the CONFIG knob OUTSIDE the jitted impl so
+    the jit cache keys on it (a cached program can never serve a stale
+    subgroup setting); eager callers still get one compiled program.
     """
+    from hyperdb_tpu.config import CONFIG
+
+    sub = CONFIG.pallas_subgroup
+    if not (8 <= sub < GROUP and GROUP % sub == 0):
+        sub = 0
+    return _grouped_pallas_impl(
+        queries, vectors, row_mask, recency, k=k, interpret=interpret, sub=sub
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "sub"))
+def _grouped_pallas_impl(
+    queries: jax.Array,
+    vectors: jax.Array,
+    row_mask: jax.Array | None,
+    recency: jax.Array | None,
+    k: int,
+    interpret: bool,
+    sub: int,
+):
     from hyperdb_tpu.ops import metrics as _metrics
     from hyperdb_tpu.ops.ranking import rank_top_k_grouped
 
@@ -401,6 +505,51 @@ def rank_top_k_grouped_pallas(
             group=GROUP,
         )
     extra = make_extra(n, row_mask, recency)
+
+    # Two-level selection (round 4): stage 1 also emits per-sub-row maxes,
+    # selection refines top-k groups -> top-k subgroups, and the stage-3
+    # rescore gathers only (B, k, sub, d) rows. The gather was the whole
+    # pipeline tail (9.2 of 23.8 ms at b=2048); measured 1.32x end to end
+    # at b=2048/4096, index-identical (probe_sub32, config.pallas_subgroup).
+    # Exactness: a subgroup holding a true top-j row (j <= k) has
+    # submax >= s_j; were it outside the top-k subgroups, k subgroups would
+    # each hold a row outscoring s_j — contradiction. The same argument one
+    # level up keeps those subgroups inside the top-k groups, so the
+    # refinement loses nothing (ties at the k-th value admit any winner
+    # set, the standing grouped-route caveat).
+    if (
+        sub
+        and n % sub == 0
+        and _q_tile(b) % 128 == 0  # swapped kernel stores lane-major tiles
+    ):
+        ratio = GROUP // sub
+        gm, sm = gmax_f_sub(queries, vectors, extra, sub=sub, interpret=interpret)
+        _, gidx = jax.lax.top_k(gm, k)  # (B, k) group ids
+        smg = sm.reshape(b, n // GROUP, ratio)
+        sub_cand = jnp.take_along_axis(smg, gidx[..., None], axis=1)  # (B,k,ratio)
+        _, spos = jax.lax.top_k(sub_cand.reshape(b, k * ratio), k)
+        # keep candidates in the oracle's (group-rank, subgroup-position)
+        # order: discrete metrics (hamming) tie at the k-th value, and the
+        # final top_k must prefer the same leftmost candidate the
+        # single-level/XLA forms prefer
+        spos = jnp.sort(spos, axis=-1)
+        sidx = (
+            jnp.take_along_axis(gidx, spos // ratio, axis=-1) * ratio
+            + spos % ratio
+        )  # (B, k) global subgroup ids
+        r3 = vectors.reshape(n // sub, sub, d)
+        e3 = extra.reshape(n // sub, sub)
+        cand = jnp.take(r3, sidx, axis=0)  # (B, k, sub, d)
+        cs = jnp.einsum(
+            "bd,bksd->bks", queries, cand, preferred_element_type=jnp.float32
+        )
+        cs = jnp.where(jnp.isnan(cs), float("-inf"), cs)
+        cs = cs + jnp.take(e3, sidx, axis=0)
+        cs = cs.reshape(b, k * sub)
+        vals, pos = jax.lax.top_k(cs, k)
+        winner = jnp.take_along_axis(sidx, pos // sub, axis=-1)
+        return vals, (winner * sub + pos % sub).astype(jnp.int32)
+
     gm = gmax_f(queries, vectors, extra, interpret=interpret)  # (B, g)
     _, gidx = jax.lax.top_k(gm, k)  # (B, k)
 
@@ -419,7 +568,6 @@ def rank_top_k_grouped_pallas(
     return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret"))
 def rank_top_k_grouped_metric_pallas(
     queries: jax.Array,
     rows: jax.Array,
@@ -428,6 +576,30 @@ def rank_top_k_grouped_metric_pallas(
     metric: str,
     row_mask: jax.Array | None = None,
     interpret: bool = False,
+):
+    """CONFIG-resolving wrapper (see :func:`rank_top_k_grouped_pallas`):
+    the jit cache keys on the subgroup knob via a static arg."""
+    from hyperdb_tpu.config import CONFIG
+
+    sub = CONFIG.pallas_subgroup
+    if not (8 <= sub < GROUP and GROUP % sub == 0):
+        sub = 0
+    return _grouped_metric_pallas_impl(
+        queries, rows, row_aux, row_mask,
+        k=k, metric=metric, interpret=interpret, sub=sub,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret", "sub"))
+def _grouped_metric_pallas_impl(
+    queries: jax.Array,
+    rows: jax.Array,
+    row_aux: jax.Array,
+    row_mask: jax.Array | None,
+    k: int,
+    metric: str,
+    interpret: bool,
+    sub: int,
 ):
     """Euclidean/hamming grouped exact top-k with the Pallas stage-1 kernel.
 
@@ -500,6 +672,47 @@ def rank_top_k_grouped_metric_pallas(
         )  # (B, g) TRUE grouped maxes
     else:
         extra = make_extra(n, row_mask) - aux32  # -inf on masked survives
+        # Two-level selection: the surrogate's monotone (non-decreasing)
+        # transform to the true score makes a subgroup's surrogate max and
+        # true-score max coincide in ORDER, so the group->subgroup
+        # containment argument (rank_top_k_grouped_pallas) transfers
+        # verbatim. Jaccard stays single-level (its TRUE-score kernel has
+        # no dual-output variant yet).
+        if (
+            sub
+            and n % sub == 0
+            and _q_tile(b) % 128 == 0
+        ):
+            ratio = GROUP // sub
+            gm, sm = gmax_f_sub(qq * 2, rows, extra, sub=sub, interpret=interpret)
+            _, gidx = jax.lax.top_k(gm, k)
+            smg = sm.reshape(b, n // GROUP, ratio)
+            sub_cand = jnp.take_along_axis(smg, gidx[..., None], axis=1)
+            _, spos = jax.lax.top_k(sub_cand.reshape(b, k * ratio), k)
+            spos = jnp.sort(spos, axis=-1)  # oracle tie order (see dot route)
+            sidx = (
+                jnp.take_along_axis(gidx, spos // ratio, axis=-1) * ratio
+                + spos % ratio
+            )  # (B, k) global subgroup ids
+            r3 = rows.reshape(n // sub, sub, d)
+            aux3 = aux32.reshape(n // sub, sub)
+            cand = jnp.take(r3, sidx, axis=0)  # (B, k, sub, d)
+            inter_c = jnp.einsum(
+                "bd,bksd->bks", qq, cand, preferred_element_type=jnp.float32
+            )
+            cs = _grouped_metric_scores(
+                inter_c, jnp.take(aux3, sidx, axis=0), q32, metric, d
+            )
+            cs = jnp.where(jnp.isnan(cs), NEG_INF, cs)
+            if row_mask is not None:
+                cs = jnp.where(
+                    jnp.take(row_mask.reshape(n // sub, sub), sidx, axis=0),
+                    cs, NEG_INF,
+                )
+            cs = cs.reshape(b, k * sub)
+            vals, pos = jax.lax.top_k(cs, k)
+            winner = jnp.take_along_axis(sidx, pos // sub, axis=-1)
+            return vals, (winner * sub + pos % sub).astype(jnp.int32)
         gm = gmax_f(qq * 2, rows, extra, interpret=interpret)  # surrogate
     _, gidx = jax.lax.top_k(gm, k)  # (B, k)
 

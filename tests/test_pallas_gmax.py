@@ -346,3 +346,146 @@ def test_metric_surrogate_out_of_contract_falls_back():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_gmax_f_sub_matches_reference():
+    """Dual-output kernel (swapped orientation): group AND subgroup maxes
+    both match the NumPy reference on masked+recency scores."""
+    from hyperdb_tpu.ops.pallas_gmax import gmax_f_sub
+
+    rng = np.random.default_rng(7)
+    b, n, d, sub = 128, 16384, 128, 32
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.9
+    rec = (rng.random(n) * 0.1).astype(np.float32)
+    extra = make_extra(n, jnp.asarray(mask), jnp.asarray(rec))
+    gm, sm = gmax_f_sub(
+        jnp.asarray(q), jnp.asarray(v), extra, sub=sub, interpret=True
+    )
+    s = q @ v.T + np.asarray(extra)[None, :]
+    np.testing.assert_allclose(np.asarray(gm), _ref_gmax(s), rtol=1e-5, atol=1e-5)
+    want_sm = s.reshape(b, n // sub, sub).max(axis=-1)
+    np.testing.assert_allclose(np.asarray(sm), want_sm, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_two_level_index_identical(monkeypatch):
+    """The two-level (group -> subgroup) pipeline returns exactly the XLA
+    grouped route's winners, with mask + recency, at a lane-aligned batch
+    (the regime where the subgroup refinement actually engages)."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_pallas
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+    rng = np.random.default_rng(11)
+    b, n, d, k = 128, 8192, 128, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.9
+    rec = (rng.random(n) * 0.05).astype(np.float32)
+    xv, xi = rank_top_k_grouped(
+        jnp.asarray(q), jnp.asarray(v), k,
+        row_mask=jnp.asarray(mask), recency=jnp.asarray(rec), group=GROUP,
+    )
+    for sub in (32, 64):
+        monkeypatch.setattr(CONFIG, "pallas_subgroup", sub)
+        pv, pi = rank_top_k_grouped_pallas(
+            jnp.asarray(q), jnp.asarray(v), k,
+            row_mask=jnp.asarray(mask), recency=jnp.asarray(rec),
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+        np.testing.assert_allclose(np.asarray(pv), np.asarray(xv), rtol=1e-5)
+
+    # disabled knob -> single-level path, same winners
+    monkeypatch.setattr(CONFIG, "pallas_subgroup", 0)
+    pv, pi = rank_top_k_grouped_pallas(
+        jnp.asarray(q), jnp.asarray(v), k,
+        row_mask=jnp.asarray(mask), recency=jnp.asarray(rec), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+    # invalid widths (not a divisor of GROUP / out of range) fall back to
+    # single-level instead of crashing
+    for bad in (7, 48, 128, 256):
+        monkeypatch.setattr(CONFIG, "pallas_subgroup", bad)
+        _, pi = rank_top_k_grouped_pallas(
+            jnp.asarray(q), jnp.asarray(v), k,
+            row_mask=jnp.asarray(mask), recency=jnp.asarray(rec),
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_two_level_skips_sub_lane_batches(monkeypatch):
+    """Below a lane-aligned query tile the swapped kernel is out of
+    contract; the route must stay on single-level and stay exact."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops.pallas_gmax import rank_top_k_grouped_pallas
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+    monkeypatch.setattr(CONFIG, "pallas_subgroup", 32)
+    rng = np.random.default_rng(13)
+    b, n, d, k = 8, 8192, 128, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    pv, pi = rank_top_k_grouped_pallas(
+        jnp.asarray(q), jnp.asarray(v), k, interpret=True
+    )
+    xv, xi = rank_top_k_grouped(jnp.asarray(q), jnp.asarray(v), k, group=GROUP)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_metric_two_level_index_identical(monkeypatch):
+    """At lane-aligned batches the euclid/hamming surrogate route refines
+    group -> subgroup (gmax_f_sub) and still matches the XLA epilogue
+    formulation exactly; jaccard stays on its true-score kernel."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops import pallas_gmax as pg
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped_metric
+
+    monkeypatch.setattr(CONFIG, "pallas_subgroup", 32)
+    rng = np.random.default_rng(17)
+    b, n, d, k = 128, 8192, 128, 7
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    mask = jnp.asarray(rng.random(n) < 0.9)
+    v16 = jnp.asarray(v, dtype=jnp.bfloat16)
+
+    calls = {"sub": 0}
+    real_sub = pg.gmax_f_sub
+    monkeypatch.setattr(
+        pg, "gmax_f_sub",
+        lambda *a, **kw: (calls.__setitem__("sub", calls["sub"] + 1),
+                          real_sub(*a, **kw))[1],
+    )
+
+    aux = jnp.asarray(np.sum(v.astype(np.float32) ** 2, axis=1))
+    want_v, want_i = rank_top_k_grouped_metric(
+        jnp.asarray(q), v16, aux, k, "euclidean_metric",
+        row_mask=mask, group=GROUP,
+    )
+    got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
+        jnp.asarray(q), v16, aux, k, "euclidean_metric",
+        row_mask=mask, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-6
+    )
+    assert calls["sub"] == 1  # the two-level branch genuinely ran
+
+    vb = (v > 0).astype(np.float32)
+    vb16 = jnp.asarray(vb, dtype=jnp.bfloat16)
+    auxb = jnp.asarray(vb.sum(axis=1))
+    want_v, want_i = rank_top_k_grouped_metric(
+        jnp.asarray(q), vb16, auxb, k, "hamming_distance",
+        row_mask=mask, group=GROUP,
+    )
+    got_v, got_i = pg.rank_top_k_grouped_metric_pallas(
+        jnp.asarray(q), vb16, auxb, k, "hamming_distance",
+        row_mask=mask, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    assert calls["sub"] == 2
