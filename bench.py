@@ -82,7 +82,8 @@ def numpy_reference_qps(vectors: np.ndarray, queries: np.ndarray, k: int, iters:
     return done / (time.perf_counter() - start)
 
 
-def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, iters: int):
+def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int,
+            iters: int, max_trials: int = 20):
     """Chained-dependency throughput: each batch consumes a scalar from the
     previous batch's result so the device must execute them sequentially,
     and only the final scalar is read back (the tunnel's per-call round-trip
@@ -146,7 +147,7 @@ def tpu_qps(vectors_f16: np.ndarray, queries: np.ndarray, k: int, batch: int, it
     # buy samples from independent tunnel states.
     best = float("inf")
     stale = 0
-    for i in range(20):
+    for i in range(max_trials):
         if i:
             time.sleep(2.0)
         t = trial()
@@ -169,13 +170,37 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--baseline-iters", type=int, default=2)
+    parser.add_argument("--trend-batch", type=int, default=512)
     args = parser.parse_args()
 
     rng = np.random.default_rng(0)
     vectors = rng.standard_normal((args.n, args.d), dtype=np.float32).astype(np.float16)
-    queries = rng.standard_normal((args.batch, args.d), dtype=np.float32)
+    queries = rng.standard_normal((max(args.batch, args.trend_batch), args.d),
+                                  dtype=np.float32)
 
     qps_tpu, _ = tpu_qps(vectors, queries, args.k, args.batch, args.iters)
+
+    # Pinned-shape TREND row (VERDICT r4 #8): the headline operating point
+    # may legitimately move between rounds (b=256 -> b=4096 in round 4);
+    # this fixed b=512 routed number keeps cross-round trend reading a
+    # one-field comparison instead of gate archaeology. Same corpus, same
+    # production router; fewer spaced trials (the headline already sampled
+    # this tunnel session's phases). Recorded both in the driver JSON line
+    # and in benchmarks/results.jsonl.
+    trend_qps = None
+    if args.trend_batch:
+        trend_qps, _ = tpu_qps(vectors, queries, args.k, args.trend_batch,
+                               args.iters, max_trials=10)
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "benchmarks", "results.jsonl"), "a") as f:
+                f.write(json.dumps({
+                    "bench": "trend_pinned_shape", "b": args.trend_batch,
+                    "qps": round(trend_qps, 2),
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                }) + "\n")
+        except OSError:
+            pass
     # Honest baseline: the reference path at f32. Its f16 storage dtype is
     # pathologically slow in NumPy matmuls (~0.02 q/s — a 776,000x ratio that
     # says nothing about the algorithm), so vs_baseline is computed against
@@ -186,16 +211,15 @@ def main():
         args.baseline_iters,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"qps_{args.n // 1000}k_{args.d}d_f16_cosine_top{args.k}_b{args.batch}",
-                "value": round(qps_tpu, 2),
-                "unit": "qps",
-                "vs_baseline": round(qps_tpu / qps_numpy, 2),
-            }
-        )
-    )
+    record = {
+        "metric": f"qps_{args.n // 1000}k_{args.d}d_f16_cosine_top{args.k}_b{args.batch}",
+        "value": round(qps_tpu, 2),
+        "unit": "qps",
+        "vs_baseline": round(qps_tpu / qps_numpy, 2),
+    }
+    if trend_qps is not None:
+        record[f"trend_b{args.trend_batch}_qps"] = round(trend_qps, 2)
+    print(json.dumps(record))
     return 0
 
 

@@ -8,20 +8,25 @@ measured q/s, p50, p99 and error rate against budgets, appending a
 pass/fail verdict to results.jsonl so serving regressions have a scripted
 place to show up between rounds.
 
-Budgets are set WIDE of the recorded numbers (BASELINE.md serving ladder:
-10.1k q/s, p50 388 ms at 4096 outstanding) because the tunnel has
-hour-scale 0.6x degraded phases (CLAUDE.md) — the gate must catch real
-regressions (an eager-dispatch path, an error storm, a dead batcher), not
-platform weather:
+Budgets (VERDICT r4 #6 — tightened from 4000/1500 to measured-minus-
+documented-variance; the recorded operating point is 10.1-11.4k q/s,
+p50 ~350-390 ms at 4096 outstanding, BASELINE.md serving ladder):
 
-    qps    >= 4000      (recorded 10.1k; 0.4x would still pass weather)
-    p50    <= 1500 ms   (p50 ~ outstanding/qps; 4096/4000 ~ 1.0 s)
-    p99    <= 5000 ms
+    qps    >= 7000      (recorded 10.1k; the documented degraded-phase
+                         floor is ~0.6x = 6.1k measured 2026-08-18, so a
+                         single in-phase run can still miss — see retry)
+    p50    <= 600 ms    (recorded ~390 ms; p50 ~ outstanding/qps)
+    p99    <= 2500 ms
     errors <= 0.5% of completed requests
 
-Exit 0 = all SLOs held. Run: python benchmarks/serving_gate.py
-(chip-lock aware through the bench subprocess; queues behind other
-benchmarks).
+Tunnel weather vs regression: degraded phases last minutes-to-hours
+(CLAUDE.md), so a failing run is re-tried once after a 120 s spacing —
+a real regression fails BOTH runs; a phase edge usually clears one. The
+verdict row records every attempt.
+
+Exit 0 = all SLOs held on some attempt. Run: python benchmarks/
+serving_gate.py (chip-lock aware through the bench subprocess; queues
+behind other benchmarks).
 """
 
 from __future__ import annotations
@@ -36,11 +41,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 RESULTS = os.path.join(HERE, "results.jsonl")
 
 BUDGETS = {
-    "qps_min": 4000.0,
-    "p50_ms_max": 1500.0,
-    "p99_ms_max": 5000.0,
+    "qps_min": 7000.0,
+    "p50_ms_max": 600.0,
+    "p99_ms_max": 2500.0,
     "error_rate_max": 0.005,
 }
+RETRY_SPACING_S = 120.0  # one re-run rides out a tunnel phase edge
 
 
 def emit(record: dict):
@@ -52,7 +58,7 @@ def emit(record: dict):
         f.write(line + "\n")
 
 
-def main() -> int:
+def run_once(attempt: int) -> bool:
     cmd = [
         sys.executable, os.path.join(HERE, "bench_serving.py"),
         "--server", "native", "--mode", "binary", "--accept-binary",
@@ -74,10 +80,10 @@ def main() -> int:
         if row.get("concurrency") == 256 and "qps" in row:
             rec = row
     if rec is None:
-        emit({"gate": "slo_conc256_pl16", "ok": False,
+        emit({"gate": "slo_conc256_pl16", "ok": False, "attempt": attempt,
               "error": "no result row from bench_serving",
               "tail": proc.stdout[-500:] + proc.stderr[-300:]})
-        return 1
+        return False
 
     completed = rec["qps"] * 15.0
     error_rate = rec.get("errors", 0) / max(1.0, completed)
@@ -89,14 +95,25 @@ def main() -> int:
     }
     ok = all(checks.values())
     emit({
-        "gate": "slo_conc256_pl16", "ok": ok,
+        "gate": "slo_conc256_pl16", "ok": ok, "attempt": attempt,
         "qps": rec["qps"], "p50_ms": rec["p50_ms"],
         "p99_ms": rec.get("p99_ms"), "errors": rec.get("errors", 0),
         "error_rate": round(error_rate, 5),
         "failed": [k for k, v in checks.items() if not v],
         "budgets": BUDGETS,
     })
-    return 0 if ok else 1
+    return ok
+
+
+def main() -> int:
+    for attempt in (1, 2):
+        if run_once(attempt):
+            return 0
+        if attempt == 1:
+            print(f"attempt 1 failed; re-running after {RETRY_SPACING_S}s "
+                  "(tunnel phase spacing)", flush=True)
+            time.sleep(RETRY_SPACING_S)
+    return 1
 
 
 if __name__ == "__main__":

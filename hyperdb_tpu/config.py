@@ -128,7 +128,11 @@ class EngineConfig:
     # (19.4/35.3 ms). Exactness: a subgroup holding a true top-j row has
     # submax >= s_j, so < k subgroups can outrank it (same containment
     # argument as groups, applied twice). Must divide 128; 0 disables
-    # (single-level selection, the pre-round-4 behavior).
+    # (single-level selection, the pre-round-4 behavior). Beyond the
+    # measured d=384 b>=2048 wins, the other engaged dims are chip-smoked
+    # every round by tpu_gate (pallas_sub_bf16_256k_d768_b128 — ADVICE r4
+    # #3: an unprobed-shape Mosaic failure must surface in the gate, not
+    # in production).
     pallas_subgroup: int = _env_int("HYPERDB_PALLAS_SUBGROUP", 32)
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip

@@ -440,6 +440,36 @@ def make_extra(n: int, row_mask=None, recency=None):
     return extra
 
 
+def _select_subgroups(gm, sm, b: int, n: int, k: int, sub: int):
+    """Two-level selection: top-k groups -> (B, k) global subgroup ids.
+
+    Shared by the dot and metric-surrogate Pallas routes (ADVICE r4 #2 —
+    one copy of the tie handling). The ``spos`` sort keeps candidates in
+    the oracle's (group-rank, subgroup-position) order: discrete metrics
+    (hamming) tie at the k-th value, and the final top_k must prefer the
+    same leftmost candidate the single-level/XLA forms prefer.
+    """
+    ratio = GROUP // sub
+    _, gidx = jax.lax.top_k(gm, k)  # (B, k) group ids
+    smg = sm.reshape(b, n // GROUP, ratio)
+    sub_cand = jnp.take_along_axis(smg, gidx[..., None], axis=1)  # (B,k,ratio)
+    _, spos = jax.lax.top_k(sub_cand.reshape(b, k * ratio), k)
+    spos = jnp.sort(spos, axis=-1)
+    return (
+        jnp.take_along_axis(gidx, spos // ratio, axis=-1) * ratio
+        + spos % ratio
+    )
+
+
+def _finish_candidates(cs, sidx, b: int, k: int, width: int):
+    """Final top-k over (B, k, width) rescored candidate scores -> global
+    row ids (width = subgroup size, or GROUP on the single-level tails)."""
+    cs = cs.reshape(b, k * width)
+    vals, pos = jax.lax.top_k(cs, k)
+    winner = jnp.take_along_axis(sidx, pos // width, axis=-1)
+    return vals, (winner * width + pos % width).astype(jnp.int32)
+
+
 def rank_top_k_grouped_pallas(
     queries: jax.Array,
     vectors: jax.Array,
@@ -459,8 +489,12 @@ def rank_top_k_grouped_pallas(
     value resolve by the same lax.top_k order).
 
     This thin wrapper resolves the CONFIG knob OUTSIDE the jitted impl so
-    the jit cache keys on it (a cached program can never serve a stale
-    subgroup setting); eager callers still get one compiled program.
+    the impl's own jit cache keys on it. Callers that reach here through
+    an outer jitted program (ranking.rank_top_k, the sharded shard_map
+    program) read the knob at THEIR trace time and cache by shape only —
+    the repo's documented trace-time-config semantics (see rank_top_k's
+    thresholds note): changing the knob at runtime affects new programs,
+    not already-compiled ones (ADVICE r4 #1).
     """
     from hyperdb_tpu.config import CONFIG
 
@@ -522,21 +556,8 @@ def _grouped_pallas_impl(
         and n % sub == 0
         and _q_tile(b) % 128 == 0  # swapped kernel stores lane-major tiles
     ):
-        ratio = GROUP // sub
         gm, sm = gmax_f_sub(queries, vectors, extra, sub=sub, interpret=interpret)
-        _, gidx = jax.lax.top_k(gm, k)  # (B, k) group ids
-        smg = sm.reshape(b, n // GROUP, ratio)
-        sub_cand = jnp.take_along_axis(smg, gidx[..., None], axis=1)  # (B,k,ratio)
-        _, spos = jax.lax.top_k(sub_cand.reshape(b, k * ratio), k)
-        # keep candidates in the oracle's (group-rank, subgroup-position)
-        # order: discrete metrics (hamming) tie at the k-th value, and the
-        # final top_k must prefer the same leftmost candidate the
-        # single-level/XLA forms prefer
-        spos = jnp.sort(spos, axis=-1)
-        sidx = (
-            jnp.take_along_axis(gidx, spos // ratio, axis=-1) * ratio
-            + spos % ratio
-        )  # (B, k) global subgroup ids
+        sidx = _select_subgroups(gm, sm, b, n, k, sub)
         r3 = vectors.reshape(n // sub, sub, d)
         e3 = extra.reshape(n // sub, sub)
         cand = jnp.take(r3, sidx, axis=0)  # (B, k, sub, d)
@@ -545,10 +566,7 @@ def _grouped_pallas_impl(
         )
         cs = jnp.where(jnp.isnan(cs), float("-inf"), cs)
         cs = cs + jnp.take(e3, sidx, axis=0)
-        cs = cs.reshape(b, k * sub)
-        vals, pos = jax.lax.top_k(cs, k)
-        winner = jnp.take_along_axis(sidx, pos // sub, axis=-1)
-        return vals, (winner * sub + pos % sub).astype(jnp.int32)
+        return _finish_candidates(cs, sidx, b, k, sub)
 
     gm = gmax_f(queries, vectors, extra, interpret=interpret)  # (B, g)
     _, gidx = jax.lax.top_k(gm, k)  # (B, k)
@@ -562,10 +580,7 @@ def _grouped_pallas_impl(
     )
     cs = jnp.where(jnp.isnan(cs), float("-inf"), cs)
     cs = cs + jnp.take(e3, gidx, axis=0)
-    cs = cs.reshape(b, k * GROUP)
-    vals, pos = jax.lax.top_k(cs, k)
-    winner = jnp.take_along_axis(gidx, pos // GROUP, axis=-1)
-    return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)
+    return _finish_candidates(cs, gidx, b, k, GROUP)
 
 
 def rank_top_k_grouped_metric_pallas(
@@ -683,17 +698,8 @@ def _grouped_metric_pallas_impl(
             and n % sub == 0
             and _q_tile(b) % 128 == 0
         ):
-            ratio = GROUP // sub
             gm, sm = gmax_f_sub(qq * 2, rows, extra, sub=sub, interpret=interpret)
-            _, gidx = jax.lax.top_k(gm, k)
-            smg = sm.reshape(b, n // GROUP, ratio)
-            sub_cand = jnp.take_along_axis(smg, gidx[..., None], axis=1)
-            _, spos = jax.lax.top_k(sub_cand.reshape(b, k * ratio), k)
-            spos = jnp.sort(spos, axis=-1)  # oracle tie order (see dot route)
-            sidx = (
-                jnp.take_along_axis(gidx, spos // ratio, axis=-1) * ratio
-                + spos % ratio
-            )  # (B, k) global subgroup ids
+            sidx = _select_subgroups(gm, sm, b, n, k, sub)
             r3 = rows.reshape(n // sub, sub, d)
             aux3 = aux32.reshape(n // sub, sub)
             cand = jnp.take(r3, sidx, axis=0)  # (B, k, sub, d)
@@ -709,10 +715,7 @@ def _grouped_metric_pallas_impl(
                     jnp.take(row_mask.reshape(n // sub, sub), sidx, axis=0),
                     cs, NEG_INF,
                 )
-            cs = cs.reshape(b, k * sub)
-            vals, pos = jax.lax.top_k(cs, k)
-            winner = jnp.take_along_axis(sidx, pos // sub, axis=-1)
-            return vals, (winner * sub + pos % sub).astype(jnp.int32)
+            return _finish_candidates(cs, sidx, b, k, sub)
         gm = gmax_f(qq * 2, rows, extra, interpret=interpret)  # surrogate
     _, gidx = jax.lax.top_k(gm, k)  # (B, k)
 
@@ -731,10 +734,7 @@ def _grouped_metric_pallas_impl(
         cs = jnp.where(
             jnp.take(row_mask.reshape(g, GROUP), gidx, axis=0), cs, NEG_INF
         )
-    cs = cs.reshape(b, k * GROUP)
-    vals, pos = jax.lax.top_k(cs, k)
-    winner = jnp.take_along_axis(gidx, pos // GROUP, axis=-1)
-    return vals, (winner * GROUP + pos % GROUP).astype(jnp.int32)
+    return _finish_candidates(cs, gidx, b, k, GROUP)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

@@ -67,3 +67,26 @@ def test_two_process_serving_control_flow():
     assert "V2 SURFACE: 11 checks + refill + plane reuse OK" in out.stdout, (
         out.stdout[-2000:]
     )
+
+
+def test_hung_follower_raises_within_deadline():
+    """Fault path (VERDICT r4 #7): a follower that stops draining its
+    control socket mid-stream (hung host — the case a plain close does not
+    cover) must surface as a leader-side RuntimeError within the ack
+    deadline, BEFORE the leader enters the collective, instead of
+    deadlocking the mesh. benchmarks/multihost_fault_dryrun.py runs the
+    scenario across two real jax.distributed processes."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["HYPERDB_CHIP_LOCK_BYPASS"] = "1"
+    script = os.path.join(REPO, "benchmarks", "multihost_fault_dryrun.py")
+    out = subprocess.run(
+        [sys.executable, script, "--port", "9955", "--ctrl-port", "9957"],
+        capture_output=True,
+        text=True,
+        timeout=280,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stdout[-2000:]
+    assert "MULTIHOST FAULT DRYRUN: OK (launcher)" in out.stdout
