@@ -65,8 +65,17 @@ def main():
         return best
 
     record = {"bench": "batch_scaling_1m_384_bf16"}
-    for b in (64, 256, 512, 1024, 2048):
-        t = timed(b)
+    # round 5: sweep to the OOM boundary — the two-level (sub32) selection
+    # cut the stage-3 gather 4x, so the round-3 b=16384 OOM may have moved
+    # (VERDICT r4 #2); every batch is caught independently so the sweep
+    # records exactly where the ceiling now is
+    for b in (64, 256, 512, 1024, 2048, 4096, 8192, 16384):
+        try:
+            t = timed(b, iters=20 if b <= 2048 else 8)
+        except Exception as e:  # noqa: BLE001 — record the boundary
+            record[f"b{b}"] = {"error": str(e)[:160]}
+            print(b, "FAILED:", str(e)[:160], flush=True)
+            continue
         record[f"b{b}"] = {"ms": round(t * 1e3, 2), "qps": round(b / t, 1)}
         print(b, record[f"b{b}"], flush=True)
     record["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")

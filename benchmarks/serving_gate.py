@@ -102,6 +102,26 @@ def run_once(attempt: int) -> bool:
         "failed": [k for k, v in checks.items() if not v],
         "budgets": BUDGETS,
     })
+    # HTTP-vs-loopback gap decomposition (VERDICT r4 #6): the native server
+    # keeps per-flush accounting, so the serving wall splits into engine
+    # time (the loopback-equivalent term), batcher idle (client supply /
+    # flush scheduling), and everything else (wire parse, response
+    # serialization, queue handoff). Whichever term dominates is the next
+    # serving lever — or the documented client-side residual.
+    if rec.get("flushes"):
+        seconds = 15.0
+        wall_ms_per_flush = seconds * 1e3 / rec["flushes"]
+        engine_frac = rec["engine_ms_per_flush"] / wall_ms_per_flush
+        idle_frac = rec.get("worker_idle_s", 0.0) / seconds
+        emit({
+            "gate": "slo_gap_decomposition", "attempt": attempt,
+            "flushes": rec["flushes"], "mean_flush": rec.get("mean_flush"),
+            "wall_ms_per_flush": round(wall_ms_per_flush, 2),
+            "engine_ms_per_flush": rec["engine_ms_per_flush"],
+            "engine_frac": round(engine_frac, 3),
+            "idle_frac": round(idle_frac, 3),
+            "other_frac": round(max(0.0, 1 - engine_frac - idle_frac), 3),
+        })
     return ok
 
 

@@ -59,6 +59,27 @@ def main():
              "sides of each training pair (robustness to unseen phrasing)",
     )
     parser.add_argument(
+        "--image-pairs", type=int, default=0,
+        help="random span-crop pairs mined from documentation FILES across "
+             "the image (localdata.image_texts — README/guide/changelog "
+             "prose, a different register than docstrings; round-5 "
+             "expansion)",
+    )
+    parser.add_argument(
+        "--distill", type=float, default=0.0,
+        help="lexical-distillation weight on natural-prose batches "
+             "(models/train.info_nce_distill_loss): off-diagonal dense "
+             "cross-view cosines are pulled toward hash-4096 lexical "
+             "cosines so the shipped hybrid's channels stop fighting on "
+             "unseen text (VERDICT r4 #3). 0 disables.",
+    )
+    parser.add_argument(
+        "--hard-frac", type=float, default=0.0,
+        help="probability a prose batch is drawn from a SINGLE source "
+             "bucket (one package's docstrings): lexically-adjacent "
+             "in-batch negatives instead of easy cross-package ones",
+    )
+    parser.add_argument(
         "--ood-select", action="store_true",
         help="also track an OOD VALIDATION slice (held-out stdlib "
              "docstrings 800..1200 — disjoint from the reported eval's "
@@ -124,18 +145,65 @@ def main():
         )
     stdlib_pairs = localdata.stdlib_span_pairs(args.stdlib_pairs)
     pairs += stdlib_pairs
+    # tagged buckets for the sampler: concept pairs (InfoNCE only) vs
+    # prose pairs (InfoNCE + optional lexical distillation), with prose
+    # sub-bucketed per source package for hard in-batch negatives
+    buckets: dict[str, list[tuple[str, str]]] = {
+        "concept": list(pairs[: len(pairs) - len(stdlib_pairs)]),
+        "prose:stdlib": list(stdlib_pairs),
+    }
     pkg_pairs: list = []
     if args.pkg_pairs:
         t_pkg = time.time()
-        pkg_texts = localdata.package_texts()
-        pkg_pairs = localdata.span_pairs(
-            pkg_texts, args.pkg_pairs, seed=args.seed + 3,
-            crops_per_text=args.crops,
-        )
+        tagged = localdata.package_texts(with_source=True)
+        per_pkg: dict[str, list[str]] = {}
+        for pkg, text in tagged:
+            per_pkg.setdefault(pkg, []).append(text)
+        # per-package crop pairs, budget split by round-robin interleave so
+        # every package keeps representation when the budget trims
+        per_pkg_pairs = {
+            pkg: localdata.span_pairs(
+                texts, args.pkg_pairs, seed=args.seed + 3,
+                crops_per_text=args.crops,
+            )
+            for pkg, texts in per_pkg.items()
+        }
+        order_pkgs = sorted(per_pkg_pairs)
+        cursors = {pkg: 0 for pkg in order_pkgs}
+        while len(pkg_pairs) < args.pkg_pairs:
+            advanced = False
+            for pkg in order_pkgs:
+                lst = per_pkg_pairs[pkg]
+                if cursors[pkg] < len(lst):
+                    p = lst[cursors[pkg]]
+                    cursors[pkg] += 1
+                    pkg_pairs.append(p)
+                    buckets.setdefault(f"prose:pkg:{pkg}", []).append(p)
+                    advanced = True
+                    if len(pkg_pairs) >= args.pkg_pairs:
+                        break
+            if not advanced:
+                break
         pairs += pkg_pairs
         print(
-            f"package prose: {len(pkg_texts)} paragraphs -> "
-            f"{len(pkg_pairs)} crop pairs in {time.time() - t_pkg:.0f}s",
+            f"package prose: {len(tagged)} paragraphs -> "
+            f"{len(pkg_pairs)} crop pairs "
+            f"({len(per_pkg_pairs)} packages) in {time.time() - t_pkg:.0f}s",
+            flush=True,
+        )
+    img_pairs: list = []
+    if args.image_pairs:
+        t_img = time.time()
+        img_texts = localdata.image_texts()
+        img_pairs = localdata.span_pairs(
+            img_texts, args.image_pairs, seed=args.seed + 4,
+            crops_per_text=args.crops,
+        )
+        pairs += img_pairs
+        buckets["prose:image"] = list(img_pairs)
+        print(
+            f"image prose: {len(img_texts)} paragraphs -> "
+            f"{len(img_pairs)} crop pairs in {time.time() - t_img:.0f}s",
             flush=True,
         )
     if args.init_from:
@@ -243,29 +311,110 @@ def main():
     )
     print(f"hash baseline: {hash_metrics}")
 
-    # ---------------- training loop ----------------
+    # ---------------- bucketed sampler + distillation ----------------
+    class BucketSampler:
+        """Per-bucket without-replacement epochs (reshuffle on wrap)."""
+
+        def __init__(self, items, rng):
+            self.items = items
+            self.rng = rng
+            self.order = rng.permutation(len(items))
+            self.cursor = 0
+
+        def draw(self, nb):
+            out = []
+            while len(out) < nb:
+                if self.cursor >= len(self.order):
+                    self.order = self.rng.permutation(len(self.items))
+                    self.cursor = 0
+                take = min(nb - len(out), len(self.order) - self.cursor)
+                out.extend(
+                    self.items[i]
+                    for i in self.order[self.cursor : self.cursor + take]
+                )
+                self.cursor += take
+            return out
+
     nrng = np.random.default_rng(args.seed)
-    order = nrng.permutation(len(pairs))
-    cursor = 0
+    samplers = {
+        name: BucketSampler(lst, np.random.default_rng(args.seed + 100 + i))
+        for i, (name, lst) in enumerate(sorted(buckets.items()))
+        if lst
+    }
+    prose_names = [n for n in samplers if n.startswith("prose:")]
+    prose_union = [p for n in prose_names for p in buckets[n]]
+    union_sampler = BucketSampler(
+        prose_union, np.random.default_rng(args.seed + 99)
+    ) if prose_union else None
+    concept_prob = len(buckets.get("concept", [])) / max(1, len(pairs))
+    # hard-negative batches only from buckets that can fill one batch
+    # without recycling a pair inside it (duplicate positives corrupt the
+    # in-batch InfoNCE labels)
+    hard_names = [n for n in prose_names if len(buckets[n]) >= args.batch]
+    hard_p = None
+    if hard_names:
+        sizes = np.array([len(buckets[n]) for n in hard_names], float)
+        hard_p = sizes / sizes.sum()
+
+    lex_cache: dict[str, np.ndarray] = {}
+    if args.distill > 0:
+        from hyperdb_tpu.models.train import info_nce_distill_loss
+
+        lex_hash = HashEmbedder(dim=4096, sublinear_tf=True)
+
+        def lex_vecs(texts):
+            missing = [t for t in texts if t not in lex_cache]
+            if missing:
+                block = lex_hash.encode(missing).astype(np.float32)
+                norms = np.linalg.norm(block, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                block /= norms
+                for t, hvec in zip(missing, block.astype(np.float16)):
+                    lex_cache[t] = hvec
+            return np.stack([lex_cache[t] for t in texts]).astype(np.float32)
+
+        def _distill_loss(p, batch):
+            return info_nce_distill_loss(
+                p, model, batch, distill_weight=args.distill
+            )
+
+        @jax.jit
+        def step_distill(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(_distill_loss)(params, batch)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+    # ---------------- training loop ----------------
     t_train = time.time()
     loss_window = []
     best_metrics: dict = {}
     for it in range(args.steps):
-        if cursor + args.batch > len(pairs):
-            order = nrng.permutation(len(pairs))
-            cursor = 0
-        idx = order[cursor : cursor + args.batch]
-        cursor += args.batch
-        q_ids, q_mask = tokenize_block(
-            [pairs[i][0] for i in idx], dropout=args.word_dropout
+        is_prose = union_sampler is not None and (
+            "concept" not in samplers or nrng.random() >= concept_prob
         )
-        d_ids, d_mask = tokenize_block(
-            [pairs[i][1] for i in idx], dropout=args.word_dropout
-        )
-        params, opt_state, loss = step(
-            params, opt_state,
-            {"q_ids": q_ids, "q_mask": q_mask, "d_ids": d_ids, "d_mask": d_mask},
-        )
+        if not is_prose:
+            block = samplers["concept"].draw(args.batch)
+        elif hard_p is not None and nrng.random() < args.hard_frac:
+            name = hard_names[int(nrng.choice(len(hard_names), p=hard_p))]
+            block = samplers[name].draw(args.batch)
+        else:
+            block = union_sampler.draw(args.batch)
+        q_texts = [p[0] for p in block]
+        d_texts = [p[1] for p in block]
+        q_ids, q_mask = tokenize_block(q_texts, dropout=args.word_dropout)
+        d_ids, d_mask = tokenize_block(d_texts, dropout=args.word_dropout)
+        batch = {
+            "q_ids": q_ids, "q_mask": q_mask,
+            "d_ids": d_ids, "d_mask": d_mask,
+        }
+        if args.distill > 0 and is_prose:
+            qh = lex_vecs(q_texts)
+            dh = lex_vecs(d_texts)
+            batch["lex_sims"] = qh @ dh.T
+            params, opt_state, loss = step_distill(params, opt_state, batch)
+        else:
+            params, opt_state, loss = step(params, opt_state, batch)
         loss_window.append(float(loss))
         if (it + 1) % 100 == 0:
             print(
@@ -311,6 +460,9 @@ def main():
             "lr": args.lr,
             "pairs": len(pairs),
             "pkg_pairs": len(pkg_pairs),
+            "image_pairs": len(img_pairs),
+            "distill": args.distill,
+            "hard_frac": args.hard_frac,
             "word_dropout": args.word_dropout,
             "ood_select": args.ood_select,
             "backend": jax.default_backend(),

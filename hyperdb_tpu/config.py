@@ -117,6 +117,13 @@ class EngineConfig:
     # 2026-08-19). Below 64 queries the kernel shape is unmeasured and
     # the stream is adequate. 0 disables.
     pallas_l1_min_batch: int = _env_int("HYPERDB_PALLAS_L1_MIN_BATCH", 64)
+    # Transposed-corpus L1 stage 1 (ops/pallas_l1.gmax_l1t, round 5): rows
+    # on LANES turn the d-reduce into dense sublane folds instead of the
+    # 7-level lane tree that dominates the in-place kernel (~2x by vreg
+    # accounting; A/B in benchmarks/probe_l1t.py). Costs one corpus
+    # transpose copy per call, so it engages only under the module's HBM
+    # cap. 0 disables (in-place sublane kernel everywhere).
+    pallas_l1t: int = _env_int("HYPERDB_PALLAS_L1T", 1)
     # Subgroup width for two-level grouped selection on the Pallas float
     # route: stage 1 emits per-SUB-row maxes alongside the 128-row group
     # maxes (one corpus read, swapped-orientation kernel), selection

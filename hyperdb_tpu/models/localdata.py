@@ -795,6 +795,103 @@ PACKAGE_PROSE_ROOTS = (
 )
 
 
+_DOC_FILE_ROOTS = ("/usr/share/doc",)
+
+
+def _prose_paragraphs(raw: str, min_len: int) -> list[str]:
+    """Blank-line paragraphs of ``raw`` that read as natural English prose:
+    markdown/rst furniture (headers, rules, tables, code fences) stripped,
+    whitespace normalized, and each paragraph must contain at least one
+    sentence-shaped span with a mostly-alphabetic character mix (drops
+    code blocks, option tables, and changelog stanzas)."""
+    out: list[str] = []
+    for para in re.split(r"\n\s*\n", raw):
+        lines = []
+        fenced = False
+        for line in para.splitlines():
+            s = line.strip()
+            if s.startswith("```"):
+                fenced = not fenced
+                continue
+            if fenced or not s:
+                continue
+            if s.startswith(("#", "=", "-", "*", "|", ">", "+", ".. ")):
+                # header/rule/table/bullet furniture; bullets often hold
+                # prose but their fragments skew the span statistics
+                continue
+            lines.append(s)
+        cleaned = " ".join(" ".join(lines).split())
+        if len(cleaned) < min_len:
+            continue
+        alpha = sum(c.isalpha() or c == " " for c in cleaned)
+        if alpha / len(cleaned) < 0.8:
+            continue
+        if not _SENTENCE_RE.search(cleaned):
+            continue
+        out.append(cleaned)
+    return out
+
+
+def image_texts(max_texts: int = 40000, min_len: int = 80) -> list[str]:
+    """Natural-prose paragraphs from documentation FILES shipped in this
+    image (round-5 corpus expansion, VERDICT r4 #3 "all-image prose"):
+    ``*.md`` / ``*.rst`` / ``*.txt`` under site-packages (~626 files,
+    ~18 MB — READMEs, guides, changelogs) plus ``/usr/share/doc`` (~653
+    files, gzip-aware). This register — project prose, feature notes,
+    installation guides — is different from docstrings, which is exactly
+    the axis the OOD eval punishes a docstring-only corpus on.
+
+    Same hygiene as :func:`package_texts`: paragraphs matching any
+    held-out OOD-eval paragraph are dropped, exact duplicates (license
+    boilerplate repeated across packages) collapse via the seen-set, and
+    the walk order is deterministic (sorted roots, sorted files)."""
+    import gzip
+    import sysconfig
+
+    roots = [sysconfig.get_paths()["purelib"], *_DOC_FILE_ROOTS]
+    forbidden = set(stdlib_heldout_texts())
+    texts: list[str] = []
+    seen: set[str] = set()
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = sorted(
+                d for d in dirnames if d not in ("tests", "test",
+                                                 "__pycache__")
+            )
+            for name in sorted(filenames):
+                path = os.path.join(dirpath, name)
+                base = name[:-3] if name.endswith(".gz") else name
+                if root in _DOC_FILE_ROOTS:
+                    ok = base.lower().startswith(
+                        ("readme", "news", "changelog", "copyright")
+                    ) or base.endswith((".md", ".rst", ".txt"))
+                else:
+                    ok = base.endswith((".md", ".rst", ".txt"))
+                if not ok:
+                    continue
+                try:
+                    if name.endswith(".gz"):
+                        with gzip.open(path, "rt", encoding="utf-8",
+                                       errors="ignore") as f:
+                            raw = f.read(1 << 22)
+                    else:
+                        with open(path, encoding="utf-8",
+                                  errors="ignore") as f:
+                            raw = f.read(1 << 22)
+                except OSError:
+                    continue
+                for t in _prose_paragraphs(raw, min_len):
+                    if t in forbidden or t in seen:
+                        continue
+                    seen.add(t)
+                    texts.append(t)
+                    if len(texts) >= max_texts:
+                        return texts
+    return texts
+
+
 def _docstrings_under(root: str, min_len: int, cap: int) -> list[str]:
     """Docstring paragraphs from every ``*.py`` under ``root`` (sorted walk,
     tests/__pycache__ pruned), cleaned to single-space paragraphs."""
@@ -834,7 +931,8 @@ def package_texts(
     packages: tuple[str, ...] = PACKAGE_PROSE_ROOTS,
     max_texts: int = 60000,
     min_len: int = 60,
-) -> list[str]:
+    with_source: bool = False,
+) -> list:
     """Natural-English docstring paragraphs mined from installed third-party
     packages (zero egress — the text ships in this image). This is the
     round-4 pretraining corpus expansion (VERDICT r3 "what's missing" #1 /
@@ -859,7 +957,10 @@ def package_texts(
             if t in forbidden or t in seen:
                 continue
             seen.add(t)
-            texts.append(t)
+            # with_source tags each paragraph with its package name so the
+            # trainer can build SAME-PACKAGE batches (hard in-batch
+            # negatives: lexically-adjacent API prose — VERDICT r4 #3)
+            texts.append((pkg, t) if with_source else t)
             if len(texts) >= max_texts:
                 return texts
     return texts

@@ -63,6 +63,36 @@ def info_nce_loss(params, model, batch, temperature: float = 0.05):
     return loss.mean()
 
 
+def info_nce_distill_loss(params, model, batch,
+                          temperature: float = 0.05,
+                          distill_weight: float = 10.0):
+    """InfoNCE plus lexical distillation on natural-prose batches
+    (VERDICT r4 #3): the off-diagonal dense cross-view cosines are pulled
+    toward the lexical hash-4096 cosines (``batch['lex_sims']``, host-
+    computed). Rationale: the shipped default embedder is the CONCAT
+    hybrid (models/embedder.HybridEmbedder — score = w*dense_cos +
+    (1-w)*lex_cos), and on out-of-distribution text the untamed dense
+    channel ranks *against* the lexical channel, dragging the hybrid
+    below pure lexical (0.485 vs 0.560 recall@10, BASELINE.md). Teaching
+    the dense channel to AGREE with lexical structure on natural prose —
+    while InfoNCE on the diagonal (excluded from the distill term) keeps
+    pulling true pairs above their lexical overlap — makes the channels
+    complementary instead of adversarial. Applied only to prose batches;
+    templated concept batches (where lexical sims are ~0 by construction
+    and dense must win alone) keep the pure InfoNCE loss."""
+    q_emb = model.apply(params, batch["q_ids"], batch["q_mask"])
+    d_emb = model.apply(params, batch["d_ids"], batch["d_mask"])
+    sims = q_emb @ d_emb.T  # (B, B) dense cross-view cosines
+    logits = sims / temperature
+    labels = jnp.arange(logits.shape[0])
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels
+    ).mean()
+    off = 1.0 - jnp.eye(sims.shape[0], dtype=sims.dtype)
+    distill = jnp.sum(off * (sims - batch["lex_sims"]) ** 2) / jnp.sum(off)
+    return loss + distill_weight * distill
+
+
 def make_train_state(mesh: Mesh, seed: int = 0, learning_rate: float = 2e-5):
     """Initialize (model, params, opt, opt_state) with mesh shardings."""
     model, params = init_params(seed=seed)

@@ -257,6 +257,18 @@ def gmax_f_sub(
     n = vectors.shape[0]
     qblk = _q_tile(b)
     blk = _block_rows(b, d, vectors.dtype.itemsize, n)
+    # SWAPPED-orientation cap (round 5): at b=256 the budget formula admits
+    # blk=16384 (every b>=512 shape lands on 8192), and the remote compile
+    # helper crashes DETERMINISTICALLY on the resulting (16384, qblk)
+    # sublane-major tile + /sub /128 sublane splits — six consecutive
+    # exit-code-1 failures across ~11 min in the round-5 gate (the round-4
+    # red-gate case), while the same b=256 shape compiles fine in the
+    # straight orientation (gmax_f) and blk=8192 swapped tiles are the
+    # chip-validated production shapes (b=512..4096). Clamp to the
+    # validated block; one extra grid step at b=256 is noise against the
+    # corpus-read floor.
+    while blk > 8192:
+        blk //= 2
     grid = n // blk
     blkg = blk // GROUP
     blks = blk // sub

@@ -228,6 +228,147 @@ def supported(b: int, n: int, d: int, itemsize: int = 2) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 lever (VERDICT r4 #5): the TRANSPOSED-corpus kernel.
+#
+# Vreg accounting of the round-4 kernel above (per query, per corpus row,
+# in 8x128-vreg operations): the (blk, d) distance pass costs ~1.0
+# ops/row (abs+sub on 0.375 vregs/row plus the d/128 column fold), but the
+# LANE-reduction tree that collapses each row's 128 lanes to a scalar
+# costs ~1.75 ops/row (7 shuffle+add levels on blk/8 vregs), and the
+# (blk, 1) sublane-major epilogue (extra subtract, group reduce, merge
+# select) another ~0.3 — so only ~1/3 of the VPU work is the distance
+# arithmetic the "3 ops/elem, ~6.5 T op/s" roof prices. Measured ~2.4k q/s
+# = ~40% of that naive roof is therefore EXPLAINED: the round-4 kernel is
+# near the ceiling of its own (rows-on-sublanes) formulation.
+#
+# The escape is layout, not scheduling: with the corpus tile TRANSPOSED to
+# (d, blk) — rows on LANES — the d-reduce becomes cross-vreg sublane adds
+# (dense, ~1.03 ops/row incl. the 3-level sublane tree) and the group
+# reduce becomes the same minor-128 lane-split reshape the shipped gmax_f
+# kernel already uses, batched over 8 queries (~0.02 ops/row). The only
+# new cost is extracting each query's (d, 1) column from the lane-major
+# (d, qblk) tile by masked lane-reduce (~900 vreg-ops per query,
+# independent of blk). Predicted ~2x; the A/B lives in
+# benchmarks/probe_l1t.py and the routing default is measurement-set.
+# ---------------------------------------------------------------------------
+
+_L1T_BLK = 8192  # (d, blk) bf16 x2 buffers + f32 cast + diff temp ~ 38 MB
+_L1T_MAX_BYTES = 4 << 30  # transpose copy cap: keep 2x corpus << HBM
+
+
+def _l1t_kernel(qt_ref, vt_ref, extra_ref, out_ref, acc_ref):
+    # qt: (d, qblk) f32, vt: (d, blk) corpus block TRANSPOSED (rows on
+    # lanes), extra: (1, blk) f32 (-inf on dead rows), out: (1, qblk, blkg)
+    # group MINS of L1 distance, acc scratch: (qblk, blkg) f32.
+    from jax.experimental import pallas as pl
+
+    d, qblk = qt_ref.shape
+    blk = vt_ref.shape[1]
+    v32 = vt_ref[:].astype(jnp.float32)  # cast once per cell, reused qblk x
+    # scrubs hoisted like the sublane kernel: corpus NaN -> -inf, dead rows
+    # -> +inf (their distance sums to +inf under the query's NaN -> +inf
+    # scrub, so they can never win the group MIN)
+    v32 = jnp.where(jnp.isnan(v32), -jnp.inf, v32)
+    v32 = jnp.where(jnp.isinf(extra_ref[:]), jnp.inf, v32)  # (1,blk) bcast
+    qt = qt_ref[:]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (d, qblk), 1)
+
+    def body8(t):
+        rows = []
+        for jj in range(8):  # static 8-query unroll per rolled step
+            col = t * 8 + jj
+            # (d, 1) query column via masked lane-reduce: Mosaic has no
+            # sub-128 dynamic lane slice, and a (1, d) sublane slice would
+            # need the forbidden sublane->lane relayout
+            qcol = jnp.max(
+                jnp.where(lanes == col, qt, -jnp.inf), axis=1, keepdims=True
+            )
+            rows.append(
+                jnp.sum(jnp.abs(v32 - qcol), axis=0, keepdims=True)
+            )  # (1, blk) lane-major distances
+        r8 = jnp.concatenate(rows, axis=0)  # (8, blk)
+        # minor-128 lane-split reshape (the gmax_f _emit_gmax pattern) —
+        # segmented group MIN for all 8 queries in one dense reduce
+        gm8 = jnp.min(r8.reshape(8, blk // GROUP, GROUP), axis=-1)
+        acc_ref[pl.dslice(t * 8, 8), :] = gm8  # sublane-dynamic store
+        return t + 1
+
+    jax.lax.while_loop(lambda t: t < qblk // 8, body8, 0)
+    out_ref[0] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gmax_l1t(
+    queries: jax.Array,
+    vectors_t: jax.Array,
+    extra: jax.Array,
+    interpret: bool = False,
+):
+    """Per-group MINS of ``L1(q, v)`` over a TRANSPOSED (d, N) corpus.
+
+    Args:
+        queries: (B, d) f32, B % 8 == 0 (transposed to (d, B) here — tiny).
+        vectors_t: (d, N) f32/bf16 TRANSPOSED corpus, N % _L1T_BLK == 0.
+        extra: (N,) f32 mask vector (0 live / -inf dead; no recency).
+
+    Returns: (B, N // 128) f32 group minimums of the true distances
+    (negate for the -L1 surrogate the selection stage ranks on).
+    """
+    from jax.experimental import pallas as pl
+
+    b, d = queries.shape
+    n = vectors_t.shape[1]
+    qblk = _q_tile(b)
+    blk = _L1T_BLK
+    grid = n // blk
+
+    # NaN-query scrub uses a LARGE FINITE (not +inf): dead rows are +inf
+    # here, and inf - inf would re-introduce NaN into the group min. A
+    # 1e30 coordinate makes every finite row's distance ~3.8e32 (< f32
+    # max, no overflow at d<=4096) — the query's groups all bottom out,
+    # and stage 3's true-score rescore of whatever it fetched yields the
+    # reference's all -inf row exactly like the sublane kernel.
+    qt = jnp.where(
+        jnp.isnan(queries), 1e30, queries.astype(jnp.float32)
+    ).T  # (d, B)
+
+    def scratch():
+        from jax.experimental.pallas import tpu as pltpu
+
+        return [pltpu.VMEM((qblk, blk // GROUP), jnp.float32)]
+
+    out = pl.pallas_call(
+        _l1t_kernel,
+        grid=(grid, b // qblk),
+        in_specs=[
+            pl.BlockSpec((d, qblk), lambda i, j: (0, j)),
+            pl.BlockSpec((d, blk), lambda i, j: (0, i)),
+            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, qblk, blk // GROUP), lambda i, j: (i, j, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid, b, blk // GROUP), jnp.float32),
+        scratch_shapes=scratch(),
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(qt, vectors_t, extra.reshape(1, n))
+    return out.transpose(1, 0, 2).reshape(b, n // GROUP)
+
+
+def supported_t(b: int, n: int, d: int) -> bool:
+    """Shape gate for the transposed kernel: fixed 8192-row blocks, 8-query
+    inner unroll, lane-major (d, qblk) query tiles."""
+    tiles_ok = (b % 8 == 0) if b <= _QBLK_MAX else (b % _QBLK_MAX == 0)
+    return (
+        tiles_ok
+        and d % 128 == 0
+        and n % _L1T_BLK == 0
+        and n // GROUP >= 2
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def rank_top_k_manhattan_pallas(
     queries: jax.Array,
@@ -280,7 +421,22 @@ def rank_top_k_manhattan_pallas(
         return exact_top_k(s, k)
     q32 = queries.astype(jnp.float32)
     extra = make_extra(n, row_mask)
-    gm = gmax_l1(q32, vectors, extra, interpret=interpret)  # (B, g)
+    from hyperdb_tpu.config import CONFIG
+
+    # transposed-corpus stage 1 (round 5): ~2x the sublane kernel by vreg
+    # accounting (module note). The (d, N) operand is materialized by one
+    # XLA transpose per call — ~2 ms of HBM copy against a >500 ms scan at
+    # 1M — but doubles the corpus's transient HBM footprint, so capacity-
+    # scale corpora stay on the in-place kernel. Trace-time knob
+    # (HYPERDB_PALLAS_L1T), default measurement-set.
+    if (
+        CONFIG.pallas_l1t
+        and supported_t(b, n, d)
+        and n * d * vectors.dtype.itemsize <= _L1T_MAX_BYTES
+    ):
+        gm = -gmax_l1t(q32, vectors.T, extra, interpret=interpret)
+    else:
+        gm = gmax_l1(q32, vectors, extra, interpret=interpret)  # (B, g)
     g = n // GROUP
     m = min(k + L1_GROUP_MARGIN, g)
     _, gidx = jax.lax.top_k(gm, m)  # (B, m)
