@@ -84,23 +84,63 @@ def main() -> int:
     _, (_, ref_idx) = timed(native8, q[:8], rows, iters=3, trials=1)
     ref_idx = np.asarray(ref_idx)
 
-    saved = CONFIG.pallas_subgroup
-    for sub in (32, 0):
+    saved = (CONFIG.pallas_subgroup, CONFIG.pallas_sub_dual)
+    for name, sub, dual in (
+        ("sub32_dual", 32, 1),      # the round-4 shipped form
+        ("sub32_single", 32, 0),    # round-5: subgroup-only emission
+        ("single_level", 0, 1),     # pre-round-4 selection
+    ):
         CONFIG.pallas_subgroup = sub
+        CONFIG.pallas_sub_dual = dual
 
         @jax.jit
         def routed(qq, rr):
             return rank_top_k(qq, rr, k=k, metric="dot_product")
 
-        print(f"compiling routed 2^24 b=512 sub={sub}...", flush=True)
+        print(f"compiling routed 2^24 b=512 {name}...", flush=True)
         try:
             sec, (_, idx) = timed(routed, q, rows, iters=5, trials=2)
             eq = bool((np.asarray(idx)[:8] == ref_idx).all())
-            emit({"sub": sub, "index_equal": eq,
+            emit({"variant": name, "n": "2^24", "index_equal": eq,
                   "qps": round(b / sec), "ms": round(sec * 1e3, 2)})
         except Exception as e:  # noqa: BLE001
-            emit({"sub": sub, "error": str(e)[:200]})
-    CONFIG.pallas_subgroup = saved
+            emit({"variant": name, "n": "2^24", "error": str(e)[:200]})
+
+    # ---- 1M perf check: the single-output form must not cost the
+    # headline (b=2048, the shipped operating point's constituent) ----
+    del rows
+    n1 = 1 << 20
+    rows1 = jnp.zeros((n1, d), dtype=jnp.bfloat16)
+    for i, kk in enumerate(jax.random.split(jax.random.PRNGKey(5), n1 // chunk)):
+        rows1 = write_chunk(rows1, gen_chunk(kk), jnp.int32(i * chunk))
+    jax.block_until_ready(rows1)
+    q2k = jnp.asarray(
+        rng.standard_normal((2048, d), dtype=np.float32), jnp.bfloat16
+    )
+    ref1 = None
+    for name, dual in (("sub32_dual", 1), ("sub32_single", 0)):
+        CONFIG.pallas_subgroup = 32
+        CONFIG.pallas_sub_dual = dual
+
+        @jax.jit
+        def routed1(qq, rr):
+            return rank_top_k(qq, rr, k=k, metric="dot_product")
+
+        print(f"compiling routed 1M b=2048 {name}...", flush=True)
+        try:
+            sec, (_, idx) = timed(routed1, q2k, rows1, iters=10, trials=3)
+            idx = np.asarray(idx)
+            rec = {"variant": name, "n": "1M", "b": 2048,
+                   "qps": round(2048 / sec), "ms": round(sec * 1e3, 2)}
+            if ref1 is None:
+                ref1 = idx
+            else:
+                rec["index_equal_vs_dual"] = bool((idx == ref1).all())
+            emit(rec)
+        except Exception as e:  # noqa: BLE001
+            emit({"variant": name, "n": "1M", "b": 2048,
+                  "error": str(e)[:200]})
+    CONFIG.pallas_subgroup, CONFIG.pallas_sub_dual = saved
     return 0
 
 

@@ -134,13 +134,19 @@ class EngineConfig:
     # q/s), b=4096 42.8 -> 32.3 ms (96k -> 127k q/s); SUB=64 is worse
     # (19.4/35.3 ms). Exactness: a subgroup holding a true top-j row has
     # submax >= s_j, so < k subgroups can outrank it (same containment
-    # argument as groups, applied twice). Must divide 128; 0 disables
+    # argument as groups, applied twice). Must divide 128; 0 disables.
+    # HYPERDB_PALLAS_SUB_DUAL picks the stage-1 emission form: 1 = the
+    # kernel writes group AND subgroup maxes (round-4 form), 0 = subgroup
+    # maxes only with the group maxes derived by one XLA max outside
+    # (bitwise identical; the only form that compiles at capacity scale —
+    # probe_2p24_sub). Trace-time like every knob here.
     # (single-level selection, the pre-round-4 behavior). Beyond the
     # measured d=384 b>=2048 wins, the other engaged dims are chip-smoked
     # every round by tpu_gate (pallas_sub_bf16_256k_d768_b128 — ADVICE r4
     # #3: an unprobed-shape Mosaic failure must surface in the gate, not
     # in production).
     pallas_subgroup: int = _env_int("HYPERDB_PALLAS_SUBGROUP", 32)
+    pallas_sub_dual: int = _env_int("HYPERDB_PALLAS_SUB_DUAL", 1)
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

@@ -220,13 +220,14 @@ def gmax_f(
     return _untile_gmax(out, transposed, b, n)
 
 
-@functools.partial(jax.jit, static_argnames=("sub", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sub", "interpret", "dual"))
 def gmax_f_sub(
     queries: jax.Array,
     vectors: jax.Array,
     extra: jax.Array,
     sub: int = 32,
     interpret: bool = False,
+    dual: bool = True,
 ):
     """Per-group AND per-subgroup score maxes for one-matmul metrics.
 
@@ -273,7 +274,7 @@ def gmax_f_sub(
     blkg = blk // GROUP
     blks = blk // sub
 
-    def kernel(q_ref, v_ref, extra_ref, gm_ref, sm_ref):
+    def kernel(q_ref, v_ref, extra_ref, gm_ref, sm_ref=None):
         s = jax.lax.dot_general(
             v_ref[:],
             q_ref[:],
@@ -283,10 +284,45 @@ def gmax_f_sub(
         s = s + extra_ref[:]  # (blk, 1) broadcasts across the lane dim
         s = jnp.where(jnp.isnan(s), -jnp.inf, s)
         blkr, bq = s.shape
+        if sm_ref is None:  # single-output form: gm_ref holds the SM maxes
+            gm_ref[0] = jnp.max(s.reshape(blkr // sub, sub, bq), axis=1)
+            return
         gm_ref[0] = jnp.max(s.reshape(blkr // GROUP, GROUP, bq), axis=1)
         sm_ref[0] = jnp.max(s.reshape(blkr // sub, sub, bq), axis=1)
 
-    gm, sm = pl.pallas_call(
+    if dual:
+        gm, sm = pl.pallas_call(
+            kernel,
+            grid=(grid, b // qblk),
+            in_specs=[
+                pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((blk, 1), lambda i, j: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, blkg, qblk), lambda i, j: (i, 0, j)),
+                pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((grid, blkg, b), jnp.float32),
+                jax.ShapeDtypeStruct((grid, blks, b), jnp.float32),
+            ],
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(queries, vectors, extra.reshape(n, 1))
+        gm = gm.transpose(2, 0, 1).reshape(b, n // GROUP)
+        sm = sm.transpose(2, 0, 1).reshape(b, n // sub)
+        return gm, sm
+
+    # Single-output form (round 5): the kernel emits ONLY the subgroup
+    # maxes and the 128-row group maxes are derived outside by an XLA
+    # max over each ratio-run — bitwise identical (max is exact and
+    # associative over the same operands). Motivation: the dual-output
+    # program is the one gmax form that has never compiled at capacity
+    # scale (grid 2048 at 2^24 rows; probe_2p24_sub), while single-output
+    # programs at the same grid compile fine. Costs one extra HBM pass
+    # over sm (~0.7 ms at 1M b=2048 against a 13.6 ms stage 1).
+    sm = pl.pallas_call(
         kernel,
         grid=(grid, b // qblk),
         in_specs=[
@@ -294,19 +330,15 @@ def gmax_f_sub(
             pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
             pl.BlockSpec((blk, 1), lambda i, j: (i, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, blkg, qblk), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid, blkg, b), jnp.float32),
-            jax.ShapeDtypeStruct((grid, blks, b), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((grid, blks, b), jnp.float32),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(queries, vectors, extra.reshape(n, 1))
-    gm = gm.transpose(2, 0, 1).reshape(b, n // GROUP)
     sm = sm.transpose(2, 0, 1).reshape(b, n // sub)
+    gm = jnp.max(
+        sm.reshape(b, n // GROUP, GROUP // sub), axis=-1
+    )
     return gm, sm
 
 
@@ -514,11 +546,14 @@ def rank_top_k_grouped_pallas(
     if not (8 <= sub < GROUP and GROUP % sub == 0):
         sub = 0
     return _grouped_pallas_impl(
-        queries, vectors, row_mask, recency, k=k, interpret=interpret, sub=sub
+        queries, vectors, row_mask, recency, k=k, interpret=interpret,
+        sub=sub, dual=bool(CONFIG.pallas_sub_dual),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "sub"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "interpret", "sub", "dual")
+)
 def _grouped_pallas_impl(
     queries: jax.Array,
     vectors: jax.Array,
@@ -527,6 +562,7 @@ def _grouped_pallas_impl(
     k: int,
     interpret: bool,
     sub: int,
+    dual: bool = True,
 ):
     from hyperdb_tpu.ops import metrics as _metrics
     from hyperdb_tpu.ops.ranking import rank_top_k_grouped
@@ -568,7 +604,9 @@ def _grouped_pallas_impl(
         and n % sub == 0
         and _q_tile(b) % 128 == 0  # swapped kernel stores lane-major tiles
     ):
-        gm, sm = gmax_f_sub(queries, vectors, extra, sub=sub, interpret=interpret)
+        gm, sm = gmax_f_sub(
+            queries, vectors, extra, sub=sub, interpret=interpret, dual=dual
+        )
         sidx = _select_subgroups(gm, sm, b, n, k, sub)
         r3 = vectors.reshape(n // sub, sub, d)
         e3 = extra.reshape(n // sub, sub)
@@ -614,10 +652,13 @@ def rank_top_k_grouped_metric_pallas(
     return _grouped_metric_pallas_impl(
         queries, rows, row_aux, row_mask,
         k=k, metric=metric, interpret=interpret, sub=sub,
+        dual=bool(CONFIG.pallas_sub_dual),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "interpret", "sub"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "interpret", "sub", "dual")
+)
 def _grouped_metric_pallas_impl(
     queries: jax.Array,
     rows: jax.Array,
@@ -627,6 +668,7 @@ def _grouped_metric_pallas_impl(
     metric: str,
     interpret: bool,
     sub: int,
+    dual: bool = True,
 ):
     """Euclidean/hamming grouped exact top-k with the Pallas stage-1 kernel.
 
@@ -710,7 +752,9 @@ def _grouped_metric_pallas_impl(
             and n % sub == 0
             and _q_tile(b) % 128 == 0
         ):
-            gm, sm = gmax_f_sub(qq * 2, rows, extra, sub=sub, interpret=interpret)
+            gm, sm = gmax_f_sub(
+                qq * 2, rows, extra, sub=sub, interpret=interpret, dual=dual
+            )
             sidx = _select_subgroups(gm, sm, b, n, k, sub)
             r3 = rows.reshape(n // sub, sub, d)
             aux3 = aux32.reshape(n // sub, sub)
