@@ -368,6 +368,19 @@ def test_gmax_f_sub_matches_reference():
     want_sm = s.reshape(b, n // sub, sub).max(axis=-1)
     np.testing.assert_allclose(np.asarray(sm), want_sm, rtol=1e-5, atol=1e-5)
 
+    # round 5: the single-output emission form (subgroup maxes only, group
+    # maxes derived by an XLA max outside) is BITWISE identical — max is
+    # exact and associative over the same operands. It exists because the
+    # dual-output program never compiled at capacity scale (probe_2p24_sub).
+    gm1, sm1 = gmax_f_sub(
+        jnp.asarray(q), jnp.asarray(v), extra, sub=sub, interpret=True,
+        dual=False,
+    )
+    def _eq(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return ((a == b) | (np.isneginf(a) & np.isneginf(b))).all()
+    assert _eq(gm1, gm) and _eq(sm1, sm)
+
 
 def test_pipeline_two_level_index_identical(monkeypatch):
     """The two-level (group -> subgroup) pipeline returns exactly the XLA
