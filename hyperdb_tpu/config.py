@@ -138,15 +138,21 @@ class EngineConfig:
     # HYPERDB_PALLAS_SUB_DUAL picks the stage-1 emission form: 1 = the
     # kernel writes group AND subgroup maxes (round-4 form), 0 = subgroup
     # maxes only with the group maxes derived by one XLA max outside
-    # (bitwise identical; the only form that compiles at capacity scale —
-    # probe_2p24_sub). Trace-time like every knob here.
+    # (bitwise identical). Default 0 (single) since round 5: measured
+    # index-identical and slightly faster at 1M b=2048 (18.29 vs
+    # 18.74 ms, probe_2p24_sub 2026-08-19), and it is one program shape
+    # instead of two. The 2^24 compile story turned out environmental,
+    # not form-specific: in the degraded helper window ALL forms (dual,
+    # single, and the pre-round-4 single-level that compiled at 01:56)
+    # crash the remote compile helper at capacity scale while 1M-class
+    # programs compile fine — see ROADMAP round-5 notes.
     # (single-level selection, the pre-round-4 behavior). Beyond the
     # measured d=384 b>=2048 wins, the other engaged dims are chip-smoked
     # every round by tpu_gate (pallas_sub_bf16_256k_d768_b128 — ADVICE r4
     # #3: an unprobed-shape Mosaic failure must surface in the gate, not
     # in production).
     pallas_subgroup: int = _env_int("HYPERDB_PALLAS_SUBGROUP", 32)
-    pallas_sub_dual: int = _env_int("HYPERDB_PALLAS_SUB_DUAL", 1)
+    pallas_sub_dual: int = _env_int("HYPERDB_PALLAS_SUB_DUAL", 0)
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo
