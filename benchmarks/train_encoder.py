@@ -290,6 +290,44 @@ def main():
         params=params, tokenizer=tokenizer, config=config
     )
 
+    # Hybrid-aware selection (round 5, VERDICT r4 #3): the SHIPPED encoder
+    # is the w=0.65 dense⊕lexical concat, and distillation's whole effect
+    # is on the MIX — a dense-retrieval select metric is blind to it (the
+    # pilot kept its step-500 checkpoint because dense-alone OOD never
+    # moves). When distilling, selection scores the hybrid's OOD-val
+    # recall@10 directly, hard-gated on the in-dist bar.
+    hybrid_w = 0.65
+    lex_ood = None
+    if args.distill > 0 and args.ood_select:
+
+        def _unit(x):
+            x = np.asarray(x, np.float32)
+            nn = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            return x / nn
+
+        lex4096 = HashEmbedder(dim=4096, sublinear_tf=True)
+        ood_docs, ood_queries, ood_targets = localdata.heldout_span_eval_set(
+            num_docs=400, skip_docs=800
+        )
+        lex_ood = (
+            _unit(lex4096.encode(ood_docs)),
+            _unit(lex4096.encode(ood_queries)),
+        )
+
+    def hybrid_ood_recall10(params):
+        eval_embedder.params = params
+        docs, queries, targets = ood_val_set
+        dd = _unit(np.asarray(eval_embedder.encode(docs)))
+        qq = _unit(np.asarray(eval_embedder.encode(queries)))
+        hd, hq = lex_ood
+        sims = hybrid_w * (qq @ dd.T) + (1.0 - hybrid_w) * (hq @ hd.T)
+        order = np.argsort(-sims, axis=1)
+        hits = sum(
+            1 for i, t in enumerate(targets)
+            if int(np.where(order[i] == t)[0][0]) < 10
+        )
+        return hits / len(targets)
+
     def eval_encoder(params):
         # reuse one embedder (one jit cache) across evals; only swap params
         eval_embedder.params = params
@@ -301,7 +339,13 @@ def main():
                 eval_embedder.encode, eval_set=ood_val_set
             )
             metrics.update({f"ood_val_{k}": v for k, v in ood.items()})
-            metrics["select"] = 0.5 * metrics["mrr"] + 0.5 * ood["mrr"]
+            if lex_ood is not None:
+                metrics["hybrid_ood_r10"] = hybrid_ood_recall10(params)
+                metrics["select"] = metrics["hybrid_ood_r10"] - (
+                    0.0 if metrics["recall@10"] >= 0.95 else 1.0
+                )
+            else:
+                metrics["select"] = 0.5 * metrics["mrr"] + 0.5 * ood["mrr"]
         else:
             metrics["select"] = metrics["mrr"]
         return metrics
