@@ -48,6 +48,12 @@ gap, so the carve-out is permanent. (probe_l1 rows, 2026-08-19.)
 Exactness parity is pinned hermetically in tests/test_pallas_l1.py
 (interpret mode); the on-chip A/B and routing threshold live in
 benchmarks/probe_l1.py and BASELINE.md.
+
+ROUND 5: the default stage 1 for corpora under the transpose cap is the
+TRANSPOSED-corpus kernel (:func:`gmax_l1t` below — measured +8.5-12.5%,
+3.9k q/s at b=2048); this sublane kernel remains the capacity-scale
+route. See the round-5 lever note mid-module for why both formulations
+sit on the same VMEM-temp wall.
 """
 
 from __future__ import annotations
@@ -64,8 +70,13 @@ from hyperdb_tpu.ops.pallas_gmax import (
 )
 
 # Stage-2 group overfetch absorbing kernel-vs-XLA f32 summation-order noise
-# at the k-th group boundary (see module docstring).
-L1_GROUP_MARGIN = 8
+# at the k-th group boundary (see module docstring). Raised 8 -> 12 in
+# round 5: one unreproducible index_equal=false appeared at b=2048
+# (probe_l1t 10:30 row; the immediate rerun on the identical draw found 0
+# differing rows for both kernels — probe_l1_mismatch). The margin is
+# cheap insurance (stage 3 is ~4% of the scan) against whatever produced
+# that one-off.
+L1_GROUP_MARGIN = 12
 
 # Query-tile width = the accumulator's lane extent. 256 lanes keeps the
 # (blk, qblk) f32 accumulator at 2 lane-vregs wide while bounding the
@@ -242,15 +253,24 @@ def supported(b: int, n: int, d: int, itemsize: int = 2) -> bool:
 # = ~40% of that naive roof is therefore EXPLAINED: the round-4 kernel is
 # near the ceiling of its own (rows-on-sublanes) formulation.
 #
-# The escape is layout, not scheduling: with the corpus tile TRANSPOSED to
-# (d, blk) — rows on LANES — the d-reduce becomes cross-vreg sublane adds
-# (dense, ~1.03 ops/row incl. the 3-level sublane tree) and the group
-# reduce becomes the same minor-128 lane-split reshape the shipped gmax_f
-# kernel already uses, batched over 8 queries (~0.02 ops/row). The only
-# new cost is extracting each query's (d, 1) column from the lane-major
-# (d, qblk) tile by masked lane-reduce (~900 vreg-ops per query,
-# independent of blk). Predicted ~2x; the A/B lives in
-# benchmarks/probe_l1t.py and the routing default is measurement-set.
+# The layout escape: with the corpus tile TRANSPOSED to (d, blk) — rows
+# on LANES — the d-reduce becomes cross-vreg sublane adds (dense, ~1.03
+# ops/row) and the group reduce the same minor-128 lane-split reshape the
+# shipped gmax_f kernel uses, batched over 8 queries; the only new cost
+# is extracting each query's (d, 1) column by masked lane-reduce (~900
+# vreg-ops/query, blk-independent). The vreg model predicted ~2x;
+# MEASURED on chip (probe_l1t, 2026-08-19): +8.5% at b=256 (83.3 ->
+# 76.8 ms) and +12.5% at b=2048 (594 -> 528 ms, 3.9k q/s), both
+# index-identical to the streamed oracle. Two formulations with ~2.4x
+# different vreg-op counts running within 12% of each other says the
+# binding resource is NOT vector issue slots — consistent with the
+# round-4 finding that Mosaic materializes the full elementwise |v - q|
+# tile before every reduce (see _block_rows): that temp's VMEM
+# round-trip (~12.6 MB per query per block, identical in both layouts)
+# is the shared wall, and d-chunked variants re-materialize the same
+# total bytes, so no further named lever is known. The transposed form
+# is the cheaper epilogue on the same wall and ships as the default
+# (config.pallas_l1t) under its HBM transpose cap.
 # ---------------------------------------------------------------------------
 
 _L1T_BLK = 8192  # (d, blk) bf16 x2 buffers + f32 cast + diff temp ~ 38 MB
