@@ -107,7 +107,7 @@ def main() -> int:
                "hash_dim": args.hash_dim, "sublinear_tf": args.sublinear_tf,
                "assets": args.assets or "shipped",
                "skip_docs": args.skip_docs}
-        for w in (0.0, 0.2, 0.35, 0.5, 0.65, 0.75, 0.85, 0.9, 1.0):
+        for w in (0.0, 0.2, 0.35, 0.5, 0.6, 0.65, 0.7, 0.75, 0.85, 0.9, 1.0):
             sims = w * s_dense + (1.0 - w) * s_hash
             row[f"recall@10_w{w}"] = round(_recall_at_10(sims, targets), 4)
         # Reciprocal-rank fusion: rank-based, scale-free — the standard

@@ -102,11 +102,11 @@ def cmd_selectembed(args):
     )
     for name in sorted(report, key=lambda k: -report[k]["recall@10"]):
         print(json.dumps({"encoder": name, **report[name]}))
-    env = {"trained_local": "local", "hybrid_w65": "hybrid",
+    env = {"trained_local": "local", "hybrid_w70": "hybrid",
            "hash_384": "hash", "lexical_4096": "lexical"}[best]
     print(f"# best on this corpus: {best} -> set "
           f"HYPERDB_DEFAULT_EMBEDDER={env}"
-          + (" HYPERDB_HYBRID_W=0.65" if best == "hybrid_w65" else ""),
+          + (" HYPERDB_HYBRID_W=0.70" if best == "hybrid_w70" else ""),
           file=sys.stderr)
 
 

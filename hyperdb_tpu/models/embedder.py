@@ -117,11 +117,13 @@ class HybridEmbedder:
     reciprocal-rank fusion measured in benchmarks/eval_hybrid.py on a
     validation slice DISJOINT from the reported eval; results.jsonl
     hybrid_encoder_sweep), so the mix is a knob:
-    HYPERDB_DEFAULT_EMBEDDER=hybrid, HYPERDB_HYBRID_W (default 0.65 —
-    concept 0.98 / OOD-val 0.60, the balanced point on the frontier).
+    HYPERDB_DEFAULT_EMBEDDER=hybrid, HYPERDB_HYBRID_W (default 0.70 since
+    round 5's lexically-distilled encoder — concept-hard 0.965 / OOD-val
+    0.641, the best point holding the in-dist >= 0.95 bar; round 4's
+    w=0.65 point was 0.98 / 0.60).
     """
 
-    def __init__(self, dense, w: float = 0.65, hash_dim: int = 4096):
+    def __init__(self, dense, w: float = 0.70, hash_dim: int = 4096):
         self.dense = dense
         self.w = float(w)
         self.lexical = HashEmbedder(dim=hash_dim, sublinear_tf=True)
@@ -174,7 +176,7 @@ def select_embedder_for_corpus(texts, max_docs: int = 400, seed: int = 0):
     over the user's corpus and return ``(best_name, embedder, report)`` —
     the build-time MEASURED answer to "which encoder should this corpus
     use" (VERDICT r3 #3). Candidates: the trained local dense encoder, the
-    w=0.65 hybrid, and the 384/4096-dim lexical hash encoders; ranked by
+    default-w hybrid, and the 384/4096-dim lexical hash encoders; ranked by
     recall@10 then MRR. Exposed on the CLI as
     ``python -m hyperdb_tpu selectembed``."""
     from hyperdb_tpu.models.localdata import evaluate_retrieval
@@ -197,7 +199,7 @@ def select_embedder_for_corpus(texts, max_docs: int = 400, seed: int = 0):
         dense = None
     if dense is not None:
         candidates["trained_local"] = dense
-        candidates["hybrid_w65"] = HybridEmbedder(dense, w=0.65)
+        candidates["hybrid_w70"] = HybridEmbedder(dense, w=0.70)
     report = {}
     for name, emb in candidates.items():
         m = evaluate_retrieval(emb.encode, eval_set=eval_set)
@@ -216,12 +218,15 @@ def default_embedder(dim: int | None = None) -> Embedder:
     Why hybrid is the zero-egress default (VERDICT r3 #3 / Missing #1): by
     the repo's own measurements the pure trained-local dense encoder loses
     to a lexical hash on UNSEEN text (held-out 800-doc stdlib docstrings:
-    dense 0.368 recall@10 vs lexical-4096 0.560, benchmarks/eval_ood.py —
-    the round-4 retrained checkpoint; the round-3 one measured 0.166)
-    while winning in-distribution (0.995 vs 0.005). The w=0.65 hybrid is
-    the measured balanced point — 0.98 in-dist / 0.60 OOD on the disjoint
-    validation slice — strictly better than dense on unseen text at a
-    small in-dist cost, so it is the
+    dense 0.368 recall@10 vs lexical-4096 0.560 for the round-4
+    checkpoint; the round-5 LEXICALLY-DISTILLED encoder — trained so its
+    natural-prose similarities agree with the lexical channel it ships
+    beside, models/train.info_nce_distill_loss — closes most of the
+    remaining gap) while winning in-distribution. The default w=0.70
+    hybrid is the measured best point holding in-dist >= 0.95:
+    concept-hard 0.965 / OOD-val 0.641 (round 4's w=0.65: 0.98 / 0.60)
+    on the disjoint validation slice — strictly better than dense on
+    unseen text at a small in-dist cost, so it is the
     defensible default for arbitrary user corpora. Cost: embedding dim is
     384+4096 (the lexical block); set HYPERDB_DEFAULT_EMBEDDER=local for
     the compact pure-dense encoder when the corpus matches its training
@@ -268,7 +273,7 @@ def default_embedder(dim: int | None = None) -> Embedder:
             if dense is not None:
                 embedder = HybridEmbedder(
                     dense,
-                    w=float(os.environ.get("HYPERDB_HYBRID_W", "0.65")),
+                    w=float(os.environ.get("HYPERDB_HYBRID_W", "0.70")),
                 )
             # assets unavailable: fall through to the hash encoder below
         if (embedder is None and mode in ("auto", "local")
