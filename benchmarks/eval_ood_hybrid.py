@@ -42,10 +42,11 @@ def main() -> int:
     if trained is None:
         print("assets unavailable")
         return 1
-    hybrid = HybridEmbedder(trained, w=0.65)
+    hybrid = HybridEmbedder(trained)  # the SHIPPED default mix
     m = evaluate_retrieval(hybrid.encode, eval_set=eval_set)
     tag = "_staged" if args.assets else ""
-    rec = {"encoder": "hybrid_w65_default" + tag, "num_docs": len(eval_set[0]),
+    rec = {"encoder": f"hybrid_w{round(hybrid.w * 100)}_default" + tag,
+           "num_docs": len(eval_set[0]),
            **{k: round(v, 4) for k, v in m.items()},
            "bench": "ood_encoder_eval",
            "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
