@@ -54,6 +54,12 @@ def main():
         help="random crop pairs drawn per package docstring",
     )
     parser.add_argument(
+        "--all-packages", action="store_true",
+        help="mine docstring prose from EVERY installed package "
+             "(localdata.all_package_roots — ~2.6x the paragraph count of "
+             "the default 14-package list; round-5 expansion)",
+    )
+    parser.add_argument(
         "--word-dropout", type=float, default=0.0,
         help="per-token drop probability applied independently to both "
              "sides of each training pair (robustness to unseen phrasing)",
@@ -155,7 +161,12 @@ def main():
     pkg_pairs: list = []
     if args.pkg_pairs:
         t_pkg = time.time()
-        tagged = localdata.package_texts(with_source=True)
+        tagged = localdata.package_texts(
+            packages=(localdata.all_package_roots() if args.all_packages
+                      else localdata.PACKAGE_PROSE_ROOTS),
+            max_texts=200000 if args.all_packages else 60000,
+            with_source=True,
+        )
         per_pkg: dict[str, list[str]] = {}
         for pkg, text in tagged:
             per_pkg.setdefault(pkg, []).append(text)

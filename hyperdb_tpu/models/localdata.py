@@ -795,6 +795,23 @@ PACKAGE_PROSE_ROOTS = (
 )
 
 
+def all_package_roots() -> tuple:
+    """EVERY top-level site-packages package directory (sorted) — the
+    round-5 full-image docstring corpus: the 14 hand-picked
+    PACKAGE_PROSE_ROOTS hold ~44k prose paragraphs, the other ~280
+    installed packages hold ~72k more (measured 2026-08-19), and dense
+    OOD recall has moved with every corpus expansion so far."""
+    import sysconfig
+
+    site = sysconfig.get_paths()["purelib"]
+    return tuple(sorted(
+        d for d in os.listdir(site)
+        if os.path.isdir(os.path.join(site, d))
+        and not d.endswith(".dist-info")
+        and not d.startswith("_")
+    ))
+
+
 _DOC_FILE_ROOTS = ("/usr/share/doc",)
 
 
