@@ -153,6 +153,23 @@ class EngineConfig:
     # in production).
     pallas_subgroup: int = _env_int("HYPERDB_PALLAS_SUBGROUP", 32)
     pallas_sub_dual: int = _env_int("HYPERDB_PALLAS_SUB_DUAL", 0)
+    # Maximum corpus blocks per Mosaic grid on the gmax stage-1 kernels.
+    # Grids past this cap split into windows of at most this many blocks —
+    # separate pallas_calls over the SAME operands with block-offset index
+    # maps (no slicing, no copies; ops/pallas_gmax._windows) whose small
+    # stage-1 outputs concatenate. Motivation (round 5): the remote compile
+    # helper entered a 9+ hour state where EVERY 2048-block gmax program
+    # (2^24 x 384 bf16, all kernel forms) crashes it while 1280-block
+    # programs (10M int8) and 1M-class grids compile fine — capacity-scale
+    # scans must not depend on the helper's largest-grid appetite. 1536
+    # keeps every currently-green gate shape monolithic (10M int8 = 1280
+    # blocks) and splits only capacity shapes (2^24 = 2048 blocks -> 2 x
+    # 1024). Windowing is exact (each window computes its own blocks'
+    # maxes; concat reassembles stage 1 bit-for-bit) — pinned in
+    # tests/test_pallas_gmax.py. 0 disables (monolithic grids at any n).
+    pallas_max_grid_blocks: int = _env_int(
+        "HYPERDB_PALLAS_MAX_GRID_BLOCKS", 1536
+    )
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

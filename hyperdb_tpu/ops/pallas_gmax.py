@@ -149,6 +149,43 @@ def _gmax_kernel_int8(q_ref, qs_ref, v_ref, vs_ref, extra_ref, out_ref, *, trans
     _emit_gmax(out_ref, s, transposed)
 
 
+def _windows(grid: int) -> tuple[tuple[int, int], ...]:
+    """((block_offset, nblocks), ...) grid windows for one stage-1 scan.
+
+    Grids past CONFIG.pallas_max_grid_blocks split into near-equal windows
+    of at most that many corpus blocks; each window is its own pallas_call
+    over the SAME operands with block-offset index maps (no operand slicing
+    — a top-level slice of a capacity plane would copy gigabytes per call)
+    and the per-window stage-1 outputs concatenate along the block axis.
+    Exact by construction: every block's maxes are computed by exactly one
+    window from the same operand bytes. Cost: one extra HBM round trip of
+    the small stage-1 result for the concat (~3 ms against a ~53 ms 2^24
+    scan). Why: the remote Mosaic compile helper has failed 9+ hours
+    straight on every 2048-block gmax form while 1280-block programs
+    compile fine (probe_2p24_sub, round 5) — capacity scans must not
+    depend on the helper accepting its largest grids. The cap is read at
+    trace time (the repo's documented config semantics — see
+    rank_top_k_grouped_pallas)."""
+    from hyperdb_tpu.config import CONFIG
+
+    cap = CONFIG.pallas_max_grid_blocks
+    if cap <= 0 or grid <= cap:
+        return ((0, grid),)
+    nwin = -(-grid // cap)
+    base = -(-grid // nwin)
+    out = []
+    off = 0
+    while off < grid:
+        g = min(base, grid - off)
+        out.append((off, g))
+        off += g
+    return tuple(out)
+
+
+def _cat_windows(outs):
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def _out_layout(pl, grid: int, b: int, qblk: int, blkg: int):
     """(transposed, out_spec, out_shape) for a gmax pallas_call.
 
@@ -200,24 +237,28 @@ def gmax_f(
     qblk = _q_tile(b)
     blk = _block_rows(b, d, vectors.dtype.itemsize, n)
     grid = n // blk
-    transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
+    transposed = qblk % 128 == 0
     # 2-D grid (corpus blocks, query tiles) with query tiles INNERMOST:
     # the corpus block's index map ignores j, so Pallas keeps the fetched
-    # block resident across the j sweep — one corpus read total.
-    out = pl.pallas_call(
-        functools.partial(_gmax_kernel_f, transposed=transposed),
-        grid=(grid, b // qblk),
-        in_specs=[
-            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
-        ],
-        out_specs=out_spec,
-        out_shape=out_shape,
-        compiler_params=None if interpret else _compiler_params(),
-        interpret=interpret,
-    )(queries, vectors, extra.reshape(1, n))
-    return _untile_gmax(out, transposed, b, n)
+    # block resident across the j sweep — one corpus read total. Capacity
+    # grids run as block-offset windows (see _windows).
+    outs = []
+    for off, gw in _windows(grid):
+        _, out_spec, out_shape = _out_layout(pl, gw, b, qblk, blk // GROUP)
+        outs.append(pl.pallas_call(
+            functools.partial(_gmax_kernel_f, transposed=transposed),
+            grid=(gw, b // qblk),
+            in_specs=[
+                pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((blk, d), lambda i, j, off=off: (i + off, 0)),
+                pl.BlockSpec((1, blk), lambda i, j, off=off: (0, i + off)),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(queries, vectors, extra.reshape(1, n)))
+    return _untile_gmax(_cat_windows(outs), transposed, b, n)
 
 
 @functools.partial(jax.jit, static_argnames=("sub", "interpret", "dual"))
@@ -291,27 +332,31 @@ def gmax_f_sub(
         sm_ref[0] = jnp.max(s.reshape(blkr // sub, sub, bq), axis=1)
 
     if dual:
-        gm, sm = pl.pallas_call(
-            kernel,
-            grid=(grid, b // qblk),
-            in_specs=[
-                pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
-                pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
-                pl.BlockSpec((blk, 1), lambda i, j: (i, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, blkg, qblk), lambda i, j: (i, 0, j)),
-                pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((grid, blkg, b), jnp.float32),
-                jax.ShapeDtypeStruct((grid, blks, b), jnp.float32),
-            ],
-            compiler_params=None if interpret else _compiler_params(),
-            interpret=interpret,
-        )(queries, vectors, extra.reshape(n, 1))
-        gm = gm.transpose(2, 0, 1).reshape(b, n // GROUP)
-        sm = sm.transpose(2, 0, 1).reshape(b, n // sub)
+        gms, sms = [], []
+        for off, gw in _windows(grid):
+            gm_w, sm_w = pl.pallas_call(
+                kernel,
+                grid=(gw, b // qblk),
+                in_specs=[
+                    pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+                    pl.BlockSpec((blk, d), lambda i, j, off=off: (i + off, 0)),
+                    pl.BlockSpec((blk, 1), lambda i, j, off=off: (i + off, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, blkg, qblk), lambda i, j: (i, 0, j)),
+                    pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((gw, blkg, b), jnp.float32),
+                    jax.ShapeDtypeStruct((gw, blks, b), jnp.float32),
+                ],
+                compiler_params=None if interpret else _compiler_params(),
+                interpret=interpret,
+            )(queries, vectors, extra.reshape(n, 1))
+            gms.append(gm_w)
+            sms.append(sm_w)
+        gm = _cat_windows(gms).transpose(2, 0, 1).reshape(b, n // GROUP)
+        sm = _cat_windows(sms).transpose(2, 0, 1).reshape(b, n // sub)
         return gm, sm
 
     # Single-output form (round 5): the kernel emits ONLY the subgroup
@@ -322,20 +367,22 @@ def gmax_f_sub(
     # scale (grid 2048 at 2^24 rows; probe_2p24_sub), while single-output
     # programs at the same grid compile fine. Costs one extra HBM pass
     # over sm (~0.7 ms at 1M b=2048 against a 13.6 ms stage 1).
-    sm = pl.pallas_call(
-        kernel,
-        grid=(grid, b // qblk),
-        in_specs=[
-            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((blk, 1), lambda i, j: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((grid, blks, b), jnp.float32),
-        compiler_params=None if interpret else _compiler_params(),
-        interpret=interpret,
-    )(queries, vectors, extra.reshape(n, 1))
-    sm = sm.transpose(2, 0, 1).reshape(b, n // sub)
+    sms = []
+    for off, gw in _windows(grid):
+        sms.append(pl.pallas_call(
+            kernel,
+            grid=(gw, b // qblk),
+            in_specs=[
+                pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((blk, d), lambda i, j, off=off: (i + off, 0)),
+                pl.BlockSpec((blk, 1), lambda i, j, off=off: (i + off, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, blks, qblk), lambda i, j: (i, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((gw, blks, b), jnp.float32),
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(queries, vectors, extra.reshape(n, 1)))
+    sm = _cat_windows(sms).transpose(2, 0, 1).reshape(b, n // sub)
     gm = jnp.max(
         sm.reshape(b, n // GROUP, GROUP // sub), axis=-1
     )
@@ -385,24 +432,28 @@ def gmax_jaccard(
     qblk = _q_tile(b)
     blk = _block_rows(b, d, vectors.dtype.itemsize, n)
     grid = n // blk
-    transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
-    # query tiles innermost — corpus block fetched once (see gmax_f)
-    out = pl.pallas_call(
-        functools.partial(_gmax_kernel_jaccard, transposed=transposed),
-        grid=(grid, b // qblk),
-        in_specs=[
-            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((qblk, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
-            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
-        ],
-        out_specs=out_spec,
-        out_shape=out_shape,
-        compiler_params=None if interpret else _compiler_params(),
-        interpret=interpret,
-    )(queries, q_sum, vectors, aux.reshape(1, n), extra.reshape(1, n))
-    return _untile_gmax(out, transposed, b, n)
+    transposed = qblk % 128 == 0
+    # query tiles innermost — corpus block fetched once (see gmax_f);
+    # capacity grids run as block-offset windows (see _windows)
+    outs = []
+    for off, gw in _windows(grid):
+        _, out_spec, out_shape = _out_layout(pl, gw, b, qblk, blk // GROUP)
+        outs.append(pl.pallas_call(
+            functools.partial(_gmax_kernel_jaccard, transposed=transposed),
+            grid=(gw, b // qblk),
+            in_specs=[
+                pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((qblk, 1), lambda i, j: (j, 0)),
+                pl.BlockSpec((blk, d), lambda i, j, off=off: (i + off, 0)),
+                pl.BlockSpec((1, blk), lambda i, j, off=off: (0, i + off)),
+                pl.BlockSpec((1, blk), lambda i, j, off=off: (0, i + off)),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(queries, q_sum, vectors, aux.reshape(1, n), extra.reshape(1, n)))
+    return _untile_gmax(_cat_windows(outs), transposed, b, n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -425,30 +476,34 @@ def gmax_int8(
     qblk = _q_tile(b)
     blk = _block_rows(b, d, 1, n)
     grid = n // blk
-    transposed, out_spec, out_shape = _out_layout(pl, grid, b, qblk, blk // GROUP)
-    # query tiles innermost — corpus block fetched once (see gmax_f)
-    out = pl.pallas_call(
-        functools.partial(_gmax_kernel_int8, transposed=transposed),
-        grid=(grid, b // qblk),
-        in_specs=[
-            pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((qblk, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((blk, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
-            pl.BlockSpec((1, blk), lambda i, j: (0, i)),
-        ],
-        out_specs=out_spec,
-        out_shape=out_shape,
-        compiler_params=None if interpret else _compiler_params(),
-        interpret=interpret,
-    )(
-        q_i8,
-        q_scale.reshape(b, 1),
-        v_i8,
-        v_scales.reshape(1, n),
-        extra.reshape(1, n),
-    )
-    return _untile_gmax(out, transposed, b, n)
+    transposed = qblk % 128 == 0
+    # query tiles innermost — corpus block fetched once (see gmax_f);
+    # capacity grids run as block-offset windows (see _windows)
+    outs = []
+    for off, gw in _windows(grid):
+        _, out_spec, out_shape = _out_layout(pl, gw, b, qblk, blk // GROUP)
+        outs.append(pl.pallas_call(
+            functools.partial(_gmax_kernel_int8, transposed=transposed),
+            grid=(gw, b // qblk),
+            in_specs=[
+                pl.BlockSpec((qblk, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((qblk, 1), lambda i, j: (j, 0)),
+                pl.BlockSpec((blk, d), lambda i, j, off=off: (i + off, 0)),
+                pl.BlockSpec((1, blk), lambda i, j, off=off: (0, i + off)),
+                pl.BlockSpec((1, blk), lambda i, j, off=off: (0, i + off)),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(
+            q_i8,
+            q_scale.reshape(b, 1),
+            v_i8,
+            v_scales.reshape(1, n),
+            extra.reshape(1, n),
+        ))
+    return _untile_gmax(_cat_windows(outs), transposed, b, n)
 
 
 def supported(b: int, n: int, d: int) -> bool:

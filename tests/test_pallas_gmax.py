@@ -502,3 +502,141 @@ def test_metric_two_level_index_identical(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
     assert calls["sub"] == 2
+
+
+def test_windows_partition():
+    """_windows covers the grid exactly with <=cap-block disjoint windows."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops import pallas_gmax as pg
+
+    saved = CONFIG.pallas_max_grid_blocks
+    try:
+        CONFIG.pallas_max_grid_blocks = 0
+        assert pg._windows(2048) == ((0, 2048),)
+        CONFIG.pallas_max_grid_blocks = 1536
+        assert pg._windows(1280) == ((0, 1280),)  # 10M int8 stays monolithic
+        for grid, cap in ((2048, 1536), (2048, 1024), (7, 3), (1, 4), (5, 1)):
+            CONFIG.pallas_max_grid_blocks = cap
+            wins = pg._windows(grid)
+            assert all(g <= cap for _, g in wins)
+            off = 0
+            for o, g in wins:
+                assert o == off and g > 0
+                off += g
+            assert off == grid
+    finally:
+        CONFIG.pallas_max_grid_blocks = saved
+
+
+def test_gmax_f_windowed_bitwise_equal(monkeypatch):
+    """Grid windowing is exact: windowed stage 1 == monolithic, bitwise.
+
+    Each window computes its own blocks' maxes from the same operand bytes
+    with the same per-block arithmetic, so the concat must reproduce the
+    monolithic output exactly (the capacity-robustness knob may never
+    change results — config.pallas_max_grid_blocks)."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops import pallas_gmax as pg
+
+    rng = np.random.default_rng(23)
+    b, n, d = 8, 65536, 128  # grid = 4 blocks at the default budget
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.9)
+    extra = make_extra(n, mask)
+
+    monkeypatch.setattr(CONFIG, "pallas_max_grid_blocks", 2)
+    pg.gmax_f.clear_cache()
+    got = np.asarray(pg.gmax_f(q, v, extra, interpret=True))
+    monkeypatch.setattr(CONFIG, "pallas_max_grid_blocks", 0)
+    pg.gmax_f.clear_cache()
+    want = np.asarray(pg.gmax_f(q, v, extra, interpret=True))
+    pg.gmax_f.clear_cache()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gmax_f_sub_windowed_bitwise_equal(monkeypatch):
+    """Both subgroup emission forms window exactly (dual and single)."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops import pallas_gmax as pg
+
+    rng = np.random.default_rng(29)
+    b, n, d, sub = 128, 65536, 128, 32  # swapped kernel: lane-aligned b
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    extra = make_extra(n, jnp.asarray(rng.random(n) < 0.9))
+
+    for dual in (True, False):
+        monkeypatch.setattr(CONFIG, "pallas_max_grid_blocks", 3)
+        pg.gmax_f_sub.clear_cache()
+        gm_w, sm_w = pg.gmax_f_sub(
+            q, v, extra, sub=sub, interpret=True, dual=dual
+        )
+        gm_w, sm_w = np.asarray(gm_w), np.asarray(sm_w)
+        monkeypatch.setattr(CONFIG, "pallas_max_grid_blocks", 0)
+        pg.gmax_f_sub.clear_cache()
+        gm_m, sm_m = pg.gmax_f_sub(
+            q, v, extra, sub=sub, interpret=True, dual=dual
+        )
+        pg.gmax_f_sub.clear_cache()
+        np.testing.assert_array_equal(gm_w, np.asarray(gm_m))
+        np.testing.assert_array_equal(sm_w, np.asarray(sm_m))
+
+
+def test_gmax_int8_windowed_bitwise_equal(monkeypatch):
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops import pallas_gmax as pg
+
+    rng = np.random.default_rng(31)
+    b, n, d = 8, 65536, 128
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v_i8, v_scales = quantize_rows(v)
+    q_i8, q_scale = _quantize_device(jnp.asarray(q))
+    extra = make_extra(n, jnp.asarray(rng.random(n) < 0.9))
+
+    monkeypatch.setattr(CONFIG, "pallas_max_grid_blocks", 2)
+    pg.gmax_int8.clear_cache()
+    got = np.asarray(pg.gmax_int8(
+        q_i8, q_scale, jnp.asarray(v_i8), jnp.asarray(v_scales), extra,
+        interpret=True,
+    ))
+    monkeypatch.setattr(CONFIG, "pallas_max_grid_blocks", 0)
+    pg.gmax_int8.clear_cache()
+    want = np.asarray(pg.gmax_int8(
+        q_i8, q_scale, jnp.asarray(v_i8), jnp.asarray(v_scales), extra,
+        interpret=True,
+    ))
+    pg.gmax_int8.clear_cache()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_windowed_index_identical(monkeypatch):
+    """Full two-level routed pipeline under grid windowing == XLA grouped."""
+    from hyperdb_tpu.config import CONFIG
+    from hyperdb_tpu.ops import pallas_gmax as pg
+    from hyperdb_tpu.ops.ranking import rank_top_k_grouped
+
+    rng = np.random.default_rng(37)
+    b, n, d, k = 128, 65536, 128, 9
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.9)
+    rec = jnp.asarray((rng.random(n) * 0.1).astype(np.float32))
+
+    monkeypatch.setattr(CONFIG, "pallas_subgroup", 32)
+    monkeypatch.setattr(CONFIG, "pallas_max_grid_blocks", 2)
+    pg.gmax_f_sub.clear_cache()
+    pg._grouped_pallas_impl.clear_cache()
+    got_v, got_i = pg.rank_top_k_grouped_pallas(
+        q, v, k=k, row_mask=mask, recency=rec, interpret=True
+    )
+    want_v, want_i = rank_top_k_grouped(
+        q, v, k=k, row_mask=mask, recency=rec, group=GROUP
+    )
+    pg.gmax_f_sub.clear_cache()
+    pg._grouped_pallas_impl.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-5
+    )
