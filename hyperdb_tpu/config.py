@@ -170,6 +170,20 @@ class EngineConfig:
     pallas_max_grid_blocks: int = _env_int(
         "HYPERDB_PALLAS_MAX_GRID_BLOCKS", 1536
     )
+    # Single-chip capacity corpora are stored as SEPARATE device planes of
+    # at most this many rows: the engine ranks each plane with the routed
+    # program (one cached compile per plane shape — the ~10M-row class the
+    # gate proves every round) and merges the per-plane winners exactly
+    # (ops/ranking.rank_top_k_planar). Motivation (round 5): grid
+    # windowing above was NOT sufficient — in the same degraded-helper
+    # window, every monolithic 2^24-row program (including plain
+    # dot+top_k) crashed or wedged the remote compile helper, so capacity
+    # scans must never compile against a monolithic capacity operand at
+    # all. 2^23 rows (8.4M) keeps every proven gate shape monolithic and
+    # splits only beyond-10M corpora. 0 disables (monolithic planes at
+    # any n). Exactness pinned in tests/test_ranking.py (planar == the
+    # monolithic router, all metrics, ties included).
+    plane_rows: int = _env_int("HYPERDB_PLANE_ROWS", 1 << 23)
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

@@ -61,6 +61,7 @@ class _LazyDeviceView(dict):
     """
 
     _LAZY_KEYS = ("rows", "rows_norm")
+    _LAZY_PLANE_KEYS = ("rows_planes", "rows_norm_planes")
 
     def __init__(self, store: "VectorStore", vectors):
         super().__init__()
@@ -74,6 +75,23 @@ class _LazyDeviceView(dict):
             )
             self[key] = arr
             return arr
+        if key in self._LAZY_PLANE_KEYS:
+            planes = self._store._materialize_split_planes(
+                key.removesuffix("_planes"), self["n_pad"], self._vectors
+            )
+            self[key] = planes
+            return planes
+        if key == "plane_row_valid":
+            bounds = self._store.plane_bounds(self["n_pad"])
+            n = self["n"]
+            masks = tuple(
+                jnp.asarray(
+                    (np.arange(a, b) < n) if b > n else np.ones(b - a, bool)
+                )
+                for a, b in zip(bounds, bounds[1:])
+            )
+            self[key] = masks
+            return masks
         raise KeyError(key)
 
 
@@ -204,6 +222,61 @@ class VectorStore:
             norms[norms == 0] = 1.0
             host[:n] /= norms
         return jnp.asarray(host.astype(np.dtype(dev_dtype)))
+
+    @staticmethod
+    def plane_bounds(n_pad: int) -> list[int]:
+        """Row boundaries of the capacity plane split: ``[0, ..., n_pad]``.
+
+        Corpora past ``CONFIG.plane_rows`` split into equal-size device
+        planes (plus a remainder plane) so no XLA program ever takes a
+        monolithic capacity operand — the round-5 2^24 forensics showed
+        the remote compile helper crashing on EVERY monolithic 16M-row
+        program while ~10M-row programs compile fine. A single bound pair
+        means "not planar"."""
+        from hyperdb_tpu.config import CONFIG
+
+        cap = CONFIG.plane_rows
+        if cap <= 0 or n_pad <= cap:
+            return [0, n_pad]
+        bounds = list(range(0, n_pad, cap)) + [n_pad]
+        if bounds[-1] - bounds[-2] < cap // 8:
+            # fold a tiny remainder into the previous plane rather than
+            # compiling a whole extra program shape for it
+            del bounds[-2]
+        return bounds
+
+    def is_planar(self, n_pad: int) -> bool:
+        """True when this corpus' float device planes are split (capacity
+        scale; see :meth:`plane_bounds`)."""
+        return len(self.plane_bounds(n_pad)) > 2
+
+    def _materialize_split_planes(self, key: str, n_pad: int, vectors=None):
+        """Upload one float plane ('rows'/'rows_norm') as SPLIT device
+        planes (tuple of (rows_i, d) arrays per :meth:`plane_bounds`).
+
+        Each plane slices and pads its own host window — peak host temp is
+        one plane, not the monolith (at 2^24 x 384 the monolithic f32 host
+        temp alone would be 25.8 GB)."""
+        if self.precision == "int8-pure":
+            raise KeyError(key)
+        if vectors is None:
+            vectors = self.vectors
+        dev_dtype = np.dtype(_DEVICE_DTYPES.get(self.fp_dtype, jnp.float32))
+        n, d = vectors.shape
+        planes = []
+        for a, b in zip(self.plane_bounds(n_pad), self.plane_bounds(n_pad)[1:]):
+            host = np.zeros((b - a, d), dtype=np.float32)
+            lo, hi = a, min(b, n)
+            if hi > lo:
+                host[: hi - lo] = vectors[lo:hi].astype(np.float32, copy=False)
+                if key == "rows_norm":
+                    norms = np.linalg.norm(
+                        host[: hi - lo], axis=1, keepdims=True
+                    )
+                    norms[norms == 0] = 1.0
+                    host[: hi - lo] /= norms
+            planes.append(jnp.asarray(host.astype(dev_dtype)))
+        return tuple(planes)
 
     def device_view(self, source_indices) -> dict:
         """Padded device arrays for the current corpus; cached until the next

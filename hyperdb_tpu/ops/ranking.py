@@ -634,6 +634,88 @@ def rank_top_k(
     return exact_top_k(s, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "offsets"))
+def _merge_plane_topk(vals_parts, idx_parts, k: int, offsets: tuple):
+    """Merge per-plane (B, k_i) winners into the global (B, k) top-k.
+
+    ``offsets[i]`` is the global row index of plane i's row 0 (static — it
+    depends only on plane shapes). Planes concatenate in plane order, so on
+    equal values ``lax.top_k``'s prefer-earlier tie rule picks the earliest
+    plane's entry — the LOWER global index, exactly what a monolithic
+    ``lax.top_k`` over the concatenated corpus would pick.
+    """
+    vals = jnp.concatenate(vals_parts, axis=1)
+    idxs = jnp.concatenate(
+        [p + off for p, off in zip(idx_parts, offsets)], axis=1
+    )
+    mv, mi = jax.lax.top_k(vals, k)
+    return mv, jnp.take_along_axis(idxs, mi, axis=1)
+
+
+def rank_top_k_planar(
+    queries: jax.Array,
+    planes,
+    k: int,
+    metric: str = "cosine_similarity",
+    row_masks=None,
+    recencies=None,
+    prenormalized: bool = False,
+):
+    """Exact top-k over a corpus stored as SEPARATE device planes.
+
+    The single-chip capacity route (> ~2^23 rows): no single XLA program
+    ever touches a monolithic capacity buffer. Each (N_i, d) plane is
+    ranked by the routed :func:`rank_top_k` program — one cached compile
+    per plane shape-class, the same ~10M-row program class the gate proves
+    every round — and the per-plane winners merge through one small
+    (B, sum k_i) jitted top-k. Dispatch is async, so the plane calls
+    pipeline on device; the host never blocks between planes.
+
+    Exactness: every metric in :data:`METRICS` scores a row independently
+    of the rest of the corpus (the reference contract,
+    ``ranking_algorithm.py:149-204``), so the global top-k is contained in
+    the union of per-plane top-k and the merge loses nothing. Ties resolve
+    to the lowest global index, identical to a monolithic ``lax.top_k``
+    (see :func:`_merge_plane_topk`).
+
+    Args mirror :func:`rank_top_k`, with per-plane lists for the dense
+    row-local terms: ``planes`` is a sequence of (N_i, d) arrays;
+    ``row_masks`` / ``recencies`` are optional sequences aligned with it
+    (entries may be None).
+
+    Returns (values, indices), indices global over the plane concatenation.
+    """
+    planes = list(planes)
+    if not planes:
+        raise ValueError("rank_top_k_planar: need at least one plane")
+    if len(planes) == 1:
+        rm = row_masks[0] if row_masks is not None else None
+        rc = recencies[0] if recencies is not None else None
+        return rank_top_k(
+            queries, planes[0], k=min(k, int(planes[0].shape[0])),
+            metric=metric, row_mask=rm, recency=rc,
+            prenormalized=prenormalized,
+        )
+    vals_parts, idx_parts, offsets = [], [], []
+    offset = 0
+    for i, plane in enumerate(planes):
+        rm = row_masks[i] if row_masks is not None else None
+        rc = recencies[i] if recencies is not None else None
+        kp = min(k, int(plane.shape[0]))
+        v, idx = rank_top_k(
+            queries, plane, k=kp, metric=metric, row_mask=rm, recency=rc,
+            prenormalized=prenormalized,
+        )
+        vals_parts.append(v)
+        idx_parts.append(idx)
+        offsets.append(offset)
+        offset += int(plane.shape[0])
+    k_eff = min(k, sum(int(p.shape[1]) for p in idx_parts))
+    return _merge_plane_topk(
+        tuple(vals_parts), tuple(idx_parts), k_eff, tuple(offsets)
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "k", "num_docs", "prenormalized")
 )

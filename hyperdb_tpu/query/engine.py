@@ -832,11 +832,11 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
             row_mask = np.zeros(n_pad, dtype=bool)
             row_mask[:num_docs] = mask
             row_mask_dev = jnp.asarray(row_mask)
-        rec_pad = None
+        rec_pad = rec_host = None
         if recency is not None:
-            rec_pad = np.zeros(n_pad, dtype=np.float32)
-            rec_pad[:num_docs] = recency
-            rec_pad = jnp.asarray(rec_pad)
+            rec_host = np.zeros(n_pad, dtype=np.float32)
+            rec_host[:num_docs] = recency
+            rec_pad = jnp.asarray(rec_host)
         prenorm = metric == "cosine_similarity"
         precision = db._store.precision
         if precision in ("int8", "int8-pure") and metric in (
@@ -900,6 +900,40 @@ def _rank_block(db, q_block, mask, override, recency, metric, top_k, cand_rows=N
                 f"device_precision='int8-pure' supports only dot_product and "
                 f"cosine_similarity on the device scan (got '{metric}'); use "
                 "device_precision='int8' or 'auto' for other metrics."
+            )
+        elif db._store.is_planar(n_pad):
+            # Capacity corpus (> CONFIG.plane_rows): the float plane lives
+            # as SEPARATE device planes and each is ranked by the routed
+            # program — no XLA program ever compiles against the monolithic
+            # capacity operand (the round-5 2^24 forensics: the remote
+            # compile helper crashes on every monolithic 16M-row program
+            # while the ~10M-row class passes the gate). The per-plane
+            # winners merge exactly (ops/ranking.rank_top_k_planar).
+            bounds = db._store.plane_bounds(n_pad)
+            planes = dv["rows_norm_planes" if prenorm else "rows_planes"]
+            if mask.all():
+                masks = dv["plane_row_valid"]  # cached, no per-query upload
+            else:
+                mh = np.zeros(n_pad, dtype=bool)
+                mh[:num_docs] = mask
+                masks = [
+                    jnp.asarray(mh[a:b])
+                    for a, b in zip(bounds, bounds[1:])
+                ]
+            recs = None
+            if rec_host is not None:
+                recs = [
+                    jnp.asarray(rec_host[a:b])
+                    for a, b in zip(bounds, bounds[1:])
+                ]
+            vals, idx = _ranking.rank_top_k_planar(
+                q,
+                planes,
+                k=min(k_pad, n_pad),
+                metric=metric,
+                row_masks=masks,
+                recencies=recs,
+                prenormalized=prenorm,
             )
         elif metric in _ranking.GROUPED_METRICS and _grouped_ok(
             dv["n_pad"], q_block.shape[0]

@@ -12,6 +12,7 @@ import pytest
 import jax.numpy as jnp
 
 from hyperdb_tpu.ops import (
+    METRICS,
     cosine_scores,
     euclidean_scores,
     hamming_scores,
@@ -533,3 +534,117 @@ class TestManhattanStream:
             assert [r[2] for r in g] == [r[2] for r in w]
             for (_, gs, _), (_, ws, _) in zip(g, w):
                 assert abs(gs - ws) < 1e-5
+
+
+class TestRankTopKPlanar:
+    """rank_top_k_planar == the monolithic router on the concatenation.
+
+    The single-chip capacity route (>~2^23 rows keeps planes separate so no
+    XLA program ever compiles against a monolithic capacity buffer) must be
+    bit-identical on indices to rank_top_k over the concatenated corpus —
+    the merge is exact because every METRICS entry scores rows locally.
+    """
+
+    def _planes(self, v, cuts):
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar  # noqa: F401
+
+        parts = []
+        start = 0
+        for c in list(cuts) + [v.shape[0]]:
+            parts.append(jnp.asarray(v[start:c]))
+            start = c
+        return parts
+
+    @pytest.mark.parametrize("metric", sorted(METRICS))
+    def test_matches_monolithic_all_metrics(self, metric):
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        rng = np.random.default_rng(21)
+        v = rng.standard_normal((96, 16)).astype(np.float32)
+        if metric in ("jaccard_similarity", "hamming_distance"):
+            v = (v > 0).astype(np.float32)
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        if metric in ("jaccard_similarity", "hamming_distance"):
+            q = (q > 0).astype(np.float32)
+        want_v, want_i = rank_top_k(
+            jnp.asarray(q), jnp.asarray(v), k=7, metric=metric
+        )
+        got_v, got_i = rank_top_k_planar(
+            jnp.asarray(q), self._planes(v, [32, 64]), k=7, metric=metric
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-6
+        )
+
+    def test_uneven_planes_masks_and_recency(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        rng = np.random.default_rng(22)
+        v = rng.standard_normal((80, 8)).astype(np.float32)
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        mask = rng.random(80) > 0.3
+        mask[:2] = True  # keep enough rows alive
+        rec = recency_scores(rng.random(80).astype(np.float64), 1.5)
+        want_v, want_i = rank_top_k(
+            jnp.asarray(q), jnp.asarray(v), k=6,
+            metric="dot_product", row_mask=jnp.asarray(mask),
+            recency=jnp.asarray(rec),
+        )
+        cuts = [16, 57]  # uneven: 16 / 41 / 23 rows
+        planes = self._planes(v, cuts)
+        bounds = [0] + cuts + [80]
+        masks = [jnp.asarray(mask[a:b]) for a, b in zip(bounds, bounds[1:])]
+        recs = [jnp.asarray(rec[a:b]) for a, b in zip(bounds, bounds[1:])]
+        got_v, got_i = rank_top_k_planar(
+            jnp.asarray(q), planes, k=6, metric="dot_product",
+            row_masks=masks, recencies=recs,
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(got_v), np.asarray(want_v), rtol=1e-5, atol=1e-6
+        )
+
+    def test_cross_plane_tie_prefers_lower_global_index(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        # rows 3 (plane 0) and 10 (plane 1) are identical -> equal scores;
+        # monolithic lax.top_k picks the lower index first, planar must too.
+        v = np.zeros((16, 4), dtype=np.float32)
+        v[3] = [1, 0, 0, 0]
+        v[10] = [1, 0, 0, 0]
+        q = np.array([[1.0, 0, 0, 0]], dtype=np.float32)
+        want_v, want_i = rank_top_k(
+            jnp.asarray(q), jnp.asarray(v), k=3, metric="dot_product"
+        )
+        got_v, got_i = rank_top_k_planar(
+            jnp.asarray(q), self._planes(v, [8]), k=3, metric="dot_product"
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        assert list(np.asarray(got_i)[0][:2]) == [3, 10]
+
+    def test_k_exceeding_plane_rows_clamps(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        rng = np.random.default_rng(23)
+        v = rng.standard_normal((10, 4)).astype(np.float32)
+        q = rng.standard_normal((2, 4)).astype(np.float32)
+        want_v, want_i = rank_top_k(
+            jnp.asarray(q), jnp.asarray(v), k=8, metric="dot_product"
+        )
+        got_v, got_i = rank_top_k_planar(
+            jnp.asarray(q), self._planes(v, [3, 6]), k=8,
+            metric="dot_product",
+        )
+        # per-plane k clamps to 3/3/4 rows -> 10 candidates >= 8 asked
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_single_plane_passthrough(self):
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        rng = np.random.default_rng(24)
+        v = rng.standard_normal((32, 8)).astype(np.float32)
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        want = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=4)
+        got = rank_top_k_planar(jnp.asarray(q), [jnp.asarray(v)], k=4)
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
