@@ -646,6 +646,57 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         failures.append("capacity_2p24_error")
         emit({"gate": "routed_bf16_2p24_b512", "error": str(e)[:200]})
+    rows24 = q24 = None  # drop any live capacity buffers before planar
+
+    # ---- planar capacity route: 2^24 as TWO 2^23-row planes (round 5) ----
+    # The production engine stores capacity corpora as split device planes
+    # (CONFIG.plane_rows; query/engine.py planar branch) precisely so no
+    # program ever compiles against a monolithic capacity operand — the
+    # class the degraded-helper forensics showed crashing the remote
+    # compile helper. This case proves the 2^24 capacity ceiling through
+    # that route: per-plane programs are the same ~8M-row class the rest
+    # of the gate already pins, and the merge is exact.
+    try:
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        n24, d24, b24 = 1 << 24, 384, 512
+        half = n24 // 2
+        print(f"building 2 x {half} x {d24} bf16 planes...", flush=True)
+        t0 = time.time()
+        planes24 = [
+            build_device_corpus(half, d24, jnp.bfloat16, seed=14 + i)
+            for i in (0, 1)
+        ]
+        print(f"built in {time.time() - t0:.1f}s", flush=True)
+        q24 = jnp.asarray(
+            rng.standard_normal((b24, d24), dtype=np.float32), jnp.bfloat16
+        )
+        print("compiling per-plane native reference (b=8)...", flush=True)
+        ref_v, ref_i = [], []
+        for pi, plane in enumerate(planes24):
+            _, (v8, i8) = timed(native, q24[:8], plane, iters=3, trials=1)
+            ref_v.append(np.asarray(v8))
+            ref_i.append(np.asarray(i8) + pi * half)
+        cat_v = np.concatenate(ref_v, axis=1)
+        cat_i = np.concatenate(ref_i, axis=1)
+        order = np.argsort(-cat_v, axis=1, kind="stable")[:, :k]
+        ref_idx = np.take_along_axis(cat_i, order, axis=1)
+        print("running planar routed top-k (2^24, b=512)...", flush=True)
+        sec, (_, idxp) = timed(
+            lambda qq: rank_top_k_planar(
+                qq, planes24, k=k, metric="dot_product"
+            ),
+            q24, iters=5, trials=2,
+        )
+        eq = bool((np.asarray(idxp)[:8] == ref_idx).all())
+        if not eq:
+            failures.append("capacity_2p24_planar_vs_native")
+        emit({"gate": "planar_bf16_2p24_b512", "index_equal": eq,
+              "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
+        del planes24, q24
+    except Exception as e:  # noqa: BLE001
+        failures.append("capacity_2p24_planar_error")
+        emit({"gate": "planar_bf16_2p24_b512", "error": str(e)[:200]})
 
     emit({"gate": "verdict", "failures": failures, "ok": not failures})
     return 1 if failures else 0

@@ -158,17 +158,23 @@ class EngineConfig:
     # separate pallas_calls over the SAME operands with block-offset index
     # maps (no slicing, no copies; ops/pallas_gmax._windows) whose small
     # stage-1 outputs concatenate. Motivation (round 5): the remote compile
-    # helper entered a 9+ hour state where EVERY 2048-block gmax program
-    # (2^24 x 384 bf16, all kernel forms) crashes it while 1280-block
-    # programs (10M int8) and 1M-class grids compile fine — capacity-scale
-    # scans must not depend on the helper's largest-grid appetite. 1536
-    # keeps every currently-green gate shape monolithic (10M int8 = 1280
-    # blocks) and splits only capacity shapes (2^24 = 2048 blocks -> 2 x
-    # 1024). Windowing is exact (each window computes its own blocks'
-    # maxes; concat reassembles stage 1 bit-for-bit) — pinned in
-    # tests/test_pallas_gmax.py. 0 disables (monolithic grids at any n).
+    # helper's degraded windows are capacity-program-hostile and OSCILLATE
+    # on minute timescales — on 2026-08-19, 683-block sub32 windows at
+    # 2^24 compiled and ran index-identical at 20:39 (probe_2p24_ctl,
+    # 9.8k q/s), 1024-block windows of the same kernel then 500'd six
+    # consecutive times 20:45-20:56, and the 683-block form itself 500'd
+    # again at 21:02. Smaller windows compiled strictly more often in
+    # every observed state, so the default stays at the smallest cap that
+    # was green on chip (683-real-block windows under cap 768); the 10M
+    # int8 shape (1280 blocks) runs as 2 x 640 windows, re-proven by the
+    # gate every round. The ROBUST capacity answer is one level up:
+    # CONFIG.plane_rows keeps >2^23-row corpora as split planes so no
+    # monolithic capacity program exists at all. Windowing is exact (each
+    # window computes its own blocks' maxes; concat reassembles stage 1
+    # bit-for-bit) — pinned in tests/test_pallas_gmax.py. 0 disables
+    # (monolithic grids at any n).
     pallas_max_grid_blocks: int = _env_int(
-        "HYPERDB_PALLAS_MAX_GRID_BLOCKS", 1536
+        "HYPERDB_PALLAS_MAX_GRID_BLOCKS", 768
     )
     # Single-chip capacity corpora are stored as SEPARATE device planes of
     # at most this many rows: the engine ranks each plane with the routed
