@@ -97,18 +97,32 @@ def main() -> int:
     ref_idx = np.take_along_axis(cat_i, order, axis=1)
 
     print("running planar routed top-k (2^24, b=512)...", flush=True)
-    try:
-        sec, (_, idxp) = timed(
-            lambda qq: rank_top_k_planar(qq, planes, k=k, metric="dot_product"),
-            q, iters=5, trials=3,
-        )
-        eq = bool((np.asarray(idxp)[:8] == ref_idx).all())
-        emit({"gate": "planar_bf16_2p24_b512", "index_equal": eq,
-              "qps": round(b / sec), "ms": round(sec * 1e3, 2)})
-        return 0 if eq else 1
-    except Exception as e:  # noqa: BLE001
-        emit({"gate": "planar_bf16_2p24_b512", "error": str(e)[:200]})
-        return 1
+    # A process that exited seconds earlier can leave its HBM unreclaimed
+    # for minutes (CLAUDE.md chip-claim note); at 12.9 GB of planes the
+    # planar run sits near the ceiling, so transient ResourceExhausted
+    # gets a spaced retry rather than a verdict.
+    last = None
+    for attempt, delay in enumerate((0, 120, 240)):
+        if delay:
+            print(f"  ResourceExhausted, retrying in {delay}s", flush=True)
+            time.sleep(delay)
+        try:
+            sec, (_, idxp) = timed(
+                lambda qq: rank_top_k_planar(
+                    qq, planes, k=k, metric="dot_product"
+                ),
+                q, iters=5, trials=3,
+            )
+            eq = bool((np.asarray(idxp)[:8] == ref_idx).all())
+            emit({"gate": "planar_bf16_2p24_b512", "index_equal": eq,
+                  "qps": round(b / sec), "ms": round(sec * 1e3, 2)})
+            return 0 if eq else 1
+        except Exception as e:  # noqa: BLE001
+            last = e
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                break
+    emit({"gate": "planar_bf16_2p24_b512", "error": str(last)[:200]})
+    return 1
 
 
 if __name__ == "__main__":

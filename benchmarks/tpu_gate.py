@@ -620,7 +620,16 @@ def main() -> int:
         failures.append("int8_10m_error")
         emit({"gate": "int8_grouped_10m", "error": str(e)[:200]})
 
-    # ---- 2^24-row bf16 capacity ceiling: routed Pallas path vs native ----
+    # ---- 2^24-row bf16 MONOLITHIC single-program form: weather canary ----
+    # Since the round-5 planar promotion (CONFIG.plane_rows) production
+    # never compiles a monolithic >2^23-row program — the planar case
+    # below is the fatal capacity gate. This case still runs because a
+    # green row proves the single-program ceiling and a red one records
+    # helper weather (the 2026-08-19 forensics: monolithic capacity
+    # compiles oscillate between green and 6x-consecutive-500 on minute
+    # timescales with zero code change). A compile/helper failure is
+    # therefore a WARNING; a wrong answer is still fatal.
+    warnings = []
     try:
         n24, d24 = 1 << 24, 384
         print(f"building {n24} x {d24} bf16 corpus on device...", flush=True)
@@ -644,8 +653,11 @@ def main() -> int:
               "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
         del rows24, q24
     except Exception as e:  # noqa: BLE001
-        failures.append("capacity_2p24_error")
-        emit({"gate": "routed_bf16_2p24_b512", "error": str(e)[:200]})
+        warnings.append("capacity_2p24_monolithic_weather")
+        emit({"gate": "routed_bf16_2p24_b512", "error": str(e)[:200],
+              "nonfatal": True,
+              "note": "monolithic form is a canary since the planar "
+                      "promotion; production routes planar at this scale"})
     rows24 = q24 = None  # drop any live capacity buffers before planar
 
     # ---- planar capacity route: 2^24 as TWO 2^23-row planes (round 5) ----
@@ -698,7 +710,8 @@ def main() -> int:
         failures.append("capacity_2p24_planar_error")
         emit({"gate": "planar_bf16_2p24_b512", "error": str(e)[:200]})
 
-    emit({"gate": "verdict", "failures": failures, "ok": not failures})
+    emit({"gate": "verdict", "failures": failures, "warnings": warnings,
+          "ok": not failures})
     return 1 if failures else 0
 
 
