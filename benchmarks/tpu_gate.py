@@ -620,55 +620,38 @@ def main() -> int:
         failures.append("int8_10m_error")
         emit({"gate": "int8_grouped_10m", "error": str(e)[:200]})
 
-    # ---- 2^24-row bf16 MONOLITHIC single-program form: weather canary ----
-    # Since the round-5 planar promotion (CONFIG.plane_rows) production
-    # never compiles a monolithic >2^23-row program — the planar case
-    # below is the fatal capacity gate. This case still runs because a
-    # green row proves the single-program ceiling and a red one records
-    # helper weather (the 2026-08-19 forensics: monolithic capacity
-    # compiles oscillate between green and 6x-consecutive-500 on minute
-    # timescales with zero code change). A compile/helper failure is
-    # therefore a WARNING; a wrong answer is still fatal.
-    warnings = []
-    try:
-        n24, d24 = 1 << 24, 384
-        print(f"building {n24} x {d24} bf16 corpus on device...", flush=True)
-        t0 = time.time()
-        rows24 = build_device_corpus(n24, d24, jnp.bfloat16, seed=4)
-        print(f"built in {time.time() - t0:.1f}s "
-              f"({n24 * d24 * 2 / (1 << 30):.1f} GB)", flush=True)
-        b24 = 512  # >= pallas_gmax_f_min_batch: the capacity-proving route
-        q24 = jnp.asarray(
-            rng.standard_normal((b24, d24), dtype=np.float32), jnp.bfloat16
-        )
-        print("compiling native reference (2^24, b=8)...", flush=True)
-        _, (_, ref24_idx) = timed(native, q24[:8], rows24, iters=3, trials=1)
-        ref24_idx = np.asarray(ref24_idx)
-        print("compiling routed rank_top_k (2^24, b=512)...", flush=True)
-        sec, (_, idx24) = timed(routed, q24, rows24, iters=5, trials=2)
-        eq = bool((np.asarray(idx24)[:8] == ref24_idx).all())
-        if not eq:
-            failures.append("capacity_2p24_vs_native")
-        emit({"gate": "routed_bf16_2p24_b512", "index_equal": eq,
-              "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
-        del rows24, q24
-    except Exception as e:  # noqa: BLE001
-        warnings.append("capacity_2p24_monolithic_weather")
-        emit({"gate": "routed_bf16_2p24_b512", "error": str(e)[:200],
-              "nonfatal": True,
-              "note": "monolithic form is a canary since the planar "
-                      "promotion; production routes planar at this scale"})
-    rows24 = q24 = None  # drop any live capacity buffers before planar
+    # A capacity working set released seconds earlier — this process's
+    # previous case or a neighboring process — can hold its HBM for
+    # minutes after the Python references drop (CLAUDE.md reclaim lag;
+    # the 2026-08-20 01:24 planar red was exactly this: ResourceExhausted
+    # 27 s after the monolithic canary's 12.9 GB freed). Each capacity
+    # case is therefore a self-contained closure (build + oracle + run)
+    # so an OOM retry rebuilds from scratch after spacing.
+    def _run_capacity(case, oom_delays=(120, 240)):
+        """Run a capacity case; returns None on success, the exception on
+        a non-OOM/final failure. ResourceExhausted retries the whole case
+        after the documented reclaim-lag spacing."""
+        for delay in oom_delays + (None,):
+            try:
+                case()
+                return None
+            except Exception as e:  # noqa: BLE001 — gate reports, not dies
+                if delay is None or "RESOURCE_EXHAUSTED" not in str(e):
+                    return e
+                print(f"  capacity OOM (HBM reclaim lag), retrying in "
+                      f"{delay}s", flush=True)
+                time.sleep(delay)
 
-    # ---- planar capacity route: 2^24 as TWO 2^23-row planes (round 5) ----
-    # The production engine stores capacity corpora as split device planes
-    # (CONFIG.plane_rows; query/engine.py planar branch) precisely so no
-    # program ever compiles against a monolithic capacity operand — the
-    # class the degraded-helper forensics showed crashing the remote
-    # compile helper. This case proves the 2^24 capacity ceiling through
-    # that route: per-plane programs are the same ~8M-row class the rest
-    # of the gate already pins, and the merge is exact.
-    try:
+    # ---- planar capacity route: 2^24 as TWO 2^23-row planes (round 5).
+    # THE fatal capacity gate — the production engine stores capacity
+    # corpora as split device planes (CONFIG.plane_rows; query/engine.py
+    # planar branch) precisely so no program ever compiles against a
+    # monolithic capacity operand — the class the degraded-helper
+    # forensics showed crashing the remote compile helper. Per-plane
+    # programs are the same ~8M-row class the rest of the gate already
+    # pins, and the merge is exact. Runs BEFORE the monolithic canary so
+    # the fatal case gets clean HBM.
+    def planar_case():
         from hyperdb_tpu.ops.ranking import rank_top_k_planar
 
         n24, d24, b24 = 1 << 24, 384, 512
@@ -705,10 +688,51 @@ def main() -> int:
             failures.append("capacity_2p24_planar_vs_native")
         emit({"gate": "planar_bf16_2p24_b512", "index_equal": eq,
               "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
-        del planes24, q24
-    except Exception as e:  # noqa: BLE001
+
+    err = _run_capacity(planar_case)
+    if err is not None:
         failures.append("capacity_2p24_planar_error")
-        emit({"gate": "planar_bf16_2p24_b512", "error": str(e)[:200]})
+        emit({"gate": "planar_bf16_2p24_b512", "error": str(err)[:200]})
+
+    # ---- 2^24-row bf16 MONOLITHIC single-program form: weather canary,
+    # LAST. Since the planar promotion production never compiles a
+    # monolithic >2^23-row program. This case still runs because a green
+    # row proves the single-program ceiling and a red one records helper
+    # weather (the 2026-08-19 forensics: monolithic capacity compiles
+    # oscillate between green and 6x-consecutive-500 on minute timescales
+    # with zero code change). A compile/helper failure is therefore a
+    # WARNING; a wrong answer is still fatal.
+    warnings = []
+
+    def monolithic_case():
+        n24, d24 = 1 << 24, 384
+        print(f"building {n24} x {d24} bf16 corpus on device...", flush=True)
+        t0 = time.time()
+        rows24 = build_device_corpus(n24, d24, jnp.bfloat16, seed=4)
+        print(f"built in {time.time() - t0:.1f}s "
+              f"({n24 * d24 * 2 / (1 << 30):.1f} GB)", flush=True)
+        b24 = 512  # >= pallas_gmax_f_min_batch: the capacity-proving route
+        q24 = jnp.asarray(
+            rng.standard_normal((b24, d24), dtype=np.float32), jnp.bfloat16
+        )
+        print("compiling native reference (2^24, b=8)...", flush=True)
+        _, (_, ref24_idx) = timed(native, q24[:8], rows24, iters=3, trials=1)
+        ref24_idx = np.asarray(ref24_idx)
+        print("compiling routed rank_top_k (2^24, b=512)...", flush=True)
+        sec, (_, idx24) = timed(routed, q24, rows24, iters=5, trials=2)
+        eq = bool((np.asarray(idx24)[:8] == ref24_idx).all())
+        if not eq:
+            failures.append("capacity_2p24_vs_native")
+        emit({"gate": "routed_bf16_2p24_b512", "index_equal": eq,
+              "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
+
+    err = _run_capacity(monolithic_case)
+    if err is not None:
+        warnings.append("capacity_2p24_monolithic_weather")
+        emit({"gate": "routed_bf16_2p24_b512", "error": str(err)[:200],
+              "nonfatal": True,
+              "note": "monolithic form is a canary since the planar "
+                      "promotion; production routes planar at this scale"})
 
     emit({"gate": "verdict", "failures": failures, "warnings": warnings,
           "ok": not failures})
