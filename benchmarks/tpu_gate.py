@@ -108,10 +108,8 @@ def main() -> int:
     print("devices:", jax.devices(), flush=True)
     n, d, b, k = 1 << 20, 384, 256, 10
     rng = np.random.default_rng(42)
-    host = rng.standard_normal((n, d), dtype=np.float32)
-    rows = jnp.asarray(host, dtype=jnp.bfloat16)
-    q = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32), jnp.bfloat16)
     failures = []
+    warnings = []
 
     # ---- native TopK reference (the oracle on this exact device math) ----
     @jax.jit
@@ -121,6 +119,106 @@ def main() -> int:
             preferred_element_type=jnp.float32,
         )
         return jax.lax.top_k(s, k)
+
+    # ---- capacity helpers (shared by the planar fatal case, the 10M int8
+    # case, and the monolithic canary). Corpora are generated and quantized
+    # ON DEVICE (nothing rides the tunnel) with donated in-place writes
+    # (one corpus allocation).
+    import functools
+
+    def build_device_corpus(n_rows, dd, dtype, chunk=1 << 19, seed=0):
+        @jax.jit
+        def gen_chunk(key):
+            x = jax.random.normal(key, (chunk, dd), dtype=jnp.float32)
+            norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+            x = x / jnp.where(norm == 0, 1.0, norm)
+            return x.astype(dtype)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write_chunk(buf, c, row0):
+            return jax.lax.dynamic_update_slice(buf, c, (row0, 0))
+
+        buf = jnp.zeros((n_rows, dd), dtype=dtype)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_rows // chunk)
+        for i, kk in enumerate(keys):
+            buf = write_chunk(buf, gen_chunk(kk), jnp.int32(i * chunk))
+        jax.block_until_ready(buf)
+        return buf
+
+    # A capacity working set released seconds earlier — this process's
+    # previous case or a neighboring process — can hold its HBM for
+    # minutes after the Python references drop (CLAUDE.md reclaim lag).
+    def _run_capacity(case, oom_delays=(120, 240)):
+        """Run a capacity case; returns None on success, the exception on
+        a non-OOM/final failure. ResourceExhausted retries the whole case
+        after the documented reclaim-lag spacing."""
+        for delay in oom_delays + (None,):
+            try:
+                case()
+                return None
+            except Exception as e:  # noqa: BLE001 — gate reports, not dies
+                if delay is None or "RESOURCE_EXHAUSTED" not in str(e):
+                    return e
+                print(f"  capacity OOM (HBM reclaim lag), retrying in "
+                      f"{delay}s", flush=True)
+                time.sleep(delay)
+
+    # ---- planar capacity route FIRST, on genuinely clean HBM (round 5).
+    # THE fatal capacity gate — the production engine stores capacity
+    # corpora as split device planes (CONFIG.plane_rows; query/engine.py
+    # planar branch) precisely so no program ever compiles against a
+    # monolithic capacity operand. History (results.jsonl 2026-08-19/20):
+    # every planar red was an OOM with a 7.7-12.9 GB working set dropped
+    # minutes earlier in the SAME gate process or a just-exited neighbor —
+    # the monolithic 12.9 GB form ran green at 20:39 on fresh HBM. The
+    # 12.9 GB case therefore runs before the gate allocates anything else.
+    def planar_case():
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        n24, d24, b24 = 1 << 24, 384, 512
+        half = n24 // 2
+        print(f"building 2 x {half} x {d24} bf16 planes...", flush=True)
+        t0 = time.time()
+        planes24 = [
+            build_device_corpus(half, d24, jnp.bfloat16, seed=14 + i)
+            for i in (0, 1)
+        ]
+        print(f"built in {time.time() - t0:.1f}s", flush=True)
+        q24 = jnp.asarray(
+            rng.standard_normal((b24, d24), dtype=np.float32), jnp.bfloat16
+        )
+        print("compiling per-plane native reference (b=8)...", flush=True)
+        ref_v, ref_i = [], []
+        for pi, plane in enumerate(planes24):
+            _, (v8, i8) = timed(native, q24[:8], plane, iters=3, trials=1)
+            ref_v.append(np.asarray(v8))
+            ref_i.append(np.asarray(i8) + pi * half)
+        cat_v = np.concatenate(ref_v, axis=1)
+        cat_i = np.concatenate(ref_i, axis=1)
+        order = np.argsort(-cat_v, axis=1, kind="stable")[:, :k]
+        ref_idx = np.take_along_axis(cat_i, order, axis=1)
+        print("running planar routed top-k (2^24, b=512)...", flush=True)
+        sec, (_, idxp) = timed(
+            lambda qq: rank_top_k_planar(
+                qq, planes24, k=k, metric="dot_product"
+            ),
+            q24, iters=5, trials=2,
+        )
+        eq = bool((np.asarray(idxp)[:8] == ref_idx).all())
+        if not eq:
+            failures.append("capacity_2p24_planar_vs_native")
+        emit({"gate": "planar_bf16_2p24_b512", "index_equal": eq,
+              "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
+
+    err = _run_capacity(planar_case)
+    if err is not None:
+        failures.append("capacity_2p24_planar_error")
+        emit({"gate": "planar_bf16_2p24_b512", "error": str(err)[:200]})
+
+    # ---- 1M working set (allocated only after the capacity-fatal case) ----
+    host = rng.standard_normal((n, d), dtype=np.float32)
+    rows = jnp.asarray(host, dtype=jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32), jnp.bfloat16)
 
     print("compiling native reference...", flush=True)
     _, (ref_vals, ref_idx) = timed(native, q, rows, iters=5, trials=1)
@@ -515,32 +613,9 @@ def main() -> int:
     # free the 1M working set before the capacity-scale cases
     del rows, q, q_big, q_m, aux, plane, q_p, v_i8, v_sc, qf, host, vc, rec
 
-    # ---- capacity-scale gates (VERDICT r3 #7): the 10M int8 config and
-    # the 2^24-row bf16 capacity ceiling were pinned only by hand-run
-    # scripts; these cases put big-corpus exactness in the scripted gate.
-    # Corpora are generated and quantized ON DEVICE (nothing rides the
-    # tunnel) with donated in-place writes (one corpus allocation).
-    import functools
-
-    def build_device_corpus(n_rows, dd, dtype, chunk=1 << 19, seed=0):
-        @jax.jit
-        def gen_chunk(key):
-            x = jax.random.normal(key, (chunk, dd), dtype=jnp.float32)
-            norm = jnp.linalg.norm(x, axis=1, keepdims=True)
-            x = x / jnp.where(norm == 0, 1.0, norm)
-            return x.astype(dtype)
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def write_chunk(buf, c, row0):
-            return jax.lax.dynamic_update_slice(buf, c, (row0, 0))
-
-        buf = jnp.zeros((n_rows, dd), dtype=dtype)
-        keys = jax.random.split(jax.random.PRNGKey(seed), n_rows // chunk)
-        for i, kk in enumerate(keys):
-            buf = write_chunk(buf, gen_chunk(kk), jnp.int32(i * chunk))
-        jax.block_until_ready(buf)
-        return buf
-
+    # ---- capacity-scale gates (VERDICT r3 #7): the 10M int8 config —
+    # exactness at big-corpus scale in the scripted gate (the 2^24 planar
+    # fatal case already ran first, on clean HBM).
     # ---- 10M x 768 int8-pure: grouped scan vs flat int8 reference ----
     try:
         n10, d10 = 10 * (1 << 20), 768  # bucket-aligned 10.5M rows
@@ -620,80 +695,6 @@ def main() -> int:
         failures.append("int8_10m_error")
         emit({"gate": "int8_grouped_10m", "error": str(e)[:200]})
 
-    # A capacity working set released seconds earlier — this process's
-    # previous case or a neighboring process — can hold its HBM for
-    # minutes after the Python references drop (CLAUDE.md reclaim lag;
-    # the 2026-08-20 01:24 planar red was exactly this: ResourceExhausted
-    # 27 s after the monolithic canary's 12.9 GB freed). Each capacity
-    # case is therefore a self-contained closure (build + oracle + run)
-    # so an OOM retry rebuilds from scratch after spacing.
-    def _run_capacity(case, oom_delays=(120, 240)):
-        """Run a capacity case; returns None on success, the exception on
-        a non-OOM/final failure. ResourceExhausted retries the whole case
-        after the documented reclaim-lag spacing."""
-        for delay in oom_delays + (None,):
-            try:
-                case()
-                return None
-            except Exception as e:  # noqa: BLE001 — gate reports, not dies
-                if delay is None or "RESOURCE_EXHAUSTED" not in str(e):
-                    return e
-                print(f"  capacity OOM (HBM reclaim lag), retrying in "
-                      f"{delay}s", flush=True)
-                time.sleep(delay)
-
-    # ---- planar capacity route: 2^24 as TWO 2^23-row planes (round 5).
-    # THE fatal capacity gate — the production engine stores capacity
-    # corpora as split device planes (CONFIG.plane_rows; query/engine.py
-    # planar branch) precisely so no program ever compiles against a
-    # monolithic capacity operand — the class the degraded-helper
-    # forensics showed crashing the remote compile helper. Per-plane
-    # programs are the same ~8M-row class the rest of the gate already
-    # pins, and the merge is exact. Runs BEFORE the monolithic canary so
-    # the fatal case gets clean HBM.
-    def planar_case():
-        from hyperdb_tpu.ops.ranking import rank_top_k_planar
-
-        n24, d24, b24 = 1 << 24, 384, 512
-        half = n24 // 2
-        print(f"building 2 x {half} x {d24} bf16 planes...", flush=True)
-        t0 = time.time()
-        planes24 = [
-            build_device_corpus(half, d24, jnp.bfloat16, seed=14 + i)
-            for i in (0, 1)
-        ]
-        print(f"built in {time.time() - t0:.1f}s", flush=True)
-        q24 = jnp.asarray(
-            rng.standard_normal((b24, d24), dtype=np.float32), jnp.bfloat16
-        )
-        print("compiling per-plane native reference (b=8)...", flush=True)
-        ref_v, ref_i = [], []
-        for pi, plane in enumerate(planes24):
-            _, (v8, i8) = timed(native, q24[:8], plane, iters=3, trials=1)
-            ref_v.append(np.asarray(v8))
-            ref_i.append(np.asarray(i8) + pi * half)
-        cat_v = np.concatenate(ref_v, axis=1)
-        cat_i = np.concatenate(ref_i, axis=1)
-        order = np.argsort(-cat_v, axis=1, kind="stable")[:, :k]
-        ref_idx = np.take_along_axis(cat_i, order, axis=1)
-        print("running planar routed top-k (2^24, b=512)...", flush=True)
-        sec, (_, idxp) = timed(
-            lambda qq: rank_top_k_planar(
-                qq, planes24, k=k, metric="dot_product"
-            ),
-            q24, iters=5, trials=2,
-        )
-        eq = bool((np.asarray(idxp)[:8] == ref_idx).all())
-        if not eq:
-            failures.append("capacity_2p24_planar_vs_native")
-        emit({"gate": "planar_bf16_2p24_b512", "index_equal": eq,
-              "qps": round(b24 / sec), "ms": round(sec * 1e3, 2)})
-
-    err = _run_capacity(planar_case)
-    if err is not None:
-        failures.append("capacity_2p24_planar_error")
-        emit({"gate": "planar_bf16_2p24_b512", "error": str(err)[:200]})
-
     # ---- 2^24-row bf16 MONOLITHIC single-program form: weather canary,
     # LAST. Since the planar promotion production never compiles a
     # monolithic >2^23-row program. This case still runs because a green
@@ -701,9 +702,9 @@ def main() -> int:
     # weather (the 2026-08-19 forensics: monolithic capacity compiles
     # oscillate between green and 6x-consecutive-500 on minute timescales
     # with zero code change). A compile/helper failure is therefore a
-    # WARNING; a wrong answer is still fatal.
-    warnings = []
-
+    # WARNING; a wrong answer is still fatal. (Runs last so its 12.9 GB
+    # build lands on whatever HBM the earlier cases left — the fatal
+    # planar case already proved the byte size on clean HBM, first.)
     def monolithic_case():
         n24, d24 = 1 << 24, 384
         print(f"building {n24} x {d24} bf16 corpus on device...", flush=True)
