@@ -152,16 +152,26 @@ def main() -> int:
         """Run a capacity case; returns None on success, the exception on
         a non-OOM/final failure. ResourceExhausted retries the whole case
         after the documented reclaim-lag spacing."""
+        import gc
+
         for delay in oom_delays + (None,):
             try:
                 case()
                 return None
             except Exception as e:  # noqa: BLE001 — gate reports, not dies
-                if delay is None or "RESOURCE_EXHAUSTED" not in str(e):
-                    return e
-                print(f"  capacity OOM (HBM reclaim lag), retrying in "
-                      f"{delay}s", flush=True)
-                time.sleep(delay)
+                err, is_oom = e, "RESOURCE_EXHAUSTED" in str(e)
+                # Drop the traceback NOW: its frames pin the failed
+                # attempt's device buffers (the 12.9 GB planes), which
+                # otherwise only free at except-block exit — AFTER the
+                # sleep, i.e. zero reclaim spacing before the rebuild.
+                err.__traceback__ = None
+                e = None
+            if delay is None or not is_oom:
+                return err
+            gc.collect()
+            print(f"  capacity OOM, freeing and retrying in {delay}s",
+                  flush=True)
+            time.sleep(delay)
 
     # ---- planar capacity route FIRST, on genuinely clean HBM (round 5).
     # THE fatal capacity gate — the production engine stores capacity

@@ -190,6 +190,17 @@ class EngineConfig:
     # any n). Exactness pinned in tests/test_ranking.py (planar == the
     # monolithic router, all metrics, ties included).
     plane_rows: int = _env_int("HYPERDB_PLANE_ROWS", 1 << 23)
+    # Serialize per-plane programs (host-retire each before dispatching the
+    # next) once the planes' total bytes reach this threshold. Async plane
+    # pipelining is only safe while HBM can hold TWO in-flight plane
+    # programs' stage-1/top-k temps next to the planes themselves; at
+    # capacity scale the planes pin most of HBM and co-resident temps are
+    # exactly the clean-HBM OOM the 2026-08-20 gate run caught (see
+    # ops/ranking.rank_top_k_planar). 8 GiB leaves sub-capacity multi-plane
+    # corpora fully pipelined. 0 disables (always async).
+    planar_serial_bytes: int = _env_int(
+        "HYPERDB_PLANAR_SERIAL_BYTES", 8 << 30
+    )
     # Rank on the host (NumPy) when corpus_rows * batch is at most this many
     # score cells: every device call pays the platform's 25-30 ms round trip
     # (BASELINE.md), which dwarfs compute for tiny corpora — the 151-doc demo

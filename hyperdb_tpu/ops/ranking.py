@@ -668,8 +668,18 @@ def rank_top_k_planar(
     ranked by the routed :func:`rank_top_k` program — one cached compile
     per plane shape-class, the same ~10M-row program class the gate proves
     every round — and the per-plane winners merge through one small
-    (B, sum k_i) jitted top-k. Dispatch is async, so the plane calls
-    pipeline on device; the host never blocks between planes.
+    (B, sum k_i) jitted top-k. Dispatch is async below
+    ``CONFIG.planar_serial_bytes`` total plane bytes, so the plane calls
+    pipeline on device. ABOVE it — the capacity regime the planar route
+    exists for — each plane's program is forced to retire (a tiny winner
+    readback; ``block_until_ready`` does not block on this platform)
+    before the next is dispatched: with the planes themselves pinning
+    most of HBM, two in-flight plane programs' stage-1/top-k temps
+    co-resident is exactly the OOM the 2026-08-20 clean-HBM gate run
+    caught (results.jsonl planar_bf16_2p24_b512 05:37 — planes built,
+    reference ran, the two async routed programs exhausted the rest).
+    One extra ~25-30 ms round trip per plane against a capacity scan is
+    the cost of fitting.
 
     Exactness: every metric in :data:`METRICS` scores a row independently
     of the rest of the corpus (the reference contract,
@@ -696,6 +706,12 @@ def rank_top_k_planar(
             metric=metric, row_mask=rm, recency=rc,
             prenormalized=prenormalized,
         )
+    from hyperdb_tpu.config import CONFIG
+
+    serial_cap = CONFIG.planar_serial_bytes
+    serialize = 0 < serial_cap <= sum(
+        int(p.size) * p.dtype.itemsize for p in planes
+    )
     vals_parts, idx_parts, offsets = [], [], []
     offset = 0
     for i, plane in enumerate(planes):
@@ -706,6 +722,15 @@ def rank_top_k_planar(
             queries, plane, k=kp, metric=metric, row_mask=rm, recency=rc,
             prenormalized=prenormalized,
         )
+        if (
+            serialize
+            and i + 1 < len(planes)
+            and not isinstance(idx, jax.core.Tracer)
+        ):
+            # force THIS plane's program (and its temps) to retire before
+            # the next plane's dispatch — see the capacity note above. The
+            # winners are (B, kp): the readback is a few KB.
+            np.asarray(idx)
         vals_parts.append(v)
         idx_parts.append(idx)
         offsets.append(offset)

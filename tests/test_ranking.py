@@ -648,3 +648,28 @@ class TestRankTopKPlanar:
         want = rank_top_k(jnp.asarray(q), jnp.asarray(v), k=4)
         got = rank_top_k_planar(jnp.asarray(q), [jnp.asarray(v)], k=4)
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+    def test_capacity_serialization_is_result_identical(self, monkeypatch):
+        """planar_serial_bytes engaged (threshold below the plane bytes):
+        each plane program retires before the next dispatch — the OOM fix
+        for the capacity regime (see rank_top_k_planar) must not change a
+        single output bit relative to the async path."""
+        from hyperdb_tpu.config import CONFIG
+        from hyperdb_tpu.ops.ranking import rank_top_k_planar
+
+        rng = np.random.default_rng(25)
+        v = rng.standard_normal((96, 16)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        planes = self._planes(v, [40, 64])
+        monkeypatch.setattr(CONFIG, "planar_serial_bytes", 0)
+        async_v, async_i = rank_top_k_planar(
+            jnp.asarray(q), planes, k=9, metric="euclidean_metric"
+        )
+        monkeypatch.setattr(CONFIG, "planar_serial_bytes", 1)
+        ser_v, ser_i = rank_top_k_planar(
+            jnp.asarray(q), planes, k=9, metric="euclidean_metric"
+        )
+        np.testing.assert_array_equal(np.asarray(ser_i), np.asarray(async_i))
+        np.testing.assert_array_equal(
+            np.asarray(ser_v), np.asarray(async_v)
+        )
